@@ -1,0 +1,3 @@
+"""Import every plan module so the QUERIES registry is fully populated."""
+
+import advanced_strapi_import_spark.plans.parity  # noqa: F401

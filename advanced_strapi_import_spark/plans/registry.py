@@ -1,0 +1,49 @@
+"""Single-source registry of engine queries.
+
+Each entry pairs a PySpark plan builder with the ANSI-SQL oracle that
+DuckDB runs on the same parquet tables (driver contract, see
+__spark_entry__.py). Keeping both in one place guarantees the column
+names/aliases stay in sync — the driver's compare hashes values after
+sorting columns by name.
+
+Conventions (to make the value-hash deterministic across engines):
+  - every double-valued aggregate is round(x, 2) on BOTH sides;
+  - timestamps in outputs are formatted to 'yyyy-MM-dd HH:mm:ss' strings;
+  - any LIMIT is preceded by a deterministic ORDER BY;
+  - DuckDB sum(int) returns HUGEINT -> oracle casts to BIGINT to match
+    Spark's sum(long) -> long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet table scan (SURVEY §2.1 S3). Column pruning + predicate
+    pushdown are delegated to Catalyst — callers filter/select lazily."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
