@@ -1,3 +1,4 @@
 """Import every plan module so the QUERIES registry is fully populated."""
 
 import advanced_strapi_import_spark.plans.parity  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_etl  # noqa: F401
