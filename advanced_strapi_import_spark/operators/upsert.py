@@ -1,0 +1,72 @@
+"""Upsert / merge sink — SURVEY.md §2.3 J6, §2.1 S5/S6, §2.4 A1.
+
+The reference upserts row-at-a-time: look up by ``upsertField``, then
+update-or-create (/root/reference/server/services/csv-import.js:362-428,
+findExistingRecord :414-428). Here the whole batch merges in one plan
+with SQL MERGE semantics:
+
+    matched rows   -> batch values win (S6 update)
+    unmatched rows -> appended          (S5 create)
+    untouched rows -> pass through
+
+On a Delta/Iceberg table this would be ``MERGE INTO``; the engine's
+storage-agnostic fallback is the classic join+union rewrite, which is
+what MERGE compiles to anyway. Counters (created/updated — the
+reference's import result, csv-import.js:364-368) come from the same
+lazy plan, no extra scan of the target.
+
+Scale: the merge shuffles both sides by the key once; with a bucketed
+target the shuffle drops to the batch side only. The batch is typically
+<< target, so AQE picks broadcast for the existence join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class MergeResult:
+    merged: DataFrame      # post-merge table content
+    created: DataFrame     # rows that were inserted
+    updated: DataFrame     # rows that were overwritten
+    counters: DataFrame    # one row: created / updated counts (A1)
+
+
+def merge(target: DataFrame, batch: DataFrame, key: str) -> MergeResult:
+    """Join+union MERGE: batch wins on key collisions, new keys append.
+
+    Columns are aligned by name; batch columns missing from target are
+    dropped, target columns missing from batch keep the target value on
+    matched rows (partial update, like the reference's entity update).
+    """
+    tcols = target.columns
+    b = batch.alias("b")
+    t = target.alias("t")
+
+    joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
+    merged_existing = joined.select(
+        *[
+            F.coalesce(F.col(f"b.{c}"), F.col(f"t.{c}")).alias(c)
+            if c in batch.columns
+            else F.col(f"t.{c}").alias(c)
+            for c in tcols
+        ],
+        F.col(f"b.{key}").isNotNull().alias("__was_updated"),
+    )
+
+    created = batch.join(target.select(key), key, "left_anti").select(
+        *[
+            (F.col(c) if c in batch.columns else F.lit(None).cast(dict(target.dtypes)[c])).alias(c)
+            for c in tcols
+        ]
+    )
+    updated = merged_existing.filter("__was_updated").drop("__was_updated")
+    merged = merged_existing.drop("__was_updated").unionByName(created)
+
+    counters = merged_existing.agg(
+        F.sum(F.col("__was_updated").cast("long")).alias("updated")
+    ).crossJoin(created.agg(F.count(F.lit(1)).alias("created"))).select("created", "updated")
+    return MergeResult(merged=merged, created=created, updated=updated, counters=counters)

@@ -2,3 +2,5 @@
 
 import advanced_strapi_import_spark.plans.parity  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_etl  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_sink  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_media  # noqa: F401

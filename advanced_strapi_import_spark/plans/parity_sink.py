@@ -1,0 +1,210 @@
+"""Parity queries for the sink-side operators: upsert merge (J6/A1),
+denormalizing export (J9/F19/F20/A6/L4), and repeatable-component
+pivoting (A3/J5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_strapi_import_spark.operators import components as CMP
+from advanced_strapi_import_spark.operators import export as X
+from advanced_strapi_import_spark.operators import upsert as U
+from advanced_strapi_import_spark.plans.registry import load, query
+from advanced_strapi_import_spark.schema import ContentType, Attribute
+
+
+# ---------------------------------------------------------------------------
+# J6: upsert merge — batch wins on key collision, new keys append
+# ---------------------------------------------------------------------------
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    c = load(spark, sf_dir, "customer")
+    target = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = c.select(
+        (F.col("c_custkey") * 2).alias("id"),
+        F.concat(F.lit("B_"), F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") + 500, 2).alias("acctbal"),
+    )
+    return target, batch
+
+
+_MERGE_SQL = """
+WITH t AS (SELECT c_custkey AS id, c_name AS name, round(c_acctbal, 2) AS acctbal,
+                  c_mktsegment AS segment FROM customer),
+b AS (SELECT c_custkey * 2 AS id, 'B_' || c_name AS name,
+             round(c_acctbal + 500, 2) AS acctbal FROM customer),
+existing AS (
+  SELECT t.id, coalesce(b.name, t.name) AS name,
+         coalesce(b.acctbal, t.acctbal) AS acctbal, t.segment,
+         b.id IS NOT NULL AS was_updated
+  FROM t LEFT JOIN b ON b.id = t.id),
+created AS (
+  SELECT b.id, b.name, b.acctbal, CAST(NULL AS VARCHAR) AS segment
+  FROM b WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.id = b.id))
+"""
+
+
+@query(
+    "upsert_merged",
+    oracle=_MERGE_SQL + """
+SELECT id, name, acctbal, segment FROM existing
+UNION ALL SELECT * FROM created
+""",
+    doc="J6: SQL-MERGE semantics via join+union (Delta MERGE INTO analog).",
+)
+def upsert_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, batch = _merge_inputs(spark, sf_dir)
+    return U.merge(target, batch, "id").merged
+
+
+@query(
+    "upsert_counters",
+    oracle=_MERGE_SQL + """
+SELECT (SELECT count(*) FROM created) AS created,
+       (SELECT CAST(sum(CASE WHEN was_updated THEN 1 ELSE 0 END) AS BIGINT)
+        FROM existing) AS updated
+""",
+    doc="A1: created/updated counters from the same lazy merge plan.",
+)
+def upsert_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, batch = _merge_inputs(spark, sf_dir)
+    return U.merge(target, batch, "id").counters
+
+
+# ---------------------------------------------------------------------------
+# J9/F19/F20/A6/L4: denormalizing export
+# ---------------------------------------------------------------------------
+_CUSTOMER_DIM_CT = ContentType(
+    uid="api::customer.dim",
+    attributes={"id": Attribute(type="integer"), "name": Attribute(type="string")},
+)
+_PART_DIM_CT = ContentType(
+    uid="api::part.dim",
+    attributes={"id": Attribute(type="integer"), "name": Attribute(type="string")},
+)
+
+
+@query(
+    "export_denormalize",
+    oracle="""
+WITH pa AS (
+  SELECT l_orderkey, string_agg(p_name, ', ' ORDER BY l_linenumber, l_partkey) AS pnames
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey)
+SELECT o.o_orderkey AS id, o.o_orderstatus AS status,
+       round(o.o_totalprice, 2) AS totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       c.c_name AS "customer.name",
+       coalesce(pa.pnames, '') AS "parts.name"
+FROM orders o
+LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+LEFT JOIN pa ON pa.l_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey LIMIT 1000
+""",
+    doc="J9 populate joins + F19 first-column heuristic + A6 ', ' join + "
+        "L4 export cap; relation flatten to dot-notation columns.",
+)
+def export_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    part_dim = part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+
+    fact = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_custkey").alias("customer"),
+    )
+    # build the multi-FK array (populate step), ordered by line number
+    parts_arr = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            ).alias("parts")
+        )
+    )
+    fact = fact.join(parts_arr, fact["id"] == parts_arr["l_orderkey"], "left").drop(
+        "l_orderkey"
+    )
+    fact = X.flatten_scalar_relation(fact, "customer", cust, _CUSTOMER_DIM_CT)
+    fact = X.flatten_multi_relation(fact, "parts", part_dim, _PART_DIM_CT, row_key="id")
+    fact = fact.withColumn("parts.name", F.coalesce(F.col("`parts.name`"), F.lit("")))
+    return X.drop_metadata(fact).orderBy("id").limit(1000)
+
+
+# ---------------------------------------------------------------------------
+# A3/J5: repeatable-component comma-pivot with ragged lists
+# ---------------------------------------------------------------------------
+_DO_COMP_CT = ContentType(
+    uid="test.do_quantity",
+    attributes={
+        "do_number": Attribute(type="string"),
+        "quantity": Attribute(type="float"),
+    },
+)
+
+
+@query(
+    "component_pivot",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k,
+         'DO-' || o_orderkey ||
+           CASE WHEN o_orderkey % 3 = 0 THEN ',DO-' || (o_orderkey + 1) ELSE '' END AS do_numbers,
+         CAST(o_orderkey % 997 AS VARCHAR) || '.25' ||
+           CASE WHEN o_orderkey % 2 = 0
+                THEN ',' || CAST((o_orderkey * 3) % 997 AS VARCHAR) || '.5' ELSE '' END AS quantities
+  FROM orders),
+arrs AS (
+  SELECT k, string_split(do_numbers, ',') AS a1, string_split(quantities, ',') AS a2
+  FROM src),
+exploded AS (
+  SELECT k, a1, a2,
+         unnest(range(1, greatest(len(a1), len(a2)) + 1)) AS idx
+  FROM arrs)
+SELECT k, idx,
+       trim(a1[idx]) AS do_number,
+       TRY_CAST(trim(a2[idx]) AS DOUBLE) AS quantity
+FROM exploded
+""",
+    doc="A3 maxRows pivot: parallel comma lists -> array<struct>, ragged "
+        "lengths pad null; flattened back for the oracle compare.",
+)
+def component_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("k"),
+        F.concat(
+            F.lit("DO-"), k.cast("string"),
+            F.when(k % 3 == 0, F.concat(F.lit(",DO-"), (k + 1).cast("string"))).otherwise(F.lit("")),
+        ).alias("do_numbers"),
+        F.concat(
+            (k % 997).cast("string"), F.lit(".25"),
+            F.when(k % 2 == 0, F.concat(F.lit(","), ((k * 3) % 997).cast("string"), F.lit(".5"))).otherwise(F.lit("")),
+        ).alias("quantities"),
+    )
+    built = CMP.build_repeatable_component(
+        src, "do_quantity", _DO_COMP_CT,
+        {"do_number": "do_numbers", "quantity": "quantities"},
+    )
+    return built.select(
+        "k", F.posexplode("do_quantity").alias("pos0", "item")
+    ).select(
+        "k",
+        (F.col("pos0") + 1).alias("idx"),
+        F.col("item.do_number").alias("do_number"),
+        F.col("item.quantity").alias("quantity"),
+    )
