@@ -1,0 +1,207 @@
+"""The engine's user-facing verbs — SURVEY.md §2.10.
+
+One function per reference endpoint (/root/reference/server/routes/
+index.js:3-67), re-expressed as an embeddable Python API over parquet
+table storage:
+
+    GET  /content-types      -> Engine.list_content_types
+    POST /preview/:ct        -> Engine.preview_csv        (L2: 10 rows)
+    POST /upload/:ct         -> Engine.validate_csv       (L1: 5 rows)
+    POST /upload-zip         -> Engine.ingest_zip
+    POST /upload-media-zip   -> Engine.ingest_media_zip
+    POST /import/:ct         -> Engine.import_csv         (§3.1 pipeline)
+    POST /export/:ct         -> Engine.export_csv         (L4: 1000 rows)
+
+The import pipeline is ONE lazy plan end to end (csv scan -> validate ->
+FK resolve -> components -> media match -> merge); actions happen only
+at the final write and the counter aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from advanced_strapi_import_spark.operators import export as X
+from advanced_strapi_import_spark.operators import media as M
+from advanced_strapi_import_spark.operators import resolve as R
+from advanced_strapi_import_spark.operators import upsert as U
+from advanced_strapi_import_spark.operators import validate as V
+from advanced_strapi_import_spark.schema import Registry
+from advanced_strapi_import_spark.sources import zip_source as Z
+from advanced_strapi_import_spark.sources.csv_source import csv_scan, preview
+
+
+@dataclass
+class Engine:
+    spark: SparkSession
+    registry: Registry
+    storage_root: str
+    _media: dict[str, DataFrame] = field(default_factory=dict)
+
+    # -- storage ---------------------------------------------------------
+    def _path(self, ct_name: str) -> str:
+        return os.path.join(self.storage_root, ct_name)
+
+    def table(self, ct_name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(ct_name))
+
+    def write_table(self, ct_name: str, df: DataFrame) -> None:
+        """Atomic swap-write: when the plan being written READS the same
+        table (upsert merge), a direct overwrite would delete its own
+        input mid-scan. Write to a temp dir, then swap (the non-Delta
+        MERGE fallback from SURVEY §4)."""
+        path = self._path(ct_name)
+        if os.path.exists(path):
+            import shutil
+
+            tmp = path + ".__tmp__"
+            df.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def has_table(self, ct_name: str) -> bool:
+        return os.path.exists(self._path(ct_name))
+
+    # -- verbs -----------------------------------------------------------
+    def list_content_types(self) -> list[dict[str, str]]:
+        """GET /content-types (controllers/csv-import.js:7-20)."""
+        return self.registry.list_tables()
+
+    def preview_csv(self, path: str, ct_name: str) -> dict:
+        """POST /preview/:ct — headers + 10 rows + schema attribute names
+        (controllers/csv-import.js:113-124)."""
+        df = csv_scan(self.spark, path)
+        out = preview(df, 10)
+        out["attributes"] = list(self.registry.get(ct_name).attributes)
+        return out
+
+    def validate_csv(self, path: str, ct_name: str) -> dict:
+        """POST /upload/:ct — validation report + 5-row preview
+        (controllers/csv-import.js:25-84)."""
+        ct = self.registry.get(ct_name)
+        res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
+        invalid = res.invalid.select(V.ROW_COL, V.ERRORS_COL).collect()
+        return {
+            "errors": res.schema_errors
+            + [e for r in invalid for e in r[V.ERRORS_COL]],
+            "warnings": res.warnings,
+            "preview": [r.asDict() for r in res.valid.limit(5).collect()],
+            "totalRows": res.all.count(),
+            "validRows": res.valid.count(),
+            "invalidRows": len(invalid),
+        }
+
+    def ingest_zip(self, path: str, media_field: str) -> DataFrame:
+        """POST /upload-zip (S8): flat unzip -> files table."""
+        files = Z.hygiene_filter(Z.zip_entries(self.spark, path, skip_corrupt=True))
+        files = files.dropDuplicates(["name", "entry_path"]).withColumn(
+            "mime", M.mime_type(F.col("name"))
+        )
+        self._media[media_field] = files
+        return files
+
+    def ingest_media_zip(self, path: str, ct_name: str, match_field: str) -> DataFrame:
+        """POST /upload-media-zip (S9): foldered unzip -> routed files."""
+        routed = Z.media_files(self.spark, path)
+        for row in routed.select("field").distinct().collect():
+            self._media[row["field"]] = routed.filter(F.col("field") == row["field"])
+        return routed
+
+    def import_csv(
+        self,
+        path: str,
+        ct_name: str,
+        *,
+        upsert: bool = False,
+        upsert_field: str = "id",
+        media_match_field: str | None = None,
+        strict: bool = False,
+    ) -> dict[str, Any]:
+        """POST /import/:ct — the §3.1 flagship pipeline."""
+        ct = self.registry.get(ct_name)
+        res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
+        n_invalid = res.invalid.count()
+        if res.schema_errors or (strict and n_invalid):
+            return {
+                "created": 0, "updated": 0,
+                "errors": res.schema_errors
+                + [e for r in res.invalid.select(V.ERRORS_COL).collect()
+                   for e in r[V.ERRORS_COL]],
+            }
+
+        df = res.valid
+        targets = {
+            a.target: self.table(a.target)
+            for a in ct.attributes.values()
+            if a.type == "relation" and a.target and self.has_table(a.target)
+        }
+        df = R.resolve_all_relations(
+            df, ct, self.registry, targets, mapping=res.mapping, row_key=V.ROW_COL
+        )
+
+        for fld, files in self._media.items():
+            if media_match_field and fld in ct.attributes:
+                df = M.match_media(
+                    df, files, media_match_field, row_key=V.ROW_COL, out_col=fld
+                )
+
+        df = df.drop(V.ROW_COL, *[c for c in df.columns if c.startswith("__dot__")])
+
+        if upsert and self.has_table(ct_name):
+            result = U.merge(self.table(ct_name), df, upsert_field)
+            counters = result.counters.collect()[0]
+            self.write_table(ct_name, result.merged)
+            created, updated = counters["created"], counters["updated"]
+        else:
+            created = df.count()
+            updated = 0
+            if self.has_table(ct_name):
+                self.write_table(ct_name, self.table(ct_name).unionByName(
+                    df, allowMissingColumns=True))
+            else:
+                self.write_table(ct_name, df)
+        return {"created": created, "updated": updated, "invalidRows": n_invalid}
+
+    def export_csv(
+        self,
+        ct_name: str,
+        out_path: str,
+        *,
+        filters: dict[str, Any] | None = None,
+        limit: int = 1000,
+        order_by: str | None = None,
+    ) -> DataFrame:
+        """POST /export/:ct — populate + flatten + CSV write (§3.3)."""
+        ct = self.registry.get(ct_name)
+        df = self.table(ct_name)
+        for k, v in (filters or {}).items():
+            df = df.filter(F.col(k) == F.lit(v))
+        for fname, attr in ct.attributes.items():
+            if attr.type != "relation" or fname not in df.columns:
+                continue
+            if not self.has_table(attr.target):
+                continue
+            tgt = self.table(attr.target)
+            tct = self.registry.get(attr.target)
+            if attr.is_multi_relation:
+                df = X.flatten_multi_relation(df, fname, tgt, tct, row_key=order_by or "id")
+            else:
+                df = X.flatten_scalar_relation(df, fname, tgt, tct)
+        for fname, attr in ct.attributes.items():
+            if attr.type == "component" and fname in df.columns:
+                if attr.repeatable:
+                    df = X.flatten_repeatable_component(df, fname)
+                else:
+                    df = X.flatten_single_component(df, fname)
+        df = X.drop_metadata(df)
+        if order_by and order_by in df.columns:
+            df = df.orderBy(order_by)
+        df = df.limit(limit)
+        X.write_csv(df, out_path)
+        return df

@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is the upload cache,
+csv-import.js:1025-1036 -> dropDuplicates), these are the dedup
+primitives a 100 TB corpus pipeline needs. All hashing is md5-based and
+engine-portable (identical results in Spark and DuckDB), and every
+operator is expressed in native Spark SQL functions — shingling is
+sequence+slice (JVM-side), signatures are one groupBy, candidate
+generation is an equi-join on band keys. No Python UDFs anywhere.
+
+Scale notes:
+  - exact dedup: one shuffle on the content hash.
+  - MinHash-LSH: cost O(docs * shingles * H) map-side, then one shuffle
+    on (band, band_hash) — the classic way to avoid the O(n^2) pairwise
+    join. Band width trades recall vs candidate volume.
+  - SimHash: one pass, 32 partial sums per doc; near-dup candidates via
+    Hamming distance on the fingerprint (bit tricks, no joins needed
+    when bucketing on fingerprint prefixes).
+  - n-gram Jaccard: exploded-shingle self-join — quadratic in the worst
+    case, so gate it behind LSH candidates in production; exposed
+    directly for verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# shared text primitives (portable across Spark/DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams: transform(sequence(1, n-k+1), i ->
+    concat_ws(' ', slice(tokens, i, k)))."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def hash64(col: Column) -> Column:
+    """Portable 63-bit hash: first 15 hex chars of md5 -> bigint.
+    (DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit hash (first 8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    kept (min) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content."""
+    keep = exact_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) where sig[s] = min over shingles of md5(s || '|' ||
+    shingle) — the permutation family is the seeded-md5 trick, portable
+    to any engine with md5."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*sig_cols)
+
+
+def lsh_bands(
+    sig: DataFrame, *, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_hash): hash each band of rows/band signature
+    columns; docs sharing any (band, band_hash) are candidates."""
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        parts.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket —
+    an equi-join on (band, band_hash), never a cross join."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32
+) -> DataFrame:
+    """(id, simhash): sign of per-bit weighted sums over 32-bit token
+    hashes — one explode + one groupBy, 32 conditional sums."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    ).withColumn("h", hash32(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def hamming_pairs(
+    fp: DataFrame, *, max_distance: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on fingerprints. Candidates
+    are generated by bucketing on fingerprint halves (a doc pair within
+    distance d shares at least one of d+1 equal chunks — pigeonhole), so
+    the join stays equi."""
+    chunks = max_distance + 1
+    chunk_bits = bits // chunks
+    parts = []
+    for c in range(chunks):
+        parts.append(
+            fp.select(
+                "id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", dist).filter(dist <= max_distance).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs over the threshold, via an
+    exploded-shingle self-join (inter) against per-doc shingle counts
+    (union = |A| + |B| - inter)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -62,7 +62,7 @@ def file_extension(col: F.Column) -> F.Column:
 def mime_type(filename: F.Column) -> F.Column:
     """F15: extension -> MIME with octet-stream default."""
     m = F.create_map(*[F.lit(x) for kv in MIME_TYPES.items() for x in kv])
-    return F.coalesce(m.getItem(file_extension(filename)), F.lit(DEFAULT_MIME))
+    return F.coalesce(F.try_element_at(m, file_extension(filename)), F.lit(DEFAULT_MIME))
 
 
 def classify_files(files: DataFrame, *, name_col: str = "name") -> DataFrame:

@@ -1,0 +1,114 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting. All native Spark SQL
+expressions (regexp_count / split / array ops) — the hot path stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from advanced_strapi_import_spark.operators.dedup import hash64, shingles, tokens
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# heuristic (public common-word lists, truncated).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+    "zh": ["的", "了", "是", "我", "在", "有", "和", "就", "不", "人"],
+}
+
+# BPE-ish word/number/punct tokenizer (public GPT-2-style pattern, simplified)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via regexp_count (words + digit runs + punct)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword/digit ratios (rounded, portable)."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(LANG_PROFILES["en"]))
+    )
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks  # spaces removed
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_toks.cast("long"),
+        "punct_ratio": F.round(n_punct / n_chars, 4),
+        "digit_ratio": F.round(n_digit / n_chars, 4),
+        "stopword_ratio": F.round(stop_hits / n_toks, 4),
+        "mean_token_len": F.round(mean_tok_len, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic in [0,1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation/digit noise (C4/Gopher-style
+    rule-of-thumb filters)."""
+    f = quality_features(text)
+    score = (
+        F.lit(0.5)
+        + F.least(f["stopword_ratio"] * 2, F.lit(0.3))
+        - F.least(f["punct_ratio"] * 2, F.lit(0.3))
+        - F.least(f["digit_ratio"], F.lit(0.2))
+        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.2).otherwise(0.0)
+    )
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language profile."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' when nothing matches.
+    Deterministic tie-break: profile order en,es,fr,de,zh."""
+    scores = lang_scores(text)
+    best = None
+    best_lang = F.lit("und")
+    for lang in LANG_PROFILES:  # insertion order = tie-break order
+        s = scores[lang]
+        if best is None:
+            best, best_lang = s, F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            cond = s > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, s).otherwise(best)
+    return best_lang
+
+
+def normalize(text: Column) -> Column:
+    """lowercase + collapse whitespace (fingerprint canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column, *, shingle_k: int = 3) -> dict[str, Column]:
+    """Document fingerprints: full-content md5 and min-shingle-hash (a
+    1-hash MinHash — robust to local edits, the winnowing-lite form)."""
+    norm = normalize(text)
+    return {
+        "fp_md5": F.md5(norm),
+        "fp_minshingle": F.array_min(
+            F.transform(shingles(norm, shingle_k), lambda s: F.md5(s))
+        ),
+        "fp_hash64": hash64(norm),
+    }

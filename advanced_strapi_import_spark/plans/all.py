@@ -4,3 +4,6 @@ import advanced_strapi_import_spark.plans.parity  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_etl  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_sink  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_media  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_ml  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_window  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_stream  # noqa: F401

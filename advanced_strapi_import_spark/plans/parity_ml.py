@@ -1,0 +1,395 @@
+"""Parity queries for the training-data-pipeline operators: dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding similarity
+(brute-force cosine top-k, LSH buckets), and text analysis.
+
+The dedup corpus is `documents` doubled with known duplicates: ids
++100000 carry identical text when doc_id%3==0 (exact dups) and one
+extra token otherwise (near dups) — so every operator has true
+positives to find. All hashing is md5-based and identical across
+engines; oracle SQL for signatures/bit-sums is generated from the same
+constants the Spark operators use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_strapi_import_spark.operators import dedup as D
+from advanced_strapi_import_spark.operators import similarity as S
+from advanced_strapi_import_spark.operators import text as TX
+from advanced_strapi_import_spark.plans.registry import load, query
+
+NUM_HASHES = 16
+BANDS = 4
+SIMHASH_BITS = 32
+LSH_PLANES = 6
+EMB_DIMS = 64
+
+
+# ---------------------------------------------------------------------------
+# duplicated corpus (shared)
+# ---------------------------------------------------------------------------
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").alias("id"), F.col("text"))
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" extra token")))
+        .alias("text"),
+    )
+    return base.unionByName(dup)
+
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' extra token' END
+  FROM documents)
+"""
+
+_SHINGLES_SQL = """
+toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         ELSE [array_to_string(t, ' ')] END)) AS sh
+  FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+WITH {_CORPUS_SQL}
+SELECT md5(text) AS text_hash, min(id) AS keep_id, count(*) AS dup_count
+FROM corpus GROUP BY md5(text)
+""",
+    doc="Exact dedup via content-hash groupBy; keeps min id per group.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_groups(_corpus(spark, sf_dir), "text", "id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures -> LSH bands -> candidate pairs
+# ---------------------------------------------------------------------------
+def _minhash_sig_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{s}|' || sh)) AS h{s}" for s in range(NUM_HASHES)
+    )
+    return f"sigs AS (\n  SELECT id, {mins}\n  FROM sh GROUP BY id)"
+
+
+def _bands_sql() -> str:
+    rows = NUM_HASHES // BANDS
+    parts = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(f"h{b * rows + r}" for r in range(rows))
+        parts.append(f"SELECT id, {b} AS band, md5({cols}) AS band_hash FROM sigs")
+    return "bands AS (\n  " + "\n  UNION ALL ".join(parts) + ")"
+
+
+@query(
+    "dedup_minhash_bands",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()}
+SELECT id, band, band_hash FROM bands
+""",
+    doc="MinHash(16) signatures banded 4x4 — the shuffle key for "
+        "O(n) near-dup candidate generation.",
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signature(
+        _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
+    )
+    return D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()}
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+""",
+    doc="LSH candidate pairs: equi-join on (band, band_hash), never "
+        "a cross join.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signature(
+        _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
+    )
+    return D.lsh_candidate_pairs(D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (SELECT id, unnest(list_distinct(string_split(text, ' '))) AS t FROM corpus),
+hs AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+bsum AS (SELECT id, {bit_sums} FROM hs GROUP BY id),
+fp AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM bsum)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"WITH {_CORPUS_SQL}, {_simhash_sql()} SELECT id, simhash FROM fp",
+    doc="SimHash(32): sign of per-bit weighted sums over token hashes — "
+        "one explode + one groupBy.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS)
+
+
+@query(
+    "dedup_hamming_pairs",
+    oracle=f"""
+WITH {_CORPUS_SQL}, {_simhash_sql()}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="SimHash near-dups within Hamming distance 3; Spark side uses "
+        "pigeonhole chunk bucketing (exact, equi-join) vs the oracle's "
+        "brute-force pairs.",
+)
+def dedup_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS)
+    return D.hamming_pairs(fp, max_distance=3, bits=SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5
+""",
+    doc="n-gram Jaccard >= 0.5 via exploded-shingle self-join (gated "
+        "behind LSH candidates in production).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_corpus(spark, sf_dir), "text", "id", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c
+          WHERE query_id <> neighbor_id),
+expl AS (SELECT query_id, neighbor_id,
+                unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+         FROM pairs),
+dots AS (SELECT query_id, neighbor_id,
+                sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM expl GROUP BY query_id, neighbor_id),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+           FROM dots)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+    doc="Brute-force cosine top-5 per query vector (broadcast queries x "
+        "corpus, JVM-side fold, window top-k).",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.cosine_topk(queries, emb, k=5)
+
+
+def _plane_signs(plane: int, dims: int) -> list[float]:
+    """Python mirror of similarity.hyperplane_sign's md5-seeded planes."""
+    out = []
+    for d in range(dims):
+        first_hex = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0]
+        out.append(1.0 if int(first_hex, 16) % 2 == 1 else -1.0)
+    return out
+
+
+def _lsh_bucket_sql() -> str:
+    cases = []
+    for p in range(LSH_PLANES):
+        arr = "[" + ",".join(str(x) for x in _plane_signs(p, EMB_DIMS)) + "]"
+        cases.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIMS + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(cases)
+
+
+@query(
+    "embedding_lsh_bucket",
+    oracle=f"""
+SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings
+""",
+    doc="Random-hyperplane LSH bucket ids (md5-seeded deterministic "
+        "planes) — the equi-join key for ANN at corpus scale.",
+)
+def embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        S.lsh_bucket(F.col("embedding"), planes=LSH_PLANES, dims=EMB_DIMS).alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
+FROM f
+""",
+    doc="Quality features: length, punctuation/digit/stopword ratios, "
+        "mean token length — all regexp_count/split JVM expressions.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def _lang_sql() -> str:
+    hits = []
+    for lang, words in TX.LANG_PROFILES.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains({lst}, t))) AS hits_{lang}"
+        )
+    langs = list(TX.LANG_PROFILES)
+    # argmax with profile-order tie-break, matching text.lang_id's chain
+    best_val, best_lang = f"hits_{langs[0]}", (
+        f"CASE WHEN hits_{langs[0]} > 0 THEN '{langs[0]}' ELSE 'und' END"
+    )
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN hits_{lang} > {best_val} THEN '{lang}' ELSE ({best_lang}) END"
+        best_val = f"greatest(hits_{lang}, {best_val})"
+    return f"WITH f AS (SELECT doc_id, {', '.join(hits)} FROM documents)\n" \
+           f"SELECT doc_id, ({best_lang}) AS lang_pred FROM f"
+
+
+@query(
+    "text_lang_id",
+    oracle=_lang_sql(),
+    doc="Language ID by stopword-profile argmax (n-gram heuristic), "
+        "deterministic tie-break in profile order.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents
+""",
+    doc="Token counting: whitespace split + BPE-ish regex token count.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents),
+t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       list_min(list_transform(
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END,
+         s -> md5(s))) AS fp_minshingle,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_hash64
+FROM t
+""",
+    doc="Document fingerprints: normalized md5, min-shingle hash "
+        "(1-hash MinHash), 63-bit content hash.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fps = TX.fingerprint(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in fps.items()])

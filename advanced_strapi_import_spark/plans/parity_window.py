@@ -1,0 +1,222 @@
+"""Window / time-series / analytic queries over the `events` stream
+table — the batch faces of the streaming operators (SURVEY §2.8 notes
+the reference is batch-only; these are the engine's beyond-parity
+analytic surface: tumbling windows, sessionization, rolling frames,
+per-group top-k, rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from advanced_strapi_import_spark.plans.registry import load, load_events, query
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="Tumbling-window aggregate (batch face of the streaming hourly "
+        "rollup): count/sum/distinct-users per (hour, type).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_seq
+""",
+    doc="Gap-based sessionization (30 min): lag + cumulative-sum session "
+        "ids, per-session aggregates; exact microsecond durations.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+        .select("user_id", "session_seq", "session_start", "n_events", "duration_us")
+    )
+
+
+@query(
+    "events_rolling",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(round(value, 2)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS roll_sum,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+""",
+    doc="Rolling 5-row frame per user (rows-frame window): running sum + "
+        "sequence number.",
+)
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.round("value", 2)).over(w.rowsBetween(-4, 0)), 2
+        ).alias("roll_sum"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@query(
+    "topk_orders_per_cust",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+""",
+    doc="Per-group top-k via ranked window (L3's limit-1 generalized).",
+)
+def topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"), "rnk",
+        )
+    )
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP grouping-sets aggregate (free in Spark; absent in the "
+        "reference).",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "events_type_matrix",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'view') AS views,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(*) FILTER (WHERE event_type = 'signup') AS signups,
+       count(*) FILTER (WHERE event_type = 'error') AS errors
+FROM events GROUP BY user_id
+""",
+    doc="Conditional-aggregate pivot (manual, engine-portable).",
+)
+def events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return e.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("signup").alias("signups"),
+        cnt("error").alias("errors"),
+    )
+
+
+@query(
+    "ci_filters",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE contains(lower(p_name), 'anvil') OR lower(p_brand) = lower('BRAND#13')
+""",
+    doc="P7/P8: case-insensitive equality ($eqi) and contains "
+        "($containsi) predicates.",
+)
+def ci_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.lower(F.col("p_name")).contains("anvil")
+        | (F.lower(F.col("p_brand")) == F.lower(F.lit("BRAND#13")))
+    ).select("p_partkey", "p_name", "p_brand")

@@ -47,3 +47,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet table scan (SURVEY §2.1 S3). Column pruning + predicate
     pushdown are delegated to Catalyst — callers filter/select lazily."""
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan with timestamp normalization: the driver's events
+    parquet stores TIMESTAMP(NANOS), which Spark reads only as long
+    (legacy nanosAsLong conf); convert ns -> us to a real timestamp
+    (truncating division — same as DuckDB's ns->us cast)."""
+    from pyspark.sql import functions as F, types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

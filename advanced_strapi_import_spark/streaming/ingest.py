@@ -1,0 +1,157 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming semantics (SURVEY §2.8: its only
+incremental notion is write batching). This module adds the streaming
+faces the engine needs at fleet scale:
+
+  - file-source ingest (``readStream``; maxFilesPerTrigger is the
+    batch_size analog of csv-import.js:363)
+  - watermarked tumbling-window aggregation (late data tolerated up to
+    the watermark)
+  - gap sessionization as a custom stateful operator
+    (applyInPandasWithState — the one place Python state is genuinely
+    required)
+  - ``run_available_now``: drain all available input and stop — gives
+    the streaming plan a deterministic batch-equivalent answer, which
+    the `stream_events_hourly` query checks against the same DuckDB
+    oracle as the batch version.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# ts is TIMESTAMP(NANOS) in the driver's parquet — Spark only reads that
+# as long (nanosAsLong); we convert ns -> us timestamp after the scan.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, directory: str, *, glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``directory`` (the streaming source needs
+    a directory base path; ``glob`` selects the table files)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.format("parquet").load(directory)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour window per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, *, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through the streaming plan into a
+    memory sink; return the materialized result (deterministic — equal
+    to the batch answer once the stream is drained)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: gap sessionization
+# ---------------------------------------------------------------------------
+SESSION_STATE_SCHEMA = "last_ts long, session_seq long, start_ts long, n long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, start_ts long, end_ts long, n_events long"
+)
+
+
+def sessionize_stream(
+    events: DataFrame, *, gap_minutes: int = 30, watermark: str = "2 hours",
+    use_timeout: bool = False,
+) -> DataFrame:
+    """applyInPandasWithState sessionizer: emits a row per session closed
+    by a later event; with ``use_timeout`` (live streams) idle sessions
+    also flush on processing-time timeout. Keep timeouts OFF for
+    drain-and-stop (availableNow) runs — a pending timeout keeps the
+    query waiting."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = []
+        if state.exists:
+            last_ts, seq, start_ts, n = state.get
+        else:
+            last_ts, seq, start_ts, n = None, 0, None, 0
+        if state.hasTimedOut:
+            if n:
+                rows.append((user_id, seq, start_ts, last_ts, n))
+            state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+            for t in sorted(ts_list):
+                if last_ts is None or t - last_ts > gap_us:
+                    if n:
+                        rows.append((user_id, seq, start_ts, last_ts, n))
+                    seq += 1
+                    start_ts, n = t, 0
+                n += 1
+                last_ts = t
+            state.update((last_ts, seq, start_ts, n))
+            if use_timeout:
+                state.setTimeoutDuration(60_000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_seq", "start_ts", "end_ts", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

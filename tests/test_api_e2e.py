@@ -1,0 +1,120 @@
+"""End-to-end workflow tests mirroring the reference's integration suite
+(/root/reference/tests/integration/full-workflow.test.js): upload ->
+validate -> import -> relations resolved -> upsert -> export round-trip.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from advanced_strapi_import_spark.api import Engine
+from fixtures_ct import COUNTRIES, REGISTRY
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark=spark, registry=REGISTRY, storage_root=str(tmp_path / "store"))
+    countries = spark.createDataFrame(COUNTRIES, "id long, name string, code string")
+    eng.write_table("country", countries)
+    return eng
+
+
+def _csv(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_list_content_types(engine):
+    names = {t["uid"] for t in engine.list_content_types()}
+    assert "api::company.company" in names
+
+
+def test_preview_and_validate(engine, tmp_path):
+    p = _csv(tmp_path, "c.csv",
+             "name,country,established,active\n"
+             "Acme,India,2000,true\n"
+             ",USA,bad,maybe\n")
+    pv = engine.preview_csv(p, "company")
+    assert pv["headers"] == ["name", "country", "established", "active"]
+    assert pv["totalRows"] == 2
+
+    rep = engine.validate_csv(p, "company")
+    assert rep["validRows"] == 1 and rep["invalidRows"] == 1
+    assert any("Required field" in e for e in rep["errors"])
+    assert any("must be a number" in e for e in rep["errors"])
+
+
+def test_import_resolves_relations(engine, tmp_path):
+    # full-workflow.test.js:104-184: imported rows carry resolved FK ids
+    p = _csv(tmp_path, "c.csv",
+             "name,country,established,active\n"
+             "Acme,India,2000,true\n"
+             "Belco,usa,1990,no\n"
+             "Cori,Atlantis,2010,1\n")
+    out = engine.import_csv(p, "company")
+    assert out["created"] == 3 and out["invalidRows"] == 0
+    rows = {r["name"]: r for r in engine.table("company").collect()}
+    assert rows["Acme"]["country"] == 1      # India
+    assert rows["Belco"]["country"] == 4     # USA (case-insensitive)
+    assert rows["Cori"]["country"] is None   # unresolved -> dropped
+    assert rows["Belco"]["active"] is False
+
+
+def test_import_dot_notation_search_field(engine, tmp_path):
+    p = _csv(tmp_path, "c.csv",
+             "name,country.code,established,active\n"
+             "Acme,CN,2000,true\n")
+    engine.import_csv(p, "company")
+    rows = {r["name"]: r for r in engine.table("company").collect()}
+    assert rows["Acme"]["country"] == 3      # resolved via code=CN
+
+
+def test_upsert_workflow(engine, tmp_path):
+    # full-workflow.test.js:186-245
+    p1 = _csv(tmp_path, "a.csv",
+              "name,country,established,active\nAcme,India,2000,true\n")
+    engine.import_csv(p1, "company")
+    # seed has no id column; upsert by name
+    p2 = _csv(tmp_path, "b.csv",
+              "name,country,established,active\n"
+              "Acme,China,2001,false\n"
+              "Newco,India,2020,yes\n")
+    out = engine.import_csv(p2, "company", upsert=True, upsert_field="name")
+    assert out["updated"] == 1 and out["created"] == 1
+    rows = {r["name"]: r for r in engine.table("company").collect()}
+    assert rows["Acme"]["established"] == 2001 and rows["Acme"]["country"] == 3
+    assert rows["Newco"]["established"] == 2020
+
+
+def test_export_round_trip(engine, spark, tmp_path):
+    # full-workflow.test.js:248-288 golden: relation flattened to
+    # country.name, metadata dropped
+    p = _csv(tmp_path, "c.csv",
+             "name,country,established,active\n"
+             "Test Company,India,2020,true\n"
+             "Another Company,USA,2015,false\n")
+    engine.import_csv(p, "company")
+    out_dir = str(tmp_path / "export")
+    df = engine.export_csv("company", out_dir, order_by="name")
+    assert "country.name" in df.columns
+
+    back = spark.read.option("header", True).csv(out_dir)
+    got = {r["name"]: r for r in back.collect()}
+    assert got["Test Company"]["country.name"] == "India"
+    assert got["Test Company"]["established"] == "2020"
+    assert got["Another Company"]["country.name"] == "USA"
+    assert got["Another Company"]["active"] == "false"
+
+
+def test_import_strict_aborts_on_invalid(engine, tmp_path):
+    # early-exit validation (controllers/csv-import.js:241-252)
+    p = _csv(tmp_path, "c.csv",
+             "name,country,established,active\n"
+             "Acme,India,bad,true\n")
+    out = engine.import_csv(p, "company", strict=True)
+    assert out["created"] == 0
+    assert any("must be a number" in e for e in out["errors"])
+    assert not engine.has_table("company")
