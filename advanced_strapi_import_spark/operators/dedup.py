@@ -199,30 +199,68 @@ def hamming_pairs(
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # filter on distance BEFORE the distinct: the dedup shuffle then only
+    # carries surviving pairs, not every bucket collision
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (dist <= max_distance),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            dist.alias("hamming"),
         )
         .distinct()
-    )
-    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.withColumn("hamming", dist).filter(dist <= max_distance).select(
-        "id_a", "id_b", "hamming"
     )
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Jaccard verification restricted to candidate ``pairs`` (id_a,
+    id_b) — the production shape: LSH proposes, Jaccard disposes. Cost
+    is O(|pairs| * shingles) instead of the all-pairs self-join."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
+    ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    b = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("__idb")) & (F.col("__sha") == F.col("__shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -234,10 +272,13 @@ def jaccard_pairs(
     """(id_a, id_b, jaccard) for pairs over the threshold, via an
     exploded-shingle self-join (inter) against per-doc shingle counts
     (union = |A| + |B| - inter)."""
+    # join/shuffle on a 63-bit shingle hash, not the 32-char md5 or raw
+    # text — ~4x smaller shuffle payload, same result (both engines hash
+    # identically, so even a collision stays consistent cross-engine)
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
+    ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -120,7 +120,7 @@ def flatten_repeatable_component(
     sub_names = arr_type.elementType.fieldNames()
     out = df
     for i in range(1, max_items + 1):
-        item = F.try_element_at(F.col(field), i)  # null past the array end (ANSI-safe)
+        item = F.try_element_at(F.col(field), F.lit(i))  # null past the end (ANSI-safe)
         for sub in sub_names:
             out = out.withColumn(f"{field}.{i}.{sub}", item.getField(sub))
     return out.drop(field)

@@ -137,7 +137,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signature(
         _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
     )
-    return D.lsh_candidate_pairs(D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS))
+    # persist the banded signatures: the candidate self-join would
+    # otherwise recompute the whole shingle->minhash pipeline twice
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    return D.lsh_candidate_pairs(bands)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +186,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "brute-force pairs.",
 )
 def dedup_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS)
+    # persist fingerprints: the chunk-bucket self-join reads them twice
+    fp = D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS).persist()
     return D.hamming_pairs(fp, max_distance=3, bits=SIMHASH_BITS)
 
 
@@ -195,11 +199,20 @@ def dedup_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_CORPUS_SQL},
 {_SHINGLES_SQL},
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+shh AS (SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
 inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY a.id, b.id)
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shh a ON a.id = c.id_a
+  JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b,
        round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter
@@ -207,11 +220,16 @@ JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5
 """,
-    doc="n-gram Jaccard >= 0.5 via exploded-shingle self-join (gated "
-        "behind LSH candidates in production).",
+    doc="The production near-dup pipeline: MinHash-LSH proposes candidate "
+        "pairs (O(n) shuffle), n-gram Jaccard verifies >= 0.5 — cost "
+        "O(|candidates|), not all-pairs.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(_corpus(spark, sf_dir), "text", "id", threshold=0.5)
+    corpus = _corpus(spark, sf_dir).persist()
+    sig = D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES)
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    cand = D.lsh_candidate_pairs(bands)
+    return D.jaccard_on_pairs(corpus, cand, "text", "id", threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -135,9 +135,11 @@ def export_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("parts")
         )
     )
-    fact = fact.join(parts_arr, fact["id"] == parts_arr["l_orderkey"], "left").drop(
-        "l_orderkey"
-    )
+    # post-agg parts_arr is order-count-sized -> broadcast beats the
+    # SortMergeJoin Catalyst would pick from stale size stats
+    fact = fact.join(
+        F.broadcast(parts_arr), fact["id"] == parts_arr["l_orderkey"], "left"
+    ).drop("l_orderkey")
     fact = X.flatten_scalar_relation(fact, "customer", cust, _CUSTOMER_DIM_CT)
     fact = X.flatten_multi_relation(fact, "parts", part_dim, _PART_DIM_CT, row_key="id")
     fact = fact.withColumn("parts.name", F.coalesce(F.col("`parts.name`"), F.lit("")))
