@@ -287,6 +287,86 @@ def _lsh_bucket_sql() -> str:
     return " || ".join(cases)
 
 
+def _table_bucket_sql(table: int, planes_per_table: int) -> str:
+    """One hash table's bucket expression over column `emb` (list of
+    DOUBLE), planes [table*p, (table+1)*p) — mirrors
+    similarity._multi_buckets exactly."""
+    cases = []
+    for p in range(planes_per_table):
+        plane = table * planes_per_table + p
+        arr = "[" + ",".join(str(x) for x in _plane_signs(plane, EMB_DIMS)) + "]"
+        cases.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIMS + 1}), "
+            f"i -> emb[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(cases)
+
+
+_ND_TABLES, _ND_PLANES = 8, 4
+
+_ND_CORPUS_SQL = f"""
+base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings),
+corpus AS (
+  SELECT id, emb FROM base
+  UNION ALL
+  SELECT id + 100000, [emb[1] + 0.5] || emb[2:{EMB_DIMS}] FROM base)
+"""
+
+_ND_BUCKETS_SQL = "buckets AS (\n  " + "\n  UNION ALL ".join(
+    f"SELECT id, emb, {t} AS tbl, {_table_bucket_sql(t, _ND_PLANES)} AS bucket FROM corpus"
+    for t in range(_ND_TABLES)
+) + ")"
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+WITH {_ND_CORPUS_SQL},
+{_ND_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+va AS (SELECT id AS id_a, emb AS ea FROM corpus),
+vb AS (SELECT id AS id_b, emb AS eb FROM corpus),
+pairs AS (
+  SELECT c.id_a, c.id_b, ea, eb FROM cand c JOIN va USING (id_a) JOIN vb USING (id_b)),
+expl AS (
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+dots AS (
+  SELECT id_a, id_b, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM expl GROUP BY id_a, id_b),
+scored AS (
+  SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos FROM dots)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.9
+""",
+    doc="Embedding-cosine near-dup detection, multi-table LSH-gated "
+        "(8x4 md5-seeded hyperplanes): corpus doubled with planted "
+        "perturbed copies; oracle replicates the gating exactly.",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = base.select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.5),
+            F.slice("embedding", 2, EMB_DIMS - 1),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(perturbed)
+    return S.embedding_near_dup(
+        corpus, threshold=0.9, vec_col="embedding", id_col="id",
+        tables=_ND_TABLES, planes=_ND_PLANES, dims=EMB_DIMS,
+    )
+
+
 @query(
     "embedding_lsh_bucket",
     oracle=f"""
