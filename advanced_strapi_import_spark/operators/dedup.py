@@ -220,6 +220,59 @@ def hamming_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (iterative connected components)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame, *, max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster) where cluster = min id of the connected component
+    in the near-dup pair graph — the step that turns pairwise dedup
+    verdicts into keep/drop groups.
+
+    Iterative min-label propagation: each round every node takes the
+    min label in its neighborhood; converges in O(diameter) rounds.
+    Each round is one join + one groupBy (shuffles on id);
+    localCheckpoint truncates the growing lineage. This is the one
+    genuinely iterative operator in the engine — inherently
+    non-SQL-expressible, so its driver check is rows-only and its
+    correctness test compares against union-find."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 def jaccard_on_pairs(

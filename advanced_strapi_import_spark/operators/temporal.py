@@ -1,0 +1,104 @@
+"""Temporal joins: as-of and interval (range) joins.
+
+The reference has no sort-merge/range/as-of joins (SURVEY §2.3 note);
+these are the beyond-parity operators a time-series/feature pipeline
+needs. Spark has no native ASOF JOIN, so:
+
+  - ``asof_join``: the union-tag trick — union both streams tagged,
+    window ``last(value, ignorenulls=True)`` over (key, time, tag) —
+    ONE shuffle by key, no range blow-up, no per-row lookups. This is
+    the scale-correct form (a join+filter+max would shuffle the
+    cartesian range product).
+  - ``interval_join``: equi-join on overlapping coarse time buckets +
+    exact range predicate — turns the inequality join into an equi join
+    with bounded duplication (ceil(interval/bucket) + 1 buckets per
+    row), the standard trick for range joins at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.on <= left.on (backward; 'forward' flips), matching on ``by``.
+
+    Implementation: tag and union the two streams, sort within each
+    ``by`` partition by (time, tag) and carry the last non-null right
+    value forward. Left columns pass through unchanged."""
+    lcols = left.columns
+    tag_order = F.col("__tag").asc() if direction == "backward" else F.col("__tag").desc()
+    l = left.withColumn("__tag", F.lit(1))
+    r = right.select(
+        F.col(by), F.col(on), *[F.col(c) for c in value_cols]
+    ).withColumn("__tag", F.lit(0))
+    for c in lcols:
+        if c not in (by, on) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in value_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None))
+    u = l.unionByName(r.select(l.columns))
+
+    if direction == "backward":
+        w = Window.partitionBy(by).orderBy(F.col(on).asc(), tag_order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    else:
+        w = Window.partitionBy(by).orderBy(F.col(on).desc(), tag_order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(
+            f"__asof_{c}",
+            F.last(F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    out = out.filter(F.col("__tag") == 1)
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point events into [start, end] intervals via bucketed
+    equi-join + exact predicate. Intervals explode into their covered
+    buckets; points compute one bucket — the join is equi on the bucket,
+    then the exact range filter runs on the (bounded) candidates."""
+    p_bucket = (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
+    i_start = F.unix_timestamp(F.col(start_ts))
+    i_end = F.unix_timestamp(F.col(end_ts))
+    ivals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (i_start / bucket_seconds).cast("long"),
+                (i_end / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", p_bucket)
+    joined = pts.join(ivals, "__bucket", how).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("__bucket")

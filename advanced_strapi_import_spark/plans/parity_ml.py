@@ -268,12 +268,8 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_signs(plane: int, dims: int) -> list[float]:
-    """Python mirror of similarity.hyperplane_sign's md5-seeded planes."""
-    out = []
-    for d in range(dims):
-        first_hex = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0]
-        out.append(1.0 if int(first_hex, 16) % 2 == 1 else -1.0)
-    return out
+    """The exact constants similarity.hyperplane_sign embeds."""
+    return S.plane_signs(plane, dims)
 
 
 def _lsh_bucket_sql() -> str:
@@ -302,7 +298,7 @@ def _table_bucket_sql(table: int, planes_per_table: int) -> str:
     return " || ".join(cases)
 
 
-_ND_TABLES, _ND_PLANES = 8, 4
+_ND_TABLES, _ND_PLANES = 16, 12
 
 _ND_CORPUS_SQL = f"""
 base AS (

@@ -1,0 +1,134 @@
+"""Temporal-join and date-parsing parity queries: as-of join (checked
+against DuckDB's native ASOF JOIN), bucketed interval join, the lenient
+date-parse ladder (F4), and iterative duplicate clustering (rows-only —
+the one non-SQL-expressible operator)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_strapi_import_spark.functions import casts as C
+from advanced_strapi_import_spark.operators import dedup as D
+from advanced_strapi_import_spark.operators import temporal as T
+from advanced_strapi_import_spark.plans.registry import load, load_events, query
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       r.value AS last_purchase
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+    doc="As-of join (Spark lacks it natively): union-tag + last-ignorenulls "
+        "window — one shuffle by key, no range blow-up; oracle is DuckDB's "
+        "native ASOF JOIN.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase")
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = T.asof_join(
+        left, purchases, on="ts", by="user_id", value_cols=["last_purchase"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "last_purchase",
+    )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey AS interval_id,
+         o_orderdate AS start_ts,
+         o_orderdate + INTERVAL 2 HOUR AS end_ts
+  FROM orders WHERE o_orderkey % 100 = 0)
+SELECT e.event_id, iv.interval_id
+FROM events e JOIN iv
+  ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+""",
+    doc="Interval (range) join via bucketed equi-join + exact predicate "
+        "— the scale form of an inequality join.",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    iv = o.select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = T.interval_join(
+        e.select("event_id", "ts"), iv, point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts",
+    )
+    return out.select("event_id", "interval_id")
+
+
+@query(
+    "date_parse_ladder",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE o_orderkey % 4
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+           WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+           WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+           ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+  FROM orders)
+SELECT k, raw,
+       strftime(coalesce(
+         try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
+         try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+         try_strptime(raw, '%Y-%m-%d'),
+         try_strptime(raw, '%-m/%-d/%Y')
+       ), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS iso
+FROM src
+""",
+    doc="F4: the JS new Date() lenient-parse ladder -> toISOString shape, "
+        "across 4 input formats.",
+)
+def date_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("k"),
+        F.when(k % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(k % 4 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
+        .when(k % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("raw"),
+    )
+    return src.select(
+        "k", "raw", C.to_iso_string(C.parse_date_lenient(F.col("raw"))).alias("iso")
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — non-SQL-expressible; union-find test in pytest
+    doc="Duplicate clustering: iterative min-label propagation (connected "
+        "components) over the MinHash-LSH candidate graph — turns pair "
+        "verdicts into keep/drop groups.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.parity_ml import (
+        BANDS, NUM_HASHES, _corpus,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sig = D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES)
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    pairs = D.lsh_candidate_pairs(bands)
+    return D.connected_components(pairs)

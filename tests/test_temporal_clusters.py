@@ -1,0 +1,70 @@
+"""Correctness of the iterative operators: connected components vs a
+Python union-find; as-of join edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_strapi_import_spark.operators import dedup as D
+from advanced_strapi_import_spark.operators import temporal as T
+
+
+def test_connected_components_matches_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)]:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[4] == 1 and got[22] == 20
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 300), (4, 2, 50)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 250, 25.0), (2, 60, 1.0)],
+        "user_id long, ts long, rate double",
+    )
+    out = T.asof_join(left, right, on="ts", by="user_id", value_cols=["rate"])
+    got = {r["event_id"]: r["rate"] for r in out.collect()}
+    assert got[1] == 10.0   # equal ts -> inclusive
+    assert got[2] == 20.0   # most recent <= 205
+    assert got[3] == 25.0
+    assert got[4] is None   # no prior right row
+
+
+def test_interval_join_bucket_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00")],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e")
+    )
+    out = T.interval_join(points, ivals, point_ts="ts", start_ts="s", end_ts="e")
+    assert [r["pid"] for r in out.collect()] == [1]
