@@ -68,17 +68,25 @@ def mime_type(filename: F.Column) -> F.Column:
 def classify_files(files: DataFrame, *, name_col: str = "name") -> DataFrame:
     """J8: emit one row per (media field, file) keyword match.
 
-    The keyword table is tiny — it becomes a broadcast join on a
-    contains predicate, the set-oriented form of the reference's
-    keywords.find(...) loop."""
-    kw = [(f, k) for f, kws in FIELD_KEYWORDS.items() for k in kws]
-    kw_df = files.sparkSession.createDataFrame(kw, "field string, keyword string")
+    The keyword table is config data, so each field's keywords compile
+    into ONE literal alternation regex and classification is five
+    codegen'd rlike filters unioned — no join at all (a contains-join
+    against the keyword table was a BroadcastNestedLoopJoin with
+    interpreted predicates; this form is map-side only)."""
+    import re as _re
+
     lname = F.lower(F.col(name_col))
-    return (
-        files.join(F.broadcast(kw_df), lname.contains(F.col("keyword")), "inner")
-        .drop("keyword")
-        .distinct()
-    )
+    parts = []
+    for field, kws in FIELD_KEYWORDS.items():
+        pattern = "|".join(_re.escape(k.lower()) for k in kws)
+        parts.append(
+            files.filter(lname.rlike(pattern)).withColumn("field", F.lit(field))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    cols = ["field"] + [c for c in files.columns]
+    return out.select(*cols)
 
 
 def match_media(

@@ -364,6 +364,18 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_ivf_topk",
+    oracle=None,  # KMeans fit is iterative — rows-only; recall bound in tests/test_similarity.py
+    doc="IVF ANN: k-means cells (learned buckets) + nprobe cell probing; "
+        "equi-join on cell id — the data-adaptive scale path next to LSH.",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.ivf_topk(queries, emb, k=5, cells=16, nprobe=4)
+
+
+@query(
     "embedding_lsh_bucket",
     oracle=f"""
 SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings
