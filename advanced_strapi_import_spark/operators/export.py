@@ -19,9 +19,9 @@ of broadcast left joins, never per-row fetches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from advanced_strapi_import_spark.schema import ContentType, Registry
+from advanced_strapi_import_spark.schema import ContentType
 
 METADATA_COLS = ["createdAt", "updatedAt", "publishedAt"]
 

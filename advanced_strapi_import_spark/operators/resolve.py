@@ -230,8 +230,6 @@ def resolve_all_relations(
     """processRelations analog (csv-import.js:433-513): resolve every
     relation attribute of ``ct`` present on ``df``; ``targets`` maps
     content-type name -> dimension DataFrame."""
-    from advanced_strapi_import_spark.operators.validate import HeaderMapping  # noqa: F401
-
     out = df
     for fname, attr in ct.attributes.items():
         if attr.type != "relation" or attr.target not in targets:

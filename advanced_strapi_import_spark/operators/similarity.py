@@ -189,7 +189,7 @@ def ivf_topk(
     LSH with a learned bucket function. Training cost is a KMeans fit
     on a sample; at 1e9 rows you fit on ~1e6 sampled vectors."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     train = corpus.select(array_to_vector(dbl).alias("features"))

@@ -6,7 +6,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, functions as F
 
 from advanced_strapi_import_spark.operators.dedup import hash64, shingles, tokens
 

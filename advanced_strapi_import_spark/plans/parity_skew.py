@@ -1,0 +1,63 @@
+"""Skew-mitigation parity queries: the salted two-phase aggregate must
+produce exactly the plain aggregate's answer (the oracle IS the plain
+SQL), and the error-channel explode (A2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_strapi_import_spark.operators import skew as SK
+from advanced_strapi_import_spark.operators import validate as V
+from advanced_strapi_import_spark.plans.parity_etl import _CHECKED_SQL, _validated
+from advanced_strapi_import_spark.plans.registry import load, query
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Salted two-phase aggregate over 3 giant keys (l_returnflag): "
+        "partials on (key, salt % 16), combine on key — identical "
+        "answer to the plain groupBy (the oracle is the plain SQL).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = SK.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_qty": F.sum("l_quantity"),
+            "sum_price": F.sum("l_extendedprice"),
+        },
+        salt_col=F.col("l_orderkey"),
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
+@query(
+    "validate_errors_exploded",
+    oracle=_CHECKED_SQL + """
+SELECT rn AS __row, unnest(string_split(errs, '; ')) AS error
+FROM checked WHERE errs <> ''
+""",
+    doc="A2 error flatten: one row per validation error message.",
+)
+def validate_errors_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validated(spark, sf_dir)
+    return res.invalid.select(
+        F.col(V.ROW_COL), F.explode(F.col(V.ERRORS_COL)).alias("error")
+    )
