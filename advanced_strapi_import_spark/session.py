@@ -42,6 +42,33 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
     return builder.getOrCreate()
 
 
+def cluster_conf(executors: int = 1000, cores_per_executor: int = 4) -> dict[str, str]:
+    """The conf this engine expects on a real cluster (documentation as
+    code; local runs use get_spark's smaller variants). Rationale per
+    key in SCALE.md."""
+    total_cores = executors * cores_per_executor
+    return {
+        # AQE owns runtime parallelism: start high, let it coalesce
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(total_cores * 3),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        # scans: 128-256m splits keep task count ~ O(input/128m)
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.parquet.filterPushdown": "true",
+        # dims up to 256m broadcast (executors are multi-GB at this scale)
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        # arrow paths (multimodal/zip stages): payload-sized batches
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        "spark.sql.session.timeZone": "UTC",
+        # shuffle robustness at 1000 executors
+        "spark.shuffle.service.enabled": "true",
+        "spark.stage.maxConsecutiveAttempts": "8",
+    }
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable knobs to an externally provided session
     (the driver hands us its own SparkSession in ``entry``)."""

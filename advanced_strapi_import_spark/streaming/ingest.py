@@ -86,6 +86,37 @@ def run_available_now(result: DataFrame, *, output_mode: str = "complete") -> Da
     return result.sparkSession.table(name)
 
 
+def stream_upsert(
+    stream: DataFrame,
+    engine,
+    ct_name: str,
+    key: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: each micro-batch upserts into the engine's
+    table via foreachBatch — the streaming face of the reference's
+    batched import loop (csv-import.js:362-409), with the batch size
+    controlled by the source trigger instead of a row counter."""
+    from advanced_strapi_import_spark.operators.upsert import merge
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        deduped = batch_df.dropDuplicates([key])
+        if engine.has_table(ct_name):
+            engine.write_table(ct_name, merge(engine.table(ct_name), deduped, key).merged)
+        else:
+            engine.write_table(ct_name, deduped)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: gap sessionization
 # ---------------------------------------------------------------------------

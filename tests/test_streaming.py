@@ -25,6 +25,28 @@ def test_stream_hourly_equals_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stream_upsert_merges_batches(spark, tmp_path):
+    from advanced_strapi_import_spark.api import Engine
+    from advanced_strapi_import_spark.schema import Registry
+
+    reg = Registry.from_dict(
+        {"contentTypes": {"users": {"attributes": {
+            "user_id": {"type": "integer"}, "value": {"type": "float"}}}},
+         "components": {}}
+    )
+    eng = Engine(spark=spark, registry=reg, storage_root=str(tmp_path / "s"))
+
+    stream = ST.read_events_stream(spark, SF_TEST, max_files_per_trigger=1)
+    latest = stream.select("user_id", "value", "ts")
+    ST.stream_upsert(latest.drop("ts"), eng, "users", "user_id")
+
+    got = eng.table("users")
+    n_users = got.count()
+    batch_users = load_events(spark, SF_TEST).select("user_id").distinct().count()
+    assert n_users == batch_users
+    assert got.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
 def test_sessionize_stream_emits_closed_sessions(spark):
     stream = ST.read_events_stream(spark, SF_TEST)
     out = ST.run_available_now(
