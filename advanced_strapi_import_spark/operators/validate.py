@@ -229,13 +229,18 @@ def validate_df(
     header_mapping: dict[str, HeaderMapping] | None = None,
     row_number_col: str | None = ROW_COL,
     order_by: list[str] | None = None,
+    row_number_partition: str | None = None,
 ) -> ValidationResult:
     """Validate + cast an all-string DataFrame against a content type.
 
     ``order_by``: columns defining the row order for "Row N" numbering;
     defaults to input file order via monotonically_increasing_id (correct
     for single-file CSV reads). Pass ``row_number_col=None`` to skip
-    numbering — that keeps the plan shuffle-free for scale runs.
+    numbering — that keeps the plan shuffle-free for scale runs — or
+    ``row_number_partition="_metadata.file_path"`` to number PER INPUT
+    FILE: the window then partitions by file and the sort parallelizes
+    across files instead of collapsing to one partition (the scale mode
+    from SCALE.md; error messages become per-file row numbers).
     """
     mapping = header_mapping or parse_header_mapping(df.columns, ct, registry)
     errs, warns = schema_errors(df.columns, ct, mapping)
@@ -250,7 +255,16 @@ def validate_df(
         else:
             out = out.withColumn("__mid", F.monotonically_increasing_id())
             w = Window.orderBy("__mid")
-        out = out.withColumn(row_number_col, F.row_number().over(w)).drop("__mid")
+        if row_number_partition:
+            out = out.withColumn("__rnp", F.col(row_number_partition))
+            w = (
+                Window.partitionBy("__rnp").orderBy(*order_by)
+                if order_by
+                else Window.partitionBy("__rnp").orderBy("__mid")
+            )
+        out = out.withColumn(row_number_col, F.row_number().over(w)).drop(
+            "__mid", "__rnp"
+        )
         row_no = F.col(row_number_col)
 
     header_of = {m.field: h for h, m in mapping.items()

@@ -11,3 +11,4 @@ import advanced_strapi_import_spark.plans.parity_analytics  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_temporal  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_pipeline  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_skew  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_tpch  # noqa: F401

@@ -83,6 +83,28 @@ def test_default_applied_when_empty(spark):
     assert row["active"] is True  # schema default
 
 
+def test_per_file_row_numbering(spark):
+    # scale mode: number rows per input file so the window parallelizes
+    rows = [
+        ("John", "j@x.com", "1", "1", "", "", "", "f1"),
+        ("Jane", "", "bad", "1", "", "", "", "f1"),
+        ("Kim", "k@x.com", "2", "1", "", "", "", "f2"),
+        ("", "z@x.com", "3", "1", "", "", "", "f2"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, email string, age string, isActive string, "
+        "joined string, status string, score string, src string",
+    )
+    res = V.validate_df(
+        df, USERS, REGISTRY, order_by=["name"], row_number_partition="src"
+    )
+    inv = {tuple(r[V.ERRORS_COL]) for r in res.invalid.collect()}
+    # numbering restarts per src file: f1 -> Jane(1), John(2); f2 -> ""(1), Kim(2)
+    assert ('Row 1: "age" must be a number',) in inv
+    assert ('Row 1: Required field "name" is missing',) in inv
+
+
 def test_dot_notation_passthrough(spark):
     df = spark.createDataFrame(
         [("Acme", "IN", "2000")], "name string, `country.code` string, established string"
