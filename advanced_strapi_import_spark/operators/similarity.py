@@ -106,25 +106,41 @@ def _multi_buckets(
     df: DataFrame, vec_col: str, out_id: str, *, tables: int, planes: int, dims: int
 ) -> DataFrame:
     """(id, vec, table, bucket): one bucket per hash table; table t uses
-    planes [t*planes, (t+1)*planes) of the deterministic family."""
-    parts = []
-    for t in range(tables):
-        bits = [
-            hyperplane_sign(F.col(vec_col), t * planes + p, dims).cast("string")
-            for p in range(planes)
-        ]
-        parts.append(
-            df.select(
-                F.col(out_id),
-                F.col(vec_col),
-                F.lit(t).alias("__table"),
-                F.concat(*bits).alias("__bucket"),
-            )
+    planes [t*planes, (t+1)*planes) of the deterministic family.
+
+    All tables*planes sign bits are computed in ONE Arrow-batched
+    Pandas UDF (a single n x dims @ dims x (tables*planes) float64
+    matmul per batch), then unpivoted with posexplode — one scan of
+    the input instead of a tables-way union, and none of the per-plane
+    interpreted higher-order-function folds (25k lambda evals/row at
+    16x12x64; the equivalent flat codegen expression overflows janino's
+    64 KB method limit, so the vectorized kernel is the scale path)."""
+    import numpy as np
+    import pandas as pd
+
+    weights = np.array(
+        [plane_signs(t * planes + p, dims)
+         for t in range(tables) for p in range(planes)],
+        dtype=np.float64,
+    ).T  # dims x (tables*planes)
+
+    def _all_buckets(v):
+        mat = np.stack(v.to_numpy())  # n x dims
+        bits = (mat @ weights) >= 0.0  # n x (tables*planes)
+        chars = np.where(bits, "1", "0").reshape(len(mat), tables, planes)
+        return pd.Series(
+            [["".join(row_t) for row_t in row] for row in chars]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    # real class objects, not strings: `from __future__ import annotations`
+    # would otherwise break pandas_udf's type-hint inference
+    _all_buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    all_buckets = F.pandas_udf(_all_buckets, "array<string>")
+
+    vec_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(out_id), F.col(vec_col), F.posexplode(all_buckets(vec_dbl))
+    ).withColumnsRenamed({"pos": "__table", "col": "__bucket"})
 
 
 def cosine_topk_lsh(
