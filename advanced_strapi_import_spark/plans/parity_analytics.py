@@ -141,3 +141,55 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "events_cube_counts",
+    oracle="""
+SELECT event_type, user_id % 10 AS user_bucket,
+       GROUPING(event_type, user_id % 10) AS gid,
+       count(*) AS n
+FROM events
+GROUP BY CUBE(event_type, user_id % 10)
+""",
+    doc="CUBE over (event_type, user bucket) with grouping_id — "
+        "multi-dimensional subtotal lattice in one pass (Spark expands "
+        "to a single shuffle with grouping-set replication; exact "
+        "integer counts are hash-stable across engines).",
+)
+def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return (
+        e.cube("event_type", "user_bucket")
+        .agg(
+            F.grouping_id("event_type", "user_bucket").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "user_bucket", "gid", "n")
+    )
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2) AS p50,
+       round(quantile_cont(value, 0.9), 2) AS p90,
+       round(quantile_cont(value, 0.99), 2) AS p99
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact linear-interpolation percentiles per group (Spark "
+        "`percentile` == DuckDB `quantile_cont`): the latency-SLO "
+        "query shape. At 100 TB swap for approx_percentile "
+        "(t-digest) — same plan shape, bounded memory.",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+    )

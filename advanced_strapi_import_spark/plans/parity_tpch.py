@@ -124,6 +124,155 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    doc="TPC-H Q15 shape: scalar max over an aggregated view joined "
+        "back to pick the top supplier(s). Revenue rounded BEFORE the "
+        "max-equality so the cross-engine compare is ulp-safe.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["__mx"])
+        .join(s, s["s_suppkey"] == rev["l_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY l_partkey) a
+  ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_lim
+""",
+    doc="TPC-H Q17 shape: correlated scalar avg decorrelated to a "
+        "group-avg joined back on the key (what Catalyst's "
+        "RewriteCorrelatedScalarSubquery emits).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    lim = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(lim, l["l_partkey"] == lim["__pk"])
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 shape (adapted: returnflag stands in for the missing "
+        "receipt/commit dates): double-correlated EXISTS + NOT EXISTS "
+        "on a self-joined fact -> left-semi then left-anti join.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    s = load(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["__ok"]) & (l1["l_suppkey"] != l2["__sk"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == l3["__ok"]) & (l1["l_suppkey"] != l3["__sk"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), s["s_suppkey"] == waiting["l_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 shape (nationkey stands in for the phone prefix; "
+        "'no urgent order' stands in for 'no order' so the anti join "
+        "keeps rows in the dense synthetic data): scalar avg subquery "
+        "gating + NOT EXISTS -> broadcast scalar filter + left-anti join.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c["c_acctbal"] > avg_bal["__avg"])
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "q19_disjunctive",
     oracle="""
 SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
