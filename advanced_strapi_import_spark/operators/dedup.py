@@ -61,6 +61,19 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# universal-hash family over ONE base hash: h_s(x) = (a_s*(h(x) mod P) + b_s) mod P.
+# All arithmetic stays under 2^62, so BIGINT math is exact (and identical)
+# in both Spark and DuckDB. Constants are fixed odd multipliers.
+UHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def uhash_consts(s: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation s; a is odd and nonzero mod P."""
+    a = (2654435761 * (s + 1) + 1) % UHASH_P
+    b = (40503 * (s + 7) + 13) % UHASH_P
+    return (a | 1), b
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -95,17 +108,21 @@ def minhash_signature(
     shingle_k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sig) where sig[s] = min over shingles of md5(s || '|' ||
-    shingle) — the permutation family is the seeded-md5 trick, portable
-    to any engine with md5."""
+    """(id, sig) where sig[s] = min over shingles of the s-th universal
+    hash of ONE md5 base hash per shingle — 1 md5 + num_hashes cheap
+    integer mixes per shingle row instead of num_hashes md5 calls
+    (md5 dominated the signature stage). Integer mod arithmetic is
+    exact and identical in any engine with 64-bit ints."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
-    sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
+    ).withColumn("__h", hash32(F.col("sh")) % UHASH_P)
+    sig_cols = []
+    for s in range(num_hashes):
+        a, b = uhash_consts(s)
+        sig_cols.append(
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % UHASH_P).alias(f"h{s}")
+        )
     return sh.groupBy("id").agg(*sig_cols)
 
 
@@ -229,17 +246,22 @@ def connected_components(
     in the near-dup pair graph — the step that turns pairwise dedup
     verdicts into keep/drop groups.
 
-    Iterative min-label propagation: each round every node takes the
-    min label in its neighborhood; converges in O(diameter) rounds.
-    Each round is one join + one groupBy (shuffles on id);
-    localCheckpoint truncates the growing lineage. This is the one
-    genuinely iterative operator in the engine — inherently
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the min label in its neighborhood, then labels
+    are compressed one hop (label := label's label), which halves
+    remaining path lengths — O(log diameter) rounds instead of
+    O(diameter). Each round is two joins + one groupBy (shuffles on
+    id); localCheckpoint truncates the growing lineage. This is the
+    one genuinely iterative operator in the engine — inherently
     non-SQL-expressible, so its driver check is rows-only and its
     correctness test compares against union-find."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize once: every iteration joins edges, and without this
+        # the whole upstream pair-generation pipeline would re-run per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -252,11 +274,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+        )
+        # pointer jump: cluster := cluster's cluster (labels are always
+        # node ids of the same component, so the lookup stays in-component)
+        jump = propagated.select(
+            F.col("id").alias("__jid"), F.col("cluster").alias("__jc")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            propagated.join(jump, propagated["cluster"] == jump["__jid"], "left")
             .select(
                 "id",
-                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+                F.least(
+                    F.col("cluster"), F.coalesce("__jc", F.col("cluster"))
+                ).alias("cluster"),
             )
             .localCheckpoint(eager=True)
         )

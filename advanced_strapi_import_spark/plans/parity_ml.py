@@ -83,10 +83,19 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures -> LSH bands -> candidate pairs
 # ---------------------------------------------------------------------------
 def _minhash_sig_sql() -> str:
-    mins = ",\n    ".join(
-        f"min(md5('{s}|' || sh)) AS h{s}" for s in range(NUM_HASHES)
+    """Mirrors dedup.minhash_signature: one md5 base hash per shingle,
+    then the same universal-hash constants (exact BIGINT arithmetic)."""
+    p = D.UHASH_P
+    mins = []
+    for s in range(NUM_HASHES):
+        a, b = D.uhash_consts(s)
+        mins.append(f"min((__h * {a} + {b}) % {p}) AS h{s}")
+    joined = ",\n    ".join(mins)
+    return (
+        "mh_base AS (\n"
+        f"  SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT % {p} AS __h FROM sh),\n"
+        f"sigs AS (\n  SELECT id, {joined}\n  FROM mh_base GROUP BY id)"
     )
-    return f"sigs AS (\n  SELECT id, {mins}\n  FROM sh GROUP BY id)"
 
 
 def _bands_sql() -> str:
