@@ -202,53 +202,65 @@ def ivf_topk(
     data-oblivious; IVF cells adapt to the distribution): corpus
     shuffles ONCE by cell id, queries broadcast with their probe list,
     candidates come from an equi-join on cell — the same join shape as
-    LSH with a learned bucket function. Training cost is a KMeans fit
-    on a sample; at 1e9 rows you fit on ~1e6 sampled vectors."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    LSH with a learned bucket function. Training is a seeded Lloyd's
+    k-means on a driver-collected sample (at 1e9 rows you'd sample
+    ~1e6 vectors — the centroids, not the data, are what's small);
+    cell assignment is one Arrow-batched argmin over the broadcast
+    centroid matrix instead of a corpus x centers cross join."""
+    import numpy as np
+    import pandas as pd
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    train = corpus.select(array_to_vector(dbl).alias("features"))
-    model = KMeans(k=cells, seed=seed, featuresCol="features").fit(train)
 
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    spark = corpus.sparkSession
-    centers_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
-        )
+    sample = np.array(
+        [r[0] for r in corpus.select(dbl.alias("v")).limit(8192).collect()],
+        dtype=np.float64,
     )
+    rng = np.random.RandomState(seed)
+    # k-means++ init: spread seeds proportionally to squared distance
+    centers = sample[[rng.randint(len(sample))]]
+    for _ in range(cells - 1):
+        d2min = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        probs = d2min / d2min.sum()
+        centers = np.vstack([sample[rng.choice(len(sample), p=probs)], *centers])
+    for _ in range(20):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c_i in range(cells):
+            members = sample[assign == c_i]
+            if len(members):
+                centers[c_i] = members.mean(axis=0)
+    centers_sq = (centers**2).sum(axis=1)  # for dist2 = |v|^2 - 2 v.C + |C|^2
 
-    def dist2(a, b):  # squared euclidean, JVM fold
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    def _cells_fn(v, n_out):
+        mat = np.stack(v.to_numpy())
+        d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ centers.T) + centers_sq
+        if n_out == 1:
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_out]
+        return pd.Series(list(order.astype("int32")))
 
-    c_assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), dbl.alias("__cv"))
-        .crossJoin(centers_df)
-        .withColumn("__d", dist2(F.col("__cv"), F.col("center")))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy("__d", "cell")
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "cell")
+    def _argmin_cell(v):
+        return _cells_fn(v, 1)
+
+    def _probe_cells(v):
+        return _cells_fn(v, nprobe)
+
+    # real class objects (module uses `from __future__ import annotations`)
+    _argmin_cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _probe_cells.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    argmin_cell = F.pandas_udf(_argmin_cell, "int")
+    probe_cells = F.pandas_udf(_probe_cells, "array<int>")
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        dbl.alias("__cv"),
+        argmin_cell(dbl).alias("cell"),
     )
-    q_probes = (
-        queries.select(F.col(id_col).alias("query_id"), dbl.alias("__qv"))
-        .crossJoin(centers_df)
-        .withColumn("__d", dist2(F.col("__qv"), F.col("center")))
-        .withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("query_id").orderBy("__d", "cell")),
-        )
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cell")
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        dbl.alias("__qv"),
+        F.explode(probe_cells(dbl)).alias("cell"),
     )
     scored = (
         F.broadcast(q_probes)
