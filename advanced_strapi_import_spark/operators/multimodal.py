@@ -100,6 +100,7 @@ def byte_histogram(
     real Arrow round-trip (binary in, long rows out)."""
 
     def stage(batches) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         width = 256 // buckets
@@ -107,14 +108,12 @@ def byte_histogram(
             ids, bks, cnts, lens = [], [], [], []
             for i, data in zip(pdf[id_col], pdf[binary_col]):
                 data = data or b""
-                hist = [0] * buckets
-                for byte in data:
-                    hist[byte // width] += 1
-                for b, c in enumerate(hist):
-                    ids.append(i)
-                    bks.append(b)
-                    cnts.append(c)
-                    lens.append(len(data))
+                arr = np.frombuffer(data, dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=buckets)
+                ids.extend([i] * buckets)
+                bks.extend(range(buckets))
+                cnts.extend(int(c) for c in hist)
+                lens.extend([len(data)] * buckets)
             yield pd.DataFrame(
                 {"doc_id": ids, "n_bytes": lens, "bucket": bks, "count": cnts}
             )
@@ -122,18 +121,88 @@ def byte_histogram(
     return df.select(id_col, binary_col).mapInPandas(stage, FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int,
-                  binary_col: str = "content") -> DataFrame:
-    """STUB: real resize needs an image codec not present here."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv (not in this container); "
-        "the decode/feature plumbing above is the tested path"
-    )
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
 
 
-def sample_frames(df: DataFrame, every_n: int,
-                  binary_col: str = "content") -> DataFrame:
-    """STUB: video frame sampling needs libav/ffmpeg bindings."""
-    raise NotImplementedError(
-        "frame sampling requires pyav/ffmpeg (not in this container)"
-    )
+def resize_images(
+    df: DataFrame, width: int, height: int,
+    *, id_col: str = "doc_id", binary_col: str = "content",
+) -> DataFrame:
+    """Resize every image payload to width x height via an Arrow
+    mapInPandas stage. The codec is STUBBED (no PIL/opencv in this
+    container): the fake "resize" strides the payload bytes to exactly
+    width*height output bytes — deterministic, size-correct, and
+    partition-independent, so the Spark plumbing (schema, batch shape,
+    binary out) is fully exercised. Swap the body for
+    PIL.Image.resize in production; the plan does not change."""
+    n_out = width * height
+
+    def stage(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "codec": [],
+                    "content": []}
+            for i, data in zip(pdf[id_col], pdf[binary_col]):
+                data = data or b"\x00"
+                arr = np.frombuffer(data, dtype=np.uint8)
+                # STUB resample: nearest-neighbor over the byte stream
+                idx = (np.arange(n_out) * len(arr)) // n_out
+                rows["doc_id"].append(i)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["codec"].append("fake-raw")
+                rows["content"].append(arr[idx].tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(stage, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int,
+    *, id_col: str = "doc_id", binary_col: str = "content",
+    frame_bytes: int = 256,
+) -> DataFrame:
+    """Explode each video payload into every Nth frame via mapInPandas
+    (one input row -> many output rows — the real batch shape a
+    pyav-backed sampler needs). The DEMUXER is STUBBED (no
+    libav/ffmpeg here): the fake treats the payload as fixed-size
+    ``frame_bytes`` chunks. Swap the chunker for av.open in
+    production; schema and fan-out stay identical."""
+
+    def stage(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_index": [], "n_frames": [], "frame": []}
+            for i, data in zip(pdf[id_col], pdf[binary_col]):
+                data = data or b""
+                frames = [data[o:o + frame_bytes]
+                          for o in range(0, len(data), frame_bytes)]
+                for fi in range(0, len(frames), every_n):
+                    rows["doc_id"].append(i)
+                    rows["frame_index"].append(fi)
+                    rows["n_frames"].append(len(frames))
+                    rows["frame"].append(frames[fi])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(stage, FRAME_SCHEMA)

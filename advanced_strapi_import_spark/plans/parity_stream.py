@@ -56,3 +56,81 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
     return byte_histogram(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text, CAST(ceil(length(text) / 64.0) AS INT) AS nf
+  FROM documents),
+f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS fi, text FROM b)
+SELECT doc_id, CAST(fi AS INT) AS frame_index, nf AS n_frames,
+       md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+FROM f WHERE fi % 3 = 0
+""",
+    doc="Video-style frame sampling plumbing: one payload row explodes "
+        "to every 3rd fixed-size frame via mapInPandas (the demuxer is "
+        "the documented stub; fan-out, schema and frame bytes are real "
+        "— compared by md5 against the oracle's chunking).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return sample_frames(d, 3, frame_bytes=64).select(
+        "doc_id", "frame_index", "n_frames", F.md5("frame").alias("frame_md5")
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, 8 AS width, 4 AS height, 'fake-raw' AS codec,
+       md5(array_to_string(
+             list_transform(range(0, 32),
+                            i -> substr(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)),
+             '')) AS content_md5
+FROM documents
+""",
+    doc="Image-resize plumbing: binary in -> fixed-size binary out via "
+        "mapInPandas; the stub codec is a nearest-neighbor stride over "
+        "the byte stream, mirrored index-for-index in the oracle.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import resize_images
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return resize_images(d, 8, 4).select(
+        "doc_id", "width", "height", "codec", F.md5("content").alias("content_md5")
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming exact dedup: the event stream unioned with itself "
+        "(guaranteed duplicates) through watermark-bounded "
+        "dropDuplicatesWithinWatermark, drained with availableNow — "
+        "the deduped drain equals the batch answer over the ORIGINAL "
+        "(duplicate-free) table.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = ST.read_events_stream(spark, sf_dir).unionByName(
+        ST.read_events_stream(spark, sf_dir)
+    )
+    drained = ST.run_available_now(
+        ST.dedup_stream(doubled), output_mode="append"
+    )
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -186,3 +186,14 @@ def sessionize_stream(
             ),
         )
     )
+
+
+def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: state-backed dropDuplicatesWithinWatermark
+    keyed on event_id — the streaming face of operators/dedup.exact_dedup.
+    The watermark bounds the dedup state (keys older than it are
+    evicted), which is what makes exactly-once dedup feasible on an
+    unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

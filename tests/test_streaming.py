@@ -64,3 +64,16 @@ def test_sessionize_stream_emits_closed_sessions(spark):
     sample = emitted[:20]
     for r in sample:
         assert (r["user_id"], r["n_events"]) in batch or r["n_events"] >= 1
+
+
+def test_dedup_stream_removes_duplicates(spark):
+    doubled = ST.read_events_stream(spark, SF_TEST).unionByName(
+        ST.read_events_stream(spark, SF_TEST)
+    )
+    deduped = ST.run_available_now(
+        ST.dedup_stream(doubled), output_mode="append"
+    )
+    n = deduped.count()
+    base = load_events(spark, SF_TEST).count()
+    assert n == base  # doubled stream collapses back to one row per event_id
+    assert deduped.groupBy("event_id").count().filter("count > 1").count() == 0
