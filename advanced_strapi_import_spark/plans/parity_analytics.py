@@ -193,3 +193,37 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
     )
+
+
+@query(
+    "custkey_set_ops",
+    oracle="""
+SELECT 'both' AS tag, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+UNION ALL
+SELECT 'urgent_only' AS tag, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+""",
+    doc="Set operations the reference never had (SURVEY §2.6): INTERSECT "
+        "and EXCEPT (both hash-based left-semi/anti under Catalyst) "
+        "tagged and unioned in one result.",
+)
+def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("k")
+    )
+    both = urgent.intersect(low).select(F.lit("both").alias("tag"), "k")
+    # subtract = set EXCEPT (exceptAll would be multiset difference and
+    # leave keys whose urgent multiplicity exceeds their low multiplicity)
+    only = urgent.distinct().subtract(low).select(
+        F.lit("urgent_only").alias("tag"), "k"
+    )
+    return both.unionByName(only)

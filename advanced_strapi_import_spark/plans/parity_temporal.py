@@ -50,24 +50,26 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_interval_join",
     oracle="""
 WITH iv AS (
-  SELECT o_orderkey AS interval_id,
-         o_orderdate AS start_ts,
-         o_orderdate + INTERVAL 2 HOUR AS end_ts
-  FROM orders WHERE o_orderkey % 100 = 0)
+  SELECT event_id AS interval_id,
+         ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_id % 500 = 0)
 SELECT e.event_id, iv.interval_id
 FROM events e JOIN iv
   ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
 """,
     doc="Interval (range) join via bucketed equi-join + exact predicate "
-        "— the scale form of an inequality join.",
+        "— the scale form of an inequality join. Intervals are 2-hour "
+        "windows anchored at every 500th event, so matches are "
+        "guaranteed dense (the orders-derived variant matched on an "
+        "empty result).",
 )
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    iv = o.select(
-        F.col("o_orderkey").alias("interval_id"),
-        F.col("o_orderdate").alias("start_ts"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    iv = load_events(spark, sf_dir).filter(F.col("event_id") % 500 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
     )
     out = T.interval_join(
         e.select("event_id", "ts"), iv, point_ts="ts",
