@@ -26,6 +26,18 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not session startup
     QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).count()
+    # warm the Python/Arrow worker pool too: the first pandas-UDF query
+    # otherwise absorbs several seconds of one-time worker spinup
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _noop(s):
+        return s
+
+    _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.range(32).repartition(32).select(
+        F.pandas_udf(_noop, "long")("id")
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
