@@ -1,7 +1,7 @@
 """Temporal-join and date-parsing parity queries: as-of join (checked
 against DuckDB's native ASOF JOIN), bucketed interval join, the lenient
-date-parse ladder (F4), and iterative duplicate clustering (rows-only —
-the one non-SQL-expressible operator)."""
+date-parse ladder (F4), and iterative duplicate clustering (value-checked
+against a WITH RECURSIVE reachability oracle)."""
 
 from __future__ import annotations
 
@@ -117,12 +117,42 @@ def date_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_oracle() -> str:
+    """Exact connected components in SQL: WITH RECURSIVE transitive
+    reachability over the candidate graph, then min reachable id per
+    node — a VALUE-level oracle for the iterative Spark operator
+    (tractable because dup clusters are small; the recursion
+    materializes node x component rows)."""
+    from advanced_strapi_import_spark.plans import parity_ml as ML
+
+    return f"""
+WITH RECURSIVE {ML._CORPUS_SQL.strip()},
+{ML._SHINGLES_SQL.strip()},
+{ML._minhash_sig_sql()},
+{ML._bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION SELECT id_b, id_a FROM cand),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id AS v, id AS u FROM nodes
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u)
+SELECT v AS id, min(u) AS cluster FROM reach GROUP BY v
+"""
+
+
 @query(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — non-SQL-expressible; union-find test in pytest
+    oracle=_clusters_oracle(),
     doc="Duplicate clustering: iterative min-label propagation (connected "
         "components) over the MinHash-LSH candidate graph — turns pair "
-        "verdicts into keep/drop groups.",
+        "verdicts into keep/drop groups. Oracle: WITH RECURSIVE "
+        "transitive reachability + min() — exact value-level check.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_strapi_import_spark.plans.parity_ml import (
