@@ -37,7 +37,10 @@ def asof_join(
     ``by`` partition by (time, tag) and carry the last non-null right
     value forward. Left columns pass through unchanged."""
     lcols = left.columns
-    tag_order = F.col("__tag").asc() if direction == "backward" else F.col("__tag").desc()
+    # right rows (__tag=0) must sort BEFORE left rows at equal timestamps
+    # in BOTH directions, so exact matches are included (same semantics
+    # as pandas merge_asof allow_exact_matches=True / DuckDB ASOF)
+    tag_order = F.col("__tag").asc()
     l = left.withColumn("__tag", F.lit(1))
     r = right.select(
         F.col(by), F.col(on), *[F.col(c) for c in value_cols]

@@ -61,3 +61,28 @@ def validate_errors_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.invalid.select(
         F.col(V.ROW_COL), F.explode(F.col(V.ERRORS_COL)).alias("error")
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+SELECT s.s_nationkey, count(*) AS n, round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_nationkey
+""",
+    doc="Salted skew join: hot fact side salted mod 8, mid-size dim "
+        "replicated per salt, equi-join on (key, salt) — answer is "
+        "identical to the plain join (the oracle IS the plain SQL), "
+        "but a hot supplier's rows spread over 8 tasks instead of one "
+        "straggler.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = SK.salted_join(l, s, "l_suppkey", salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -164,3 +164,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
     pairs = D.lsh_candidate_pairs(bands)
     return D.connected_components(pairs)
+
+
+@query(
+    "events_asof_forward",
+    oracle="""
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       r.value AS next_purchase
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND r.ts >= l.ts
+""",
+    doc="Forward as-of join: the NEXT purchase at or after each event "
+        "(exact matches included, pandas merge_asof semantics) — same "
+        "union-tag plan with the time order reversed.",
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase")
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = T.asof_join(
+        left, purchases, on="ts", by="user_id",
+        value_cols=["next_purchase"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "next_purchase",
+    )
