@@ -506,3 +506,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     fps = TX.fingerprint(F.col("text"))
     return d.select("doc_id", *[v.alias(k) for k, v in fps.items()])
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         (t.tf * (SELECT n FROM ndocs)) // d.df AS score
+  FROM tf t JOIN df d USING (term)),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="Per-doc top-3 salient terms by an integer TF-IDF proxy "
+        "(tf * N_docs // doc_freq — exact integer arithmetic, no "
+        "cross-engine float log): tokenize -> tf -> df -> score -> "
+        "ranked window. The classic keyword-extraction pipeline; at "
+        "scale the df table is the only global shuffle and broadcasts "
+        "back.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            ((F.col("tf") * F.col("n")) / F.col("df")).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
