@@ -112,3 +112,76 @@ def fingerprint(text: Column, *, shingle_k: int = 3) -> dict[str, Column]:
         ),
         "fp_hash64": hash64(norm),
     }
+
+
+# ---------------------------------------------------------------------------
+# document chunking (LLM-corpus prep: fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens carried between adjacent
+    chunks (stride = chunk_tokens - overlap) — the standard prep for
+    fixed-context training samples.
+
+    One explode per document (no shuffle); chunk count per doc is
+    ceil(max(n - overlap, 1) / stride). Output:
+    (id, chunk_index, n_chunks, chunk_text, n_tokens)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), toks.alias("__t"), n_chunks.alias("n_chunks")
+        )
+        .select(
+            "id",
+            "n_chunks",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.slice(F.col("__t"), i * stride + 1, chunk_tokens),
+                )
+            ).alias("chunk_index", "__chunk"),
+        )
+        .select(
+            "id",
+            "chunk_index",
+            "n_chunks",
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+            F.size("__chunk").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regexes kept in the Java/RE2 common subset so any
+# engine applies the identical patterns)
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone-like numbers and IPv4 literals with typed
+    placeholder tags. Order matters: emails first so their local parts
+    are not half-eaten, and IPs before phones (a dotted quad also
+    matches the phone charset)."""
+    out = text
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out

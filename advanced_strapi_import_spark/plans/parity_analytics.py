@@ -227,3 +227,31 @@ def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("urgent_only").alias("tag"), "k"
     )
     return both.unionByName(only)
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+SELECT event_type, user_id % 10 AS user_bucket,
+       GROUPING(event_type, user_id % 10) AS gid,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+""",
+    doc="Explicit GROUPING SETS — two independent groupings in one "
+        "pass/shuffle (completes the lattice trio with rollup and "
+        "cube elsewhere in the catalog).",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        e.groupingSets(
+            [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+        )
+        .agg(
+            F.grouping_id("event_type", "user_bucket").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "user_bucket", "gid", "n", "total_value")
+    )

@@ -563,3 +563,70 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM t),
+expl AS (
+  SELECT doc_id, toks, n_chunks, unnest(range(0, n_chunks)) AS ci
+  FROM sized)
+SELECT doc_id, CAST(ci AS INT) AS chunk_index, n_chunks,
+       array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS INT) AS n_tokens
+FROM expl
+""",
+    doc="LLM-corpus chunking: 64-token windows, 16-token overlap "
+        "(stride 48) — one posexplode per doc, no shuffle; ragged "
+        "tails keep their remainder tokens.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = TX.chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_index", "n_chunks",
+        "chunk_text", "n_tokens",
+    )
+
+
+@query(
+    "doc_redact_pii",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+              || doc_id || ' at 10.0.' || (doc_id % 256) || '.7' AS raw
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM seeded
+""",
+    doc="PII redaction for corpus curation: emails -> <EMAIL>, IPv4 -> "
+        "<IP>, phone-like runs -> <PHONE>, applied in that order; "
+        "patterns stay in the Java/RE2 common regex subset so the "
+        "oracle applies the identical expressions.",
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), k.cast("string"), F.lit("@example.com or +1 (555) 010-"),
+            k.cast("string"), F.lit(" at 10.0."), (k % 256).cast("string"), F.lit(".7"),
+        ).alias("raw"),
+    )
+    return seeded.select("doc_id", TX.redact_pii(F.col("raw")).alias("redacted"))

@@ -52,3 +52,34 @@ def test_approx_count_distinct_within_bound(spark):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err < 0.1, f"{r['event_type']}: approx {r['approx_users']} vs exact {r['exact_users']}"
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from advanced_strapi_import_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=64, overlap=16)
+    rows = {(r["id"], r["chunk_index"]): r for r in out.collect()}
+    # doc 1: 100 tokens, stride 48 -> ceil(84/48) = 2 chunks
+    assert rows[(1, 0)]["n_chunks"] == 2 and rows[(1, 1)]["n_tokens"] == 52
+    c0, c1 = rows[(1, 0)]["chunk_text"].split(), rows[(1, 1)]["chunk_text"].split()
+    assert len(c0) == 64
+    assert c0[48:] == c1[:16]           # 16-token overlap carried over
+    assert c1[-1] == "w99"              # ragged tail kept
+    # doc 2: shorter than one chunk -> exactly one chunk with all tokens
+    assert rows[(2, 0)]["n_chunks"] == 1 and rows[(2, 0)]["n_tokens"] == 2
+
+
+def test_redact_pii_patterns(spark):
+    from advanced_strapi_import_spark.operators.text import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co phone +1 (555) 010-99 ip 10.0.3.7 clean 42")],
+        "id long, text string",
+    )
+    got = df.select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in got and "<PHONE>" in got and "<IP>" in got
+    assert "a.b+c@" not in got and "555" not in got and "10.0.3.7" not in got
+    assert got.endswith("clean 42")  # short numbers untouched
