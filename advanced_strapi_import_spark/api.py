@@ -49,21 +49,30 @@ class Engine:
     def table(self, ct_name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(ct_name))
 
-    def write_table(self, ct_name: str, df: DataFrame) -> None:
+    def write_table(
+        self, ct_name: str, df: DataFrame, *, batch_size: int | None = None
+    ) -> None:
         """Atomic swap-write: when the plan being written READS the same
         table (upsert merge), a direct overwrite would delete its own
         input mid-scan. Write to a temp dir, then swap (the non-Delta
-        MERGE fallback from SURVEY §4)."""
+        MERGE fallback from SURVEY §4).
+
+        ``batch_size`` is the reference's write-batching knob
+        (csv-import.js:363, default 100 rows/insert batch) mapped to
+        its Spark analog: maxRecordsPerFile caps rows per output file."""
         path = self._path(ct_name)
+        writer = df.write.mode("overwrite")
+        if batch_size:
+            writer = writer.option("maxRecordsPerFile", batch_size)
         if os.path.exists(path):
             import shutil
 
             tmp = path + ".__tmp__"
-            df.write.mode("overwrite").parquet(tmp)
+            writer.parquet(tmp)
             shutil.rmtree(path)
             os.rename(tmp, path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            writer.parquet(path)
 
     def has_table(self, ct_name: str) -> bool:
         return os.path.exists(self._path(ct_name))
@@ -122,6 +131,7 @@ class Engine:
         upsert_field: str = "id",
         media_match_field: str | None = None,
         strict: bool = False,
+        batch_size: int | None = None,
     ) -> dict[str, Any]:
         """POST /import/:ct — the §3.1 flagship pipeline."""
         ct = self.registry.get(ct_name)
@@ -156,16 +166,19 @@ class Engine:
         if upsert and self.has_table(ct_name):
             result = U.merge(self.table(ct_name), df, upsert_field)
             counters = result.counters.collect()[0]
-            self.write_table(ct_name, result.merged)
+            self.write_table(ct_name, result.merged, batch_size=batch_size)
             created, updated = counters["created"], counters["updated"]
         else:
             created = df.count()
             updated = 0
             if self.has_table(ct_name):
-                self.write_table(ct_name, self.table(ct_name).unionByName(
-                    df, allowMissingColumns=True))
+                self.write_table(
+                    ct_name,
+                    self.table(ct_name).unionByName(df, allowMissingColumns=True),
+                    batch_size=batch_size,
+                )
             else:
-                self.write_table(ct_name, df)
+                self.write_table(ct_name, df, batch_size=batch_size)
         return {"created": created, "updated": updated, "invalidRows": n_invalid}
 
     def export_csv(

@@ -118,3 +118,15 @@ def test_import_strict_aborts_on_invalid(engine, tmp_path):
     assert out["created"] == 0
     assert any("must be a number" in e for e in out["errors"])
     assert not engine.has_table("company")
+
+
+def test_import_batch_size_caps_rows_per_file(engine, tmp_path):
+    import os
+
+    rows = "".join(f"Co{i},India,2000,true\n" for i in range(30))
+    p = _csv(tmp_path, "many.csv", "name,country,established,active\n" + rows)
+    res = engine.import_csv(p, "company", batch_size=10)
+    assert res["created"] == 30
+    parts = glob.glob(os.path.join(engine.storage_root, "company", "part-*"))
+    # reference batchSize analog: no output file exceeds batch_size rows
+    assert len(parts) >= 3
