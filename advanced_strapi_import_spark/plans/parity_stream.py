@@ -134,3 +134,28 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    doc="Stream-stream inner join (watermarked both sides, bounded "
+        "state): purchases within 30 min after a view by the same "
+        "user; the availableNow drain equals the batch join.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ST.purchase_after_view_join(views, purchases)
+    drained = ST.run_available_now(joined, output_mode="append")
+    return drained.select("view_id", "purchase_id")

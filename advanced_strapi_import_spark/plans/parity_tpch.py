@@ -454,3 +454,73 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue")
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: single-table selective filter + aggregate — "
+        "the pure predicate-pushdown / scan-efficiency probe.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_5'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape: market share — CASE-gated numerator over the "
+        "same aggregate, two nation roles plus a region gate.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ns = n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("__cnk"), F.col("n_regionkey").alias("__crk"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    gated = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(F.broadcast(ns), F.col("__snk") == s["s_nationkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(nc), F.col("__cnk") == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == F.col("__crk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(gated) / F.sum(rev), 4).alias("mkt_share"))
+    )
