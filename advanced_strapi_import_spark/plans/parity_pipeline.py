@@ -15,10 +15,9 @@ from advanced_strapi_import_spark.plans.parity_ml import _CORPUS_SQL, _corpus
 from advanced_strapi_import_spark.plans.registry import load, query
 
 
-@query(
-    "corpus_curation",
-    oracle=f"""
-WITH {_CORPUS_SQL},
+# exact-dedup (keep min id) + the quality-score formula, shared by the
+# curation queries below
+_CURATED_SQL = """
 kept AS (
   SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
 feat AS (
@@ -31,7 +30,7 @@ feat AS (
              t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop_hits
   FROM corpus c JOIN kept k ON k.id = c.id),
 scored AS (
-  SELECT id,
+  SELECT id, text,
          round(greatest(least(
            0.5
            + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) * 2, 0.3)
@@ -41,6 +40,14 @@ scored AS (
                        BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
            1.0), 0.0), 4) AS quality
   FROM feat)
+"""
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_CURATED_SQL}
 SELECT id, quality FROM scored WHERE quality >= 0.5
 """,
     doc="End-to-end curation: exact-dedup (keep min id) -> quality gate "
@@ -100,3 +107,58 @@ def export_flatten_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nested), F.col("id") == nested["l_orderkey"], "left"
     ).drop("l_orderkey")
     return X.flatten_repeatable_component(fact, "items", max_items=2)
+
+
+@query(
+    "corpus_to_training_chunks",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_CURATED_SQL},
+curated AS (
+  SELECT id, text || ' contact user' || id || '@example.com' AS raw
+  FROM scored WHERE quality >= 0.5),
+red AS (
+  SELECT id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+           '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text
+  FROM curated),
+t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM red),
+sized AS (
+  SELECT id, toks,
+         greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM t),
+expl AS (
+  SELECT id, toks, n_chunks, unnest(range(0, n_chunks)) AS ci FROM sized)
+SELECT id, CAST(ci AS INT) AS chunk_index, n_chunks,
+       md5(array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_md5,
+       CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS INT) AS n_tokens
+FROM expl
+""",
+    doc="The COMPLETE curation pipeline in one lazy plan: exact dedup "
+        "-> quality gate >= 0.5 -> PII redaction -> 64/16 token "
+        "chunking — raw corpus in, training samples out, value-checked "
+        "end to end.",
+)
+def corpus_to_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    kept = D.exact_dedup(corpus, "text", "id")
+    gated = kept.select(
+        "id", "text", TX.quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    seeded = gated.select(
+        "id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("id").cast("string"), F.lit("@example.com"),
+        ).alias("raw"),
+    )
+    red = seeded.select("id", TX.redact_pii(F.col("raw")).alias("text"))
+    chunks = TX.chunk_documents(red, "text", "id", chunk_tokens=64, overlap=16)
+    return chunks.select(
+        "id", "chunk_index", "n_chunks",
+        F.md5("chunk_text").alias("chunk_md5"), "n_tokens",
+    )
