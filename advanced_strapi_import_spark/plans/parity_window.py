@@ -220,3 +220,43 @@ def ci_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("p_name")).contains("anvil")
         | (F.lower(F.col("p_brand")) == F.lower(F.lit("BRAND#13")))
     ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "events_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""",
+    doc="Spark's NATIVE session_window (dynamic gap-merging windows) "
+        "verified equivalent to the hand-rolled lag+cumsum "
+        "sessionization (events_sessionize) — no exact-gap boundary "
+        "rows exist in the data, where the two constructions' "
+        "open/closed interval semantics would differ.",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
