@@ -86,3 +86,48 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+# the scale-mode variant of "Row N" numbering: partition the window by a
+# source-file surrogate so the sort parallelizes (SCALE.md, validate_df's
+# row_number_partition) — same checked SQL with a partitioned row_number
+from advanced_strapi_import_spark.plans.parity_etl import (  # noqa: E402
+    _CHECKED_SQL as _CHECKED_GLOBAL_SQL,
+    _dirty_customers,
+)
+
+_CHECKED_PER_FILE_SQL = _CHECKED_GLOBAL_SQL.replace(
+    "row_number() OVER (ORDER BY c_custkey)",
+    "row_number() OVER (PARTITION BY c_custkey % 4 ORDER BY c_custkey)",
+)
+
+
+@query(
+    "validate_per_file_rows",
+    oracle=_CHECKED_PER_FILE_SQL + """
+SELECT CAST(custkey AS BIGINT) % 4 AS src, rn AS __row, errs AS errors
+FROM checked WHERE errs <> ''
+""",
+    doc="P5 error channel in SCALE mode: 'Row N' numbering partitioned "
+        "by input file (surrogate: custkey % 4) — the window "
+        "parallelizes across files instead of collapsing to one "
+        "partition; numbering restarts per file.",
+)
+def validate_per_file_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.parity_etl import _REG
+
+    df = _dirty_customers(spark, sf_dir).withColumn(
+        "src", F.col("custkey").cast("long") % 4
+    )
+    res = V.validate_df(
+        df,
+        _REG.get("customer_import"),
+        _REG,
+        order_by=[F.col("custkey").cast("long")],
+        row_number_partition="src",
+    )
+    return res.invalid.select(
+        F.col("src"),
+        F.col(V.ROW_COL),
+        F.array_join(F.col(V.ERRORS_COL), "; ").alias("errors"),
+    )
