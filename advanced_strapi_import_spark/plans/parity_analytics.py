@@ -255,3 +255,26 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "user_bucket", "gid", "n", "total_value")
     )
+
+
+@query(
+    "events_multi_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS users,
+       count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS active_days,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Multiple DISTINCT aggregates in one GROUP BY — Catalyst plans "
+        "this as one Expand (row replication per distinct column) plus "
+        "a two-level aggregate, not two scans.",
+)
+def events_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct(F.to_date(F.date_trunc("day", "ts"))).alias("active_days"),
+        F.count(F.lit(1)).alias("n"),
+    )
