@@ -35,6 +35,20 @@ from advanced_strapi_import_spark.sources import zip_source as Z
 from advanced_strapi_import_spark.sources.csv_source import csv_scan, preview
 
 
+# Reference file limits (/root/reference/README.md "File Limits":
+# max 10MB, CSV only; UI check admin/src/components/PluginPage.js:73-82).
+MAX_CSV_BYTES = 10 * 1024 * 1024
+
+
+def check_csv_file(path: str) -> None:
+    """Reject non-.csv and >10MB inputs with the reference's error
+    surface before any Spark plan is built."""
+    if not path.lower().endswith(".csv"):
+        raise ValueError("Please select a valid CSV file")
+    if os.path.exists(path) and os.path.getsize(path) > MAX_CSV_BYTES:
+        raise ValueError("Maximum file size: 10MB")
+
+
 @dataclass
 class Engine:
     spark: SparkSession
@@ -85,6 +99,7 @@ class Engine:
     def preview_csv(self, path: str, ct_name: str) -> dict:
         """POST /preview/:ct — headers + 10 rows + schema attribute names
         (controllers/csv-import.js:113-124)."""
+        check_csv_file(path)
         df = csv_scan(self.spark, path)
         out = preview(df, 10)
         out["attributes"] = list(self.registry.get(ct_name).attributes)
@@ -93,6 +108,7 @@ class Engine:
     def validate_csv(self, path: str, ct_name: str) -> dict:
         """POST /upload/:ct — validation report + 5-row preview
         (controllers/csv-import.js:25-84)."""
+        check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
         invalid = res.invalid.select(V.ROW_COL, V.ERRORS_COL).collect()
@@ -134,6 +150,7 @@ class Engine:
         batch_size: int | None = None,
     ) -> dict[str, Any]:
         """POST /import/:ct — the §3.1 flagship pipeline."""
+        check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
         n_invalid = res.invalid.count()
@@ -161,14 +178,17 @@ class Engine:
                     df, files, media_match_field, row_key=V.ROW_COL, out_col=fld
                 )
 
-        df = df.drop(V.ROW_COL, *[c for c in df.columns if c.startswith("__dot__")])
+        # keep ROW_COL through the merge: it is the "last write wins" order
+        # for duplicate upsert keys (reference processes rows sequentially)
+        df = df.drop(*[c for c in df.columns if c.startswith("__dot__")])
 
         if upsert and self.has_table(ct_name):
-            result = U.merge(self.table(ct_name), df, upsert_field)
+            result = U.merge(self.table(ct_name), df, upsert_field, order_col=V.ROW_COL)
             counters = result.counters.collect()[0]
             self.write_table(ct_name, result.merged, batch_size=batch_size)
             created, updated = counters["created"], counters["updated"]
         else:
+            df = df.drop(V.ROW_COL)
             created = df.count()
             updated = 0
             if self.has_table(ct_name):

@@ -56,34 +56,46 @@ def _fake_decode(data: bytes) -> tuple[int, int, str]:
     return (n % 512 + 1, (n * 7) % 512 + 1, "fake")
 
 
-def decode_image_meta(df: DataFrame, binary_col: str = "content") -> DataFrame:
+def _pil_open(data: bytes) -> tuple[int, int, str]:
+    """Real-codec decode (runs worker-side; PIL imported lazily there)."""
+    import io
+
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(data))
+    return im.width, im.height, im.format or ""
+
+
+def decode_image_meta(
+    df: DataFrame, binary_col: str = "content", opener=None
+) -> DataFrame:
     """Attach image metadata struct via an Arrow-batched pandas stage.
 
-    Uses PIL when available; otherwise the clearly-marked deterministic
-    fake so the plumbing stays testable."""
+    ``opener``: callable(bytes) -> (width, height, format), raising on
+    corrupt input — the injection point for alternative codecs and for
+    tests (a closure passed here is cloudpickled into the worker, where
+    a driver-side monkeypatch would not reach). Default: PIL when
+    importable, else the clearly-marked deterministic fake.
+
+    On the real-codec path a decode FAILURE surfaces as a NULL
+    image_meta — bad data must never get plausible fake dimensions;
+    ``_fake_decode`` is reserved for the no-codec container case."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META)])
-    use_pil = _have_pil()
+    real = opener if opener is not None else (_pil_open if _have_pil() else None)
 
     def stage(batches) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             metas = []
             for data in pdf[binary_col]:
-                if use_pil:
-                    import io
-
-                    from PIL import Image
-
+                if real is not None:
                     try:
-                        im = Image.open(io.BytesIO(data))
-                        metas.append({"width": im.width, "height": im.height,
-                                      "format": im.format or ""})
-                        continue
+                        w, h, fmt = real(data)
+                        metas.append({"width": w, "height": h, "format": fmt})
                     except Exception:
-                        pass
-                w, h, fmt = _fake_decode(data)
-                metas.append({"width": w, "height": h, "format": fmt})
+                        metas.append(None)
+                else:
+                    w, h, fmt = _fake_decode(data)
+                    metas.append({"width": w, "height": h, "format": fmt})
             pdf = pdf.copy()
             pdf["image_meta"] = metas
             yield pdf

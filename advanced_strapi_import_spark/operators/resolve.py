@@ -14,8 +14,10 @@ Here the whole cascade is ONE set-oriented plan:
   - distinct values are resolved once (not once per row — kills the N+1),
   - exact arms become a broadcast join against a stacked (key, rank, id)
     lookup built from the target dimension,
-  - the contains (theta) arms only see values that every exact arm missed
-    (anti-join first), keeping the non-equi join tiny,
+  - each contains (theta) arm only sees values missed by every arm of
+    HIGHER precedence (per-arm anti-join), keeping the non-equi join
+    tiny while preserving strategy order: searchField $containsi
+    outranks the id and common-field exact strategies,
   - precedence = min(struct(rank, id)) per value; ties inside one
     strategy break deterministically on min id (the reference takes the
     DB's arbitrary first row — documented divergence).
@@ -113,11 +115,23 @@ def resolve_values(
     for p in cand_parts[1:]:
         exact_cand = exact_cand.unionByName(p)
 
-    # --- contains (theta) arms on the values all exact arms missed -------
+    # --- contains (theta) arms -------------------------------------------
+    # Each contains arm fires for the values missed by every arm of
+    # HIGHER precedence (rank < its own), not by all exact arms: in the
+    # reference, searchField $containsi (strategy 2) runs BEFORE the id
+    # and common-field $eqi strategies (csv-import.js:521-620), so a
+    # value that misses searchField-exact but hits searchField-contains
+    # must resolve to the contains hit even when a lower-precedence exact
+    # arm also matches. min(struct(rank, id)) arbitrates across arms, so
+    # a candidate surviving from a later contains arm can never shadow an
+    # earlier one — the anti-join below only bounds the theta-join size.
     if contains:
-        missed = vals.join(exact_cand.select(VALUE_COL).distinct(), VALUE_COL, "left_anti")
         theta_parts = []
         for rank, fld in contains:
+            higher_hits = (
+                exact_cand.where(F.col("__rank") < rank).select(VALUE_COL).distinct()
+            )
+            missed = vals.join(higher_hits, VALUE_COL, "left_anti")
             theta_parts.append(
                 missed.join(
                     broadcast(

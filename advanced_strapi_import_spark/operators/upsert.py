@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 @dataclass
@@ -35,13 +35,40 @@ class MergeResult:
     counters: DataFrame    # one row: created / updated counts (A1)
 
 
-def merge(target: DataFrame, batch: DataFrame, key: str) -> MergeResult:
+def dedupe_batch(batch: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
+    """Collapse duplicate upsert keys to one row per key: LAST write wins,
+    matching the reference's sequential update-or-create loop
+    (csv-import.js:362-428) where a later CSV row overwrites an earlier
+    one. Order = ``order_col`` (the CSV row number) when present; without
+    one, a struct over the remaining columns keeps the pick deterministic.
+
+    Scale: one shuffle on the key — the same partitioning the merge join
+    needs next, so AQE/exchange-reuse keeps the extra cost near zero."""
+    if order_col and order_col in batch.columns:
+        order = [F.col(order_col).desc()]
+    else:
+        others = [c for c in batch.columns if c != key]
+        order = [F.struct(*others).desc()] if others else [F.lit(1)]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge(
+    target: DataFrame, batch: DataFrame, key: str, *, order_col: str | None = "__row"
+) -> MergeResult:
     """Join+union MERGE: batch wins on key collisions, new keys append.
 
     Columns are aligned by name; batch columns missing from target are
     dropped, target columns missing from batch keep the target value on
     matched rows (partial update, like the reference's entity update).
+    Duplicate keys inside the batch collapse first (last write wins) so
+    the left join cannot fan out target rows.
     """
+    batch = dedupe_batch(batch, key, order_col)
     tcols = target.columns
     b = batch.alias("b")
     t = target.alias("t")
@@ -67,6 +94,7 @@ def merge(target: DataFrame, batch: DataFrame, key: str) -> MergeResult:
     merged = merged_existing.drop("__was_updated").unionByName(created)
 
     counters = merged_existing.agg(
-        F.sum(F.col("__was_updated").cast("long")).alias("updated")
+        # sum() over zero rows is NULL — an empty target must still count 0
+        F.coalesce(F.sum(F.col("__was_updated").cast("long")), F.lit(0)).alias("updated")
     ).crossJoin(created.agg(F.count(F.lit(1)).alias("created"))).select("created", "updated")
     return MergeResult(merged=merged, created=created, updated=updated, counters=counters)

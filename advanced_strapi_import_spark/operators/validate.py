@@ -196,12 +196,17 @@ def _cast_and_error(
         error_expr = F.when(present & casted.isNull(), err)
 
     casted_expr = F.when(present, casted)
-    # schema default when the cell is empty (csv-import.js:198 `!attribute.default`)
+    # Default materialization is an engine choice the reference's
+    # validator does not make (it leaves the default to the DB insert);
+    # here empty cells get the schema default written into the column.
     if attr.default is not None:
         casted_expr = casted_expr.otherwise(F.lit(attr.default))
+    # Required check mirrors JS falsiness (csv-import.js:198
+    # `attribute.required && !attribute.default`): a default of
+    # False / 0 / '' does NOT satisfy a required field.
     required_err = (
         F.when(~present, msg(f'Required field "{attr_name}" is missing'))
-        if attr.required and attr.default is None
+        if attr.required and not attr.default
         else F.lit(None).cast("string")
     )
     error_expr = F.coalesce(error_expr, required_err)

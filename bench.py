@@ -44,18 +44,46 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "suite_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 2)
+
+    # Full per-query detail always lands in-repo (the r01 capture kept
+    # only a 2000-char tail of stdout, so the stdout line must fit that
+    # window; the file carries what the line can't).
+    full = {"metric": "suite_seconds", "value": total, "unit": "sec",
+            "queries": timings, "sf": sf_val, "n_queries": len(timings)}
+    with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
+        json.dump(full, f, indent=1)
+
+    # stdout line: all timings if they fit the capture window, else the
+    # slowest ones that do (they're the informative subset); "value" is
+    # always the FULL suite total.
+    budget = 1900
+    by_slowest = sorted(timings, key=timings.get, reverse=True)
+    emit: dict[str, float] = dict(timings)
+    while by_slowest and len(json.dumps(
+        {"metric": "suite_seconds", "value": total, "unit": "sec",
+         "queries": emit, "sf": sf_val, "n_queries": len(timings)},
+        separators=(",", ":"),
+    )) > budget:
+        emit.pop(by_slowest.pop())  # drop the fastest remaining
+
+    # stop Spark BEFORE emitting so nothing can follow the line on any
+    # stream, then print compact JSON as the very last stdout bytes.
     spark.stop()
+    line = json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": emit,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -130,3 +130,59 @@ def test_import_batch_size_caps_rows_per_file(engine, tmp_path):
     parts = glob.glob(os.path.join(engine.storage_root, "company", "part-*"))
     # reference batchSize analog: no output file exceeds batch_size rows
     assert len(parts) >= 3
+
+
+def test_file_constraints_extension_and_size(engine, tmp_path):
+    # reference File Limits (README.md: max 10MB, CSV only; UI check
+    # PluginPage.js:73-82)
+    import pytest
+
+    from advanced_strapi_import_spark import api as A
+
+    bad_ext = tmp_path / "data.txt"
+    bad_ext.write_text("name\nAcme\n")
+    with pytest.raises(ValueError, match="valid CSV file"):
+        engine.preview_csv(str(bad_ext), "company")
+    with pytest.raises(ValueError, match="valid CSV file"):
+        engine.validate_csv(str(bad_ext), "company")
+    with pytest.raises(ValueError, match="valid CSV file"):
+        engine.import_csv(str(bad_ext), "company")
+
+    big = tmp_path / "big.csv"
+    with open(big, "wb") as f:
+        f.write(b"name\n")
+        f.seek(A.MAX_CSV_BYTES + 1)
+        f.write(b"x")
+    with pytest.raises(ValueError, match="10MB"):
+        engine.validate_csv(str(big), "company")
+
+
+def test_upsert_duplicate_keys_last_write_wins(engine, tmp_path):
+    # The reference's sequential update-or-create leaves exactly one
+    # record per key, last CSV row winning (csv-import.js:362-428); the
+    # merge must not fan out on duplicate batch keys or inflate counters.
+    p1 = _csv(tmp_path, "a.csv",
+              "name,country,established,active\nAcme,India,2000,true\n")
+    engine.import_csv(p1, "company")
+    p2 = _csv(tmp_path, "b.csv",
+              "name,country,established,active\n"
+              "Acme,China,2001,false\n"
+              "Acme,USA,2002,true\n"
+              "Newco,India,2020,yes\n")
+    out = engine.import_csv(p2, "company", upsert=True, upsert_field="name")
+    assert out["updated"] == 1 and out["created"] == 1
+    rows = engine.table("company").collect()
+    acmes = [r for r in rows if r["name"] == "Acme"]
+    assert len(acmes) == 1
+    # last CSV row wins
+    assert acmes[0]["established"] == 2002 and acmes[0]["country"] == 4
+
+
+def test_upsert_into_empty_target_counts_zero_updated(spark, tmp_path):
+    from advanced_strapi_import_spark.operators import upsert as U
+
+    target = spark.createDataFrame([], "id long, name string")
+    batch = spark.createDataFrame([(1, "a")], "id long, name string")
+    res = U.merge(target, batch, "id")
+    row = res.counters.collect()[0]
+    assert row["created"] == 1 and row["updated"] == 0

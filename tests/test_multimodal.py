@@ -68,3 +68,23 @@ def test_sample_frames_fanout(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["frame"] == b"xy"
     # doc 3: empty payload -> zero rows (row explosion, not row-per-input)
     assert 3 not in by_doc
+
+
+def test_real_codec_branch_and_corrupt_null(spark):
+    # Exercise the real-codec branch without PIL in the container by
+    # injecting an opener; the closure is cloudpickled into the worker.
+    # A decode failure must surface as NULL image_meta, never fake dims.
+    def opener(data):
+        if bytes(data).startswith(b"PNG"):
+            return len(data), 2 * len(data), "PNG"
+        raise OSError("cannot identify image file")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"PNG1234")), (2, bytearray(b"garbage"))],
+        "doc_id long, content binary",
+    )
+    out = MM.decode_image_meta(df, opener=opener)
+    result = {r["doc_id"]: r["image_meta"] for r in out.collect()}
+    assert result[1] is not None and result[1]["width"] == 7
+    assert result[1]["height"] == 14 and result[1]["format"] == "PNG"
+    assert result[2] is None

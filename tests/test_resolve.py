@@ -54,6 +54,24 @@ def test_precedence_id_beats_name_contains(spark):
     assert m == {"1": 1}
 
 
+def test_search_field_contains_beats_lower_exact(spark):
+    # Reference strategy order (csv-import.js findRelatedEntity):
+    # searchField $eqi, searchField $containsi, id, common-field $eqi.
+    # Value '5' misses code-exact, HITS code-contains ('X5Y' contains
+    # '5') and also hits the lower-precedence id arm (id=5). The
+    # contains hit must win — the old all-exact-arms anti-join would
+    # never generate it.
+    dim = spark.createDataFrame(
+        [(1, "Aland", "X5Y"), (5, "Five", "FV")],
+        "id long, name string, code string",
+    )
+    out = R.resolve_values(
+        _vals(spark, ["5"]), dim, COUNTRY, REGISTRY, search_field="code"
+    )
+    m = {r[R.VALUE_COL]: r[R.RESOLVED_COL] for r in out.collect()}
+    assert m == {"5": 1}
+
+
 def test_scalar_relation_resolution(spark):
     df = spark.createDataFrame(
         [(1, "Acme", "India"), (2, "Belco", "usa"), (3, "Cori", "Atlantis")],

@@ -113,3 +113,29 @@ def test_dot_notation_passthrough(spark):
     row = res.valid.collect()[0]
     assert row["__dot__country__code"] == "IN"
     assert row["established"] == 2000
+
+
+def test_falsy_default_does_not_satisfy_required(spark):
+    # JS falsiness parity (csv-import.js:198 `required && !attribute.default`):
+    # default False / 0 / '' must NOT suppress the required error.
+    from advanced_strapi_import_spark.schema import Registry
+
+    reg = Registry.from_dict({
+        "contentTypes": {
+            "t": {
+                "uid": "api::t.t",
+                "attributes": {
+                    "name": {"type": "string", "required": True},
+                    "flag": {"type": "boolean", "required": True, "default": False},
+                    "kind": {"type": "string", "required": True, "default": "x"},
+                },
+            }
+        },
+        "components": {},
+    })
+    df = spark.createDataFrame([("A", "", "")], "name string, flag string, kind string")
+    res = V.validate_df(df, reg.get("t"), reg)
+    errs = [e for r in res.invalid.collect() for e in r[V.ERRORS_COL]]
+    assert any('Required field "flag" is missing' in e for e in errs)
+    # truthy default still satisfies the requirement
+    assert not any('"kind"' in e for e in errs)
