@@ -100,6 +100,44 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_k: int = 3
+) -> DataFrame:
+    """(id, sh64, h32) — ONE explode and ONE md5 per shingle, sliced two
+    ways: ``sh64`` (63-bit, for Jaccard set intersection) and ``h32``
+    (32-bit mod P, the base of the universal-hash minhash family).
+
+    This is the shared prefix of the whole near-dup pipeline: minhash
+    signatures, LSH bands, and Jaccard verification all derive from it,
+    so a pipeline that needs several of those persists THIS frame once
+    instead of re-exploding (and re-md5-ing) the corpus per stage —
+    md5-per-shingle is the dominant map-side cost."""
+    m = F.md5(F.col("__sh_raw"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
+    ).select(
+        "id",
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("sh64"),
+        (F.conv(F.substring(m, 1, 8), 16, 10).cast("long") % UHASH_P).alias("h32"),
+    )
+
+
+def minhash_signature_from_hashes(
+    sh: DataFrame, *, num_hashes: int = 16
+) -> DataFrame:
+    """(id, h0..hN) minhash signature over precomputed ``h32`` base
+    hashes: num_hashes cheap integer mixes + one groupBy. All arithmetic
+    stays under 2^62 — exact (and identical) BIGINT math in any engine."""
+    sig_cols = []
+    for s in range(num_hashes):
+        a, b = uhash_consts(s)
+        sig_cols.append(
+            F.min((F.col("h32") * F.lit(a) + F.lit(b)) % UHASH_P).alias(f"h{s}")
+        )
+    return sh.groupBy("id").agg(*sig_cols)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str,
@@ -111,26 +149,21 @@ def minhash_signature(
     """(id, sig) where sig[s] = min over shingles of the s-th universal
     hash of ONE md5 base hash per shingle — 1 md5 + num_hashes cheap
     integer mixes per shingle row instead of num_hashes md5 calls
-    (md5 dominated the signature stage). Integer mod arithmetic is
-    exact and identical in any engine with 64-bit ints."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    ).withColumn("__h", hash32(F.col("sh")) % UHASH_P)
-    sig_cols = []
-    for s in range(num_hashes):
-        a, b = uhash_consts(s)
-        sig_cols.append(
-            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % UHASH_P).alias(f"h{s}")
-        )
-    return sh.groupBy("id").agg(*sig_cols)
+    (md5 dominated the signature stage)."""
+    return minhash_signature_from_hashes(
+        shingle_hashes(df, text_col, id_col, shingle_k=shingle_k),
+        num_hashes=num_hashes,
+    )
 
 
 def lsh_bands(
     sig: DataFrame, *, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(id, band, band_hash): hash each band of rows/band signature
-    columns; docs sharing any (band, band_hash) are candidates."""
+    """(id, band, band_hash): each band of rows/band signature columns
+    folded — WITH the band id — into one 63-bit bigint. A single narrow
+    join/shuffle key (8 bytes vs a 32-char md5 string), and because the
+    band id is inside the hash, downstream candidate generation buckets
+    on band_hash alone."""
     rows = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -139,7 +172,7 @@ def lsh_bands(
             sig.select(
                 "id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+                hash64(F.concat_ws(",", F.lit(b), *cols)).alias("band_hash"),
             )
         )
     out = parts[0]
@@ -149,18 +182,28 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one band bucket —
-    an equi-join on (band, band_hash), never a cross join."""
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    """Distinct (id_a < id_b) pairs sharing at least one band bucket.
+
+    Shape: groupBy(band_hash) -> sorted id set -> in-place pair
+    expansion (JVM-side nested transform), then one distinct. Two
+    shuffles total, and the quadratic-per-bucket work happens inside a
+    bucket row without a join — cheaper than the self-join equivalent,
+    which shuffles the bands twice and sort-merges. Bucket width is the
+    LSH selectivity knob: band bits keep buckets small by construction
+    (a giant bucket means the banding is too coarse, not that the join
+    strategy is wrong)."""
+    buckets = (
+        bands_df.groupBy("band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
         .distinct()
     )
 
@@ -318,15 +361,23 @@ def jaccard_on_pairs(
     *,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard verification restricted to candidate ``pairs`` (id_a,
     id_b) — the production shape: LSH proposes, Jaccard disposes. Cost
-    is O(|pairs| * shingles) instead of the all-pairs self-join."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
-    ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
-    sh = sh.persist()
+    is O(|pairs| * shingles) instead of the all-pairs self-join.
+
+    ``shingle_df``: optionally the (persisted) output of
+    ``shingle_hashes`` — lets a pipeline that already exploded the
+    corpus for minhash/LSH reuse those rows instead of re-exploding."""
+    if shingle_df is not None:
+        sh = shingle_df.select("id", F.col("sh64").alias("sh"))
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
+        ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     b = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))

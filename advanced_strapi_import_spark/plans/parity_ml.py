@@ -99,11 +99,17 @@ def _minhash_sig_sql() -> str:
 
 
 def _bands_sql() -> str:
+    """Mirrors dedup.lsh_bands: the band id is folded INTO the 63-bit
+    band hash, so one bigint column is the whole bucket key."""
     rows = NUM_HASHES // BANDS
     parts = []
     for b in range(BANDS):
         cols = " || ',' || ".join(f"h{b * rows + r}" for r in range(rows))
-        parts.append(f"SELECT id, {b} AS band, md5({cols}) AS band_hash FROM sigs")
+        parts.append(
+            f"SELECT id, {b} AS band, "
+            f"('0x' || substr(md5({b} || ',' || {cols}), 1, 15))::BIGINT AS band_hash "
+            f"FROM sigs"
+        )
     return "bands AS (\n  " + "\n  UNION ALL ".join(parts) + ")"
 
 
@@ -135,18 +141,18 @@ WITH {_CORPUS_SQL},
 {_bands_sql()}
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+  ON a.band_hash = b.band_hash AND a.id < b.id
 """,
-    doc="LSH candidate pairs: equi-join on (band, band_hash), never "
-        "a cross join.",
+    doc="LSH candidate pairs: bucket on the 63-bit band key and expand "
+        "pairs inside each bucket — never a cross join.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signature(
         _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
     )
-    # persist the banded signatures: the candidate self-join would
-    # otherwise recompute the whole shingle->minhash pipeline twice
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    # groupBy-based candidate generation consumes bands exactly once —
+    # no persist needed (the old self-join shape read them twice)
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
     return D.lsh_candidate_pairs(bands)
 
 
@@ -211,7 +217,7 @@ WITH {_CORPUS_SQL},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    ON a.band_hash = b.band_hash AND a.id < b.id),
 shh AS (SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh),
 sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
 inter AS (
@@ -229,14 +235,20 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5
 """,
     doc="The production near-dup pipeline: MinHash-LSH proposes candidate "
         "pairs (O(n) shuffle), n-gram Jaccard verifies >= 0.5 — cost "
-        "O(|candidates|), not all-pairs.",
+        "O(|candidates|), not all-pairs. The exploded shingle hashes are "
+        "computed (and persisted) ONCE and feed both the minhash "
+        "signatures and the Jaccard intersection — md5-per-shingle is "
+        "the dominant map cost, so it must not run twice.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir).persist()
-    sig = D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES)
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    corpus = _corpus(spark, sf_dir)
+    sh = D.shingle_hashes(corpus, "text", "id").persist()
+    sig = D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
     cand = D.lsh_candidate_pairs(bands)
-    return D.jaccard_on_pairs(corpus, cand, "text", "id", threshold=0.5)
+    return D.jaccard_on_pairs(
+        corpus, cand, "text", "id", threshold=0.5, shingle_df=sh
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,7 @@ WITH RECURSIVE {ML._CORPUS_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+    ON a.band_hash = b.band_hash AND a.id < b.id),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM cand
   UNION SELECT id_b, id_a FROM cand),
@@ -161,7 +161,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _corpus(spark, sf_dir)
     sig = D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES)
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
     pairs = D.lsh_candidate_pairs(bands)
     return D.connected_components(pairs)
 
