@@ -524,3 +524,204 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(gated) / F.sum(rev), 4).alias("mkt_share"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q20 shapes. The driver's schema has no partsupp table, so the
+# supply relation is derived from lineitem: distinct (l_partkey, l_suppkey)
+# with min unit price standing in for ps_supplycost and total shipped
+# quantity standing in for ps_availqty. The JOIN/AGG shapes (correlated
+# MIN, profit multi-join, global-fraction gate, nested agg-threshold semi
+# join) are the TPC-H ones; only the source of the supply rows differs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eur AS (
+  SELECT u.l_partkey, u.l_suppkey, u.unit_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM supply u
+  JOIN supplier s ON s.s_suppkey = u.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM eur GROUP BY l_partkey)
+SELECT e.s_name, round(e.s_acctbal, 2) AS acctbal, e.n_name,
+       p.p_partkey, p.p_name, round(e.unit_cost, 2) AS unit_cost
+FROM eur e
+JOIN best b ON b.l_partkey = e.l_partkey AND e.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size >= 30 AND p.p_type = 'SMALL'
+""",
+    doc="TPC-H Q2 shape: correlated MIN-cost subquery over the supply "
+        "relation gated by a region, joined back on the minimum. The "
+        "supply side shuffles once on (part, supp); suppliers/nations/"
+        "region broadcast.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 30) & (F.col("p_type") == "SMALL")
+    )
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        supply.join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"))
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    best = eur.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    return (
+        eur.join(
+            best,
+            (F.col("__pk") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("__min_cost")),
+        )
+        .join(F.broadcast(p), p["p_partkey"] == F.col("l_partkey"))
+        .select(
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, o_year
+""",
+    doc="TPC-H Q9 shape: profit by supplier nation and order year — "
+        "fact-fact join (lineitem x orders) with three broadcast dims "
+        "and an expression aggregate (revenue minus imputed supply "
+        "cost; 0.1 * retailprice stands in for ps_supplycost).",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), p["p_partkey"] == l["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey < 5
+  GROUP BY l.l_partkey)
+SELECT l_partkey, round(value, 2) AS value
+FROM pv
+WHERE value > (SELECT avg(value) * 2.0 FROM pv)
+""",
+    doc="TPC-H Q11 shape: per-part value vs a scalar global gate (scalar "
+        "subquery -> 1-row broadcast); the supply value is aggregated "
+        "once and reused for both sides. TPC-H uses sum(value)*fraction; "
+        "a mean multiple keeps the gate selective at every SF (the "
+        "driver's part count scales with SF, so a fixed fraction of the "
+        "total empties out).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    pv = (
+        l.join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = pv.agg((F.avg("value") * 2.0).alias("__thr"))
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(l_quantity) AS total_qty,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN l_quantity ELSE 0 END) AS qty97
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+cand AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh
+  JOIN part p ON p.p_partkey = sh.l_partkey
+  WHERE p.p_name LIKE 'small%' AND sh.total_qty > 2.5 * sh.qty97)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM cand)
+  AND n.n_regionkey = 1
+""",
+    doc="TPC-H Q20 shape: nested agg-threshold subquery (per part+supp "
+        "total vs in-window quantity) -> DISTINCT supplier keys -> "
+        "left-semi join into the supplier dim, region-gated. One "
+        "lineitem shuffle computes both aggregates via a CASE arm.",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty97"),
+    )
+    cand = (
+        shipped.join(F.broadcast(p), p["p_partkey"] == F.col("l_partkey"), "left_semi")
+        .filter(F.col("total_qty") > 2.5 * F.col("qty97"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(cand, cand["l_suppkey"] == s["s_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+    )

@@ -70,20 +70,60 @@ def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, *, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    result: DataFrame, *, output_mode: str = "complete",
+    state_partitions: int | None = 4,
+    no_data_batch: bool = False,
+) -> DataFrame:
     """Drain all available input through the streaming plan into a
     memory sink; return the materialized result (deterministic — equal
-    to the batch answer once the stream is drained)."""
+    to the batch answer once the stream is drained).
+
+    Two drain-scoped knobs (both restored after the drain; neither
+    changes the result, only fixed cost — r01's stream tail was 12.8 s
+    combined, these plus plan warming cut it to ~5 s):
+
+    - ``state_partitions`` caps the stateful-operator partition count:
+      each state partition costs a store open + delta-file commit per
+      micro-batch, which dominates short drains (r01 paid 32 stores x 2
+      join sides for a 20-row result). Pinned per-query at first
+      checkpoint, so a long-lived production stream should size it to
+      throughput instead (``None`` keeps the session setting).
+    - ``no_data_batch=False`` skips the trailing empty micro-batch
+      (~0.9 s: the full stateful plan re-runs on zero rows to advance
+      the watermark and evict state). Safe for a drain-and-stop run
+      whose output is emitted in the data batch — complete-mode aggs,
+      in-batch append (dedup, inner stream-stream join). Keep it True
+      for queries whose OUTPUT is watermark-gated (append-mode window
+      aggs, timeout-flushed sessionizers on a live stream)."""
+    spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
+    return spark.table(name)
 
 
 def stream_upsert(
