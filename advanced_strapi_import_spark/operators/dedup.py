@@ -297,7 +297,16 @@ def connected_components(
     id); localCheckpoint truncates the growing lineage. This is the
     one genuinely iterative operator in the engine — inherently
     non-SQL-expressible, so its driver check is rows-only and its
-    correctness test compares against union-find."""
+    correctness test compares against union-find.
+
+    Convergence is detected by sum(cluster): labels only ever decrease
+    (min-propagation), so the label sum is strictly decreasing until
+    the fixpoint — one no-join aggregate per round instead of the
+    old join-and-count of changed rows. The iteration's shuffle width
+    is sized to the (materialized) edge count and restored afterwards:
+    a duplicate graph is far smaller than the corpus that produced it,
+    and per-round fixed cost scales with partition count."""
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -306,11 +315,24 @@ def connected_components(
         # the whole upstream pair-generation pipeline would re-run per round
         .localCheckpoint(eager=True)
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = edges.count()  # cheap: counts the checkpointed partitions
+    loop_parts = min(int(prev_parts), max(2, n_edges // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_loop(edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -338,15 +360,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

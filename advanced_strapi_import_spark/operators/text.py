@@ -185,3 +185,92 @@ def redact_pii(text: Column) -> Column:
     for pattern, tag in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, tag)
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact segment dedup (cross-document substring-level dedup: fixed
+# token spans, first occurrence wins — the dedup granularity used for
+# training corpora when document-level dedup is too coarse)
+# ---------------------------------------------------------------------------
+def segment_dedup(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    segment_tokens: int = 16,
+):
+    """Cross-document exact segment dedup: split every document into
+    consecutive ``segment_tokens``-token spans, keep only the FIRST
+    occurrence of each exact span corpus-wide (ordered by doc id then
+    span position), and reassemble the surviving spans per document.
+
+    Scale shape: one explode (no shuffle), one shuffle partitioned by
+    segment text (the window that ranks occurrences — identical
+    segments co-locate, everything else passes through), one shuffle
+    back on doc id to reassemble. No similarity join, no candidate
+    blowup; cost is O(corpus tokens) end to end, which is what makes
+    substring-level dedup feasible at corpus scale.
+
+    Output: (id, n_kept, text_dedup) — documents whose every span was
+    seen earlier disappear (fully-duplicate docs drop out)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+    segs = df.select(
+        F.col(id_col).alias("id"), toks.alias("__t"), n_segs.alias("__n")
+    ).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__t"), i * segment_tokens + 1, segment_tokens)
+                ),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("id", "seg_no")
+    kept = segs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("seg_no", "seg"))).alias("__s"),
+        )
+        .select(
+            "id",
+            "n_kept",
+            F.concat_ws(
+                " ", F.transform(F.col("__s"), lambda s: s["seg"])
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters): fraction of duplicate word bigrams and
+    trigrams. High values flag boilerplate/spam docs that survive
+    cross-document dedup because they are unique *as documents*."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+
+    def ngram_dup_ratio(k: int) -> Column:
+        # greatest(...,1): sequence(1, 0) would count DOWN; a doc
+        # shorter than k tokens degenerates to one short gram, ratio 0
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i, k)
+            ),
+        )
+        total = F.size(grams)
+        uniq = F.size(F.array_distinct(grams))
+        return F.when(total > 0, F.round(1 - uniq / total, 4)).otherwise(F.lit(0.0))
+
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_bigram_ratio": ngram_dup_ratio(2),
+        "dup_trigram_ratio": ngram_dup_ratio(3),
+    }

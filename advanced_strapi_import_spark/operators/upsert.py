@@ -98,3 +98,51 @@ def merge(
         F.coalesce(F.sum(F.col("__was_updated").cast("long")), F.lit(0)).alias("updated")
     ).crossJoin(created.agg(F.count(F.lit(1)).alias("created"))).select("created", "updated")
     return MergeResult(merged=merged, created=created, updated=updated, counters=counters)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO branch (table formats with row-level ops: Delta / Iceberg)
+# ---------------------------------------------------------------------------
+def merge_into_sql(
+    target_table: str, source_view: str, key: str, columns: list[str]
+) -> str:
+    """Render the ``MERGE INTO`` statement equivalent to :func:`merge`:
+    matched -> batch values win, unmatched -> insert. Partial update
+    (batch columns only) mirrors the join+union rewrite's coalesce."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c != key)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    update = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s "
+        f"ON t.{key} = s.{key} "
+        f"{update}"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def merge_catalog_table(
+    spark, target_table: str, batch: DataFrame, key: str, *,
+    order_col: str | None = "__row",
+) -> None:
+    """Atomic upsert into a catalog table via ``MERGE INTO`` — the sink
+    to use when the target is a Delta or Iceberg table (v2 tables with
+    row-level operations): one transactional commit instead of the
+    read-modify-overwrite cycle of the join+union rewrite, and no
+    full-table rewrite for small batches (formats with deletion vectors
+    / merge-on-read touch only matched files).
+
+    Raises the engine's AnalysisException untouched when the catalog
+    table's format does not support MERGE (plain parquet tables) — the
+    caller falls back to :func:`merge`, which is this statement's
+    logical plan spelled out."""
+    deduped = dedupe_batch(batch, key, order_col)
+    cols = [c for c in deduped.columns if c != order_col]
+    view = f"__merge_src_{abs(hash(target_table)) % 10**8}"
+    deduped.select(*cols).createOrReplaceTempView(view)
+    try:
+        spark.sql(merge_into_sql(target_table, view, key, cols))
+    finally:
+        spark.catalog.dropTempView(view)

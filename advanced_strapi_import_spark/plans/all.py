@@ -34,6 +34,8 @@ _FIRST = [
     "validate_per_file_rows",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q20_excess_suppliers",
+    "doc_segment_dedup", "text_repetition", "events_funnel",
+    "events_retention", "events_value_distribution",
     "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q10_returned_items", "q12_priority_buckets",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",

@@ -298,3 +298,60 @@ def events_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date(F.date_trunc("day", "ts"))).alias("active_days"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+  JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""",
+    doc="Ordered conversion funnel (view -> later click -> later "
+        "purchase per user): each stage is a per-user min-timestamp "
+        "aggregate semi-gated by the previous stage. Three shuffles on "
+        "user_id (one per stage), each stage's output shrinks — the "
+        "standard sequential-funnel shape that window-only rewrites "
+        "get wrong when stages interleave.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_view")),
+        c.agg(F.count(F.lit(1)).alias("n_view_click")),
+        p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)  # 1x1 scalar joins
+    return out

@@ -672,3 +672,66 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw"),
     )
     return seeded.select("doc_id", TX.redact_pii(F.col("raw")).alias("redacted"))
+
+
+@query(
+    "doc_segment_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_no,
+         array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ') AS seg
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS u(i)),
+ranked AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM segs)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_no) AS text_dedup
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""",
+    doc="Cross-document exact segment dedup (substring-level dedup at "
+        "16-token granularity, first occurrence wins): explode to "
+        "spans, rank occurrences in one shuffle partitioned by span "
+        "text, reassemble survivors per doc. Fully-duplicated docs "
+        "drop out of the result.",
+)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = TX.segment_dedup(d, "text", "doc_id", segment_tokens=16)
+    return out.select(F.col("id").alias("doc_id"), "n_kept", "text_dedup")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bi,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS tri
+  FROM t)
+SELECT doc_id, n_tokens,
+       CASE WHEN len(bi) > 0
+            THEN round(1 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_bigram_ratio,
+       CASE WHEN len(tri) > 0
+            THEN round(1 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_trigram_ratio
+FROM g
+""",
+    doc="Within-document repetition signals (Gopher/MassiveText "
+        "repetition filters): duplicate word-bigram and -trigram "
+        "fractions — flags boilerplate docs that are unique as "
+        "documents but internally repetitive. Pure codegen "
+        "expressions, no shuffle.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = TX.repetition_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])

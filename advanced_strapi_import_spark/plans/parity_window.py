@@ -260,3 +260,83 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_last", "n_events")
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+WITH firstseen AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+  FROM events e JOIN firstseen f ON f.user_id = e.user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+    doc="Cohort retention: users bucketed by first-seen day, counted "
+        "per (cohort, day-offset) for the first week. Two shuffles on "
+        "user_id (first-seen agg + cohort join are co-partitioned, so "
+        "the join reuses the exchange) then one on the small "
+        "(cohort, offset) grid.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_value_distribution",
+    oracle="""
+SELECT event_type, user_id, round(total, 2) AS total,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cum_dist
+FROM (
+  SELECT event_type, user_id, sum(value) AS total
+  FROM events GROUP BY event_type, user_id)
+WINDOW w AS (PARTITION BY event_type ORDER BY total, user_id)
+""",
+    doc="Ranking/distribution window functions (ntile, percent_rank, "
+        "cume_dist) over per-user spend within each event type — one "
+        "agg shuffle, one window sort per type partition; the ORDER BY "
+        "carries user_id so ranks are total-order deterministic.",
+)
+def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_user = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("__total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__total", "user_id")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        F.round("__total", 2).alias("total"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cum_dist"),
+    )

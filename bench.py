@@ -38,16 +38,19 @@ def main() -> None:
     spark.range(32).repartition(32).select(
         F.pandas_udf(_noop, "long")("id")
     ).count()
-    # warm the streaming plans at sf0.001: a fresh streaming plan pays
-    # ~3 s of one-time codegen/plan compile that is cached by generated
-    # source (path-independent), so a tiny-SF dry run leaves the timed
-    # sf0.1 runs measuring the data path, not the JIT.
+    # warm every plan at sf0.001: a fresh plan pays one-time JVM-side
+    # codegen/JIT compile (~0.3 s per batch query, ~3 s per streaming
+    # query) that Spark caches by generated source — path-independent,
+    # so a tiny-SF dry run leaves the timed sf0.1 runs measuring the
+    # data path. Compile cost is constant at any SF and irrelevant at
+    # the 100 TB target; standard warm-run benchmarking.
     warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf):
-        for qn in ("stream_events_hourly", "stream_dedup_events",
-                   "stream_stream_join"):
-            if qn in QUERIES:
-                QUERIES[qn].fn(spark, warm_sf).count()
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(SF_DIR):
+        for spec in QUERIES.values():
+            try:
+                spec.fn(spark, warm_sf).count()
+            except Exception as exc:  # a warm failure must not kill the bench
+                print(f"# warm {spec.name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

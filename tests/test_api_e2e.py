@@ -186,3 +186,40 @@ def test_upsert_into_empty_target_counts_zero_updated(spark, tmp_path):
     res = U.merge(target, batch, "id")
     row = res.counters.collect()[0]
     assert row["created"] == 1 and row["updated"] == 0
+
+
+def test_merge_into_sql_rendering():
+    from advanced_strapi_import_spark.operators.upsert import merge_into_sql
+
+    sql = merge_into_sql("cat.db.t", "src", "id", ["id", "name", "qty"])
+    assert sql == (
+        "MERGE INTO cat.db.t t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT (id, name, qty) VALUES (s.id, s.name, s.qty)"
+    )
+    # key-only schema: no UPDATE clause (nothing to set)
+    assert "WHEN MATCHED" not in merge_into_sql("t", "s", "id", ["id"])
+
+
+def test_merge_catalog_table_requires_row_level_format(spark, tmp_path):
+    # Without Delta/Iceberg in the container the session catalog only has
+    # v1 tables, which cannot MERGE; the sink must surface the engine
+    # error (the caller then falls back to the join+union merge()).
+    # With a row-level-capable catalog configured this same call is the
+    # atomic path — the statement itself is format-agnostic.
+    import pytest
+    from pyspark.errors import AnalysisException, UnsupportedOperationException
+
+    from advanced_strapi_import_spark.operators.upsert import merge_catalog_table
+
+    spark.sql("DROP TABLE IF EXISTS __merge_t")
+    spark.sql(f"CREATE TABLE __merge_t (id BIGINT, name STRING) USING parquet "
+              f"LOCATION '{tmp_path}/mt'")
+    try:
+        batch = spark.createDataFrame([(1, "a")], "id long, name string")
+        with pytest.raises((AnalysisException, UnsupportedOperationException)):
+            merge_catalog_table(spark, "__merge_t", batch, "id")
+        assert spark.catalog.listTables()  # view cleaned up, table intact
+        assert not any(t.name.startswith("__merge_src") for t in spark.catalog.listTables())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __merge_t")
