@@ -91,6 +91,33 @@ class Engine:
     def has_table(self, ct_name: str) -> bool:
         return os.path.exists(self._path(ct_name))
 
+    def compact_table(
+        self, ct_name: str, *, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Small-file compaction: rewrite the table so each parquet file
+        is ~``target_file_bytes``. Incremental sinks (batched imports,
+        streaming foreachBatch upserts) accrete small files; at scale
+        that degrades scans (footer/open cost per file, tiny row
+        groups) and the fix is a periodic rewrite — the parquet-dir
+        analog of Delta OPTIMIZE / Iceberg rewrite_data_files.
+
+        File count = ceil(bytes / target); the rewrite is one
+        round-robin repartition (no key, no skew), reusing the atomic
+        swap so readers never see a half-compacted table. Returns the
+        new file count."""
+        import math
+
+        path = self._path(ct_name)
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        self.write_table(ct_name, self.table(ct_name).repartition(n_files))
+        return n_files
+
     # -- verbs -----------------------------------------------------------
     def list_content_types(self) -> list[dict[str, str]]:
         """GET /content-types (controllers/csv-import.js:7-20)."""

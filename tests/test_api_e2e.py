@@ -223,3 +223,22 @@ def test_merge_catalog_table_requires_row_level_format(spark, tmp_path):
         assert not any(t.name.startswith("__merge_src") for t in spark.catalog.listTables())
     finally:
         spark.sql("DROP TABLE IF EXISTS __merge_t")
+
+
+def test_compact_table_rewrites_small_files(engine, tmp_path):
+    # batched import (batch_size -> maxRecordsPerFile) accretes many
+    # small files; compaction rewrites to the size-derived count and
+    # preserves content exactly.
+    rows = "\n".join(f"c{i},India,20{i%10:02d},true" for i in range(200))
+    p = _csv(tmp_path, "many.csv", "name,country,established,active\n" + rows + "\n")
+    engine.import_csv(p, "company", batch_size=10)
+    import os
+
+    path = engine._path("company")
+    files_before = [f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
+    assert len(files_before) >= 20
+    before = sorted(r["name"] for r in engine.table("company").collect())
+    n = engine.compact_table("company")
+    files_after = [f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
+    assert len(files_after) == n == 1  # tiny table -> one right-sized file
+    assert sorted(r["name"] for r in engine.table("company").collect()) == before
