@@ -283,7 +283,7 @@ def hamming_pairs(
 # duplicate clustering (iterative connected components)
 # ---------------------------------------------------------------------------
 def connected_components(
-    pairs: DataFrame, *, max_iter: int = 20
+    pairs: DataFrame, *, max_iter: int = 20, driver_threshold: int = 2_000_000
 ) -> DataFrame:
     """(id, cluster) where cluster = min id of the connected component
     in the near-dup pair graph — the step that turns pairwise dedup
@@ -317,6 +317,15 @@ def connected_components(
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = edges.count()  # cheap: counts the checkpointed partitions
+    if n_edges <= driver_threshold:
+        # Small-graph fast path: a near-dup edge list is orders of
+        # magnitude smaller than the corpus that produced it (it holds
+        # only detected duplicates). Under the threshold (~32 MB of
+        # id pairs) a driver-side union-find beats O(log diameter)
+        # distributed rounds, each of which costs two shuffles plus a
+        # checkpoint, by a wide margin — this is the standard hybrid in
+        # production dedup pipelines. Above it, pointer jumping runs.
+        return _cc_driver(spark, edges)
     loop_parts = min(int(prev_parts), max(2, n_edges // 250_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
@@ -324,6 +333,40 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
+
+
+def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+    """Union-find on a collected edge list (bounded by driver_threshold;
+    the caller guarantees the count). Path-halving + union-by-label-min
+    keeps it near-linear; results are identical to the distributed loop:
+    cluster = min node id of the component."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    pdf = edges.select("src", "dst").toPandas()  # Arrow batch transfer
+    for src, dst in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the min id (matches min-label
+            # propagation's fixpoint: cluster = min id of the component)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("cluster", id_type)]
+    )
+    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
 
 
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:

@@ -19,6 +19,7 @@ import advanced_strapi_import_spark.plans.parity_temporal  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_pipeline  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_skew  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_tpch  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_curation  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
@@ -42,6 +43,8 @@ _FIRST = [
     "q16_supplier_cnt", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "seq_pack_chunks", "contamination_8gram", "sample_stratified",
+    "doc_rarity", "corpus_mix_weights", "fuzzy_edit_pairs", "strip_markup",
     "embedding_ivf_topk", "events_approx_users",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the

@@ -1,0 +1,221 @@
+"""Corpus-curation queries: sequence packing, contamination, stratified
+sampling, rarity scoring, mixture weights, fuzzy dedup, markup strip.
+
+These extend the reference's import/export pipeline surface with the
+operations a 100 TB training-data pipeline needs (build-spec first-class
+components). Every query has an exact DuckDB oracle; determinism notes
+live in operators/curation.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from advanced_strapi_import_spark.operators import curation as CU
+from advanced_strapi_import_spark.operators import text as TX
+from advanced_strapi_import_spark.plans.registry import load, query
+
+
+@query(
+    "seq_pack_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM t),
+expl AS (
+  SELECT doc_id, toks, n_chunks, unnest(range(0, n_chunks)) AS ci
+  FROM sized),
+chunks AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_index,
+         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM expl),
+packed AS (
+  SELECT doc_id, chunk_index, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_index
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS tok_offset
+  FROM chunks)
+SELECT doc_id, chunk_index, n_tokens, shard, tok_offset,
+       CAST(shard * 1099511627776 + floor(tok_offset / 256) AS BIGINT) AS seq_id
+FROM packed
+""",
+    doc="Concat-and-split sequence packing (budget 256 tokens) over the "
+        "64/16 chunk stream, sharded by pmod(doc_id, 8) so the cumsum "
+        "parallelizes — the standard pretraining sample prep.",
+)
+def seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
+    chunks = chunks.select(
+        F.col("id").alias("doc_id"), "chunk_index",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return CU.pack_sequences(chunks, budget=256, n_shards=8)
+
+
+@query(
+    "contamination_8gram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+expl AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+  FROM t),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+  FROM expl),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM grams WHERE gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(hits.n_overlap, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+""",
+    doc="Benchmark decontamination: 8-gram overlap of every corpus doc "
+        "against the doc_id%97==0 'eval set'; bench grams are distinct'd "
+        "and broadcast so the corpus side never shuffles.",
+)
+def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = CU.contamination(d, bench, n=8)
+    return out.select(
+        "doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        "n_overlap", "contaminated",
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents) s
+WHERE sample_rank <= 25
+""",
+    doc="Deterministic per-language quota sample (25/stratum) ranked by "
+        "md5(doc_id) — engine-portable pseudo-randomness; one shuffle on "
+        "the stratum key.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = CU.stratified_sample(d, strata_col="lang", quota=25)
+    return out.select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+@query(
+    "doc_rarity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(floor(1000000 / cnt)) AS BIGINT) AS rarity_sum,
+       CAST(floor(sum(floor(1000000 / cnt)) / count(*)) AS BIGINT) AS rarity_mean
+FROM t2 JOIN counts USING (tok)
+GROUP BY doc_id
+""",
+    doc="Unigram-LM surprisal proxy: sum/mean of floor(1e6/corpus_count) "
+        "per token — integer-exact (no ln) so cross-engine hashes agree; "
+        "two shuffles (vocab count, per-doc sum).",
+)
+def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return CU.doc_rarity(d)
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k FROM counts)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(n_docs / total * 1000000) AS BIGINT) AS share_ppm,
+       CAST(floor((1.0 / k) / (n_docs / total) * 1000000) AS BIGINT) AS weight_ppm
+FROM counts, tot
+""",
+    doc="Per-source mixture weights toward a uniform target "
+        "(weight>1 => oversample); shares in integer ppm for exact "
+        "hashing. Tiny output — applied downstream as a broadcast join.",
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return CU.mix_weights(d, strata_col="source")
+
+
+@query(
+    "fuzzy_edit_pairs",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents),
+b2 AS (
+  SELECT id,
+         array_to_string(list_slice(string_split(norm, ' '), 1, 2), ' ') AS block,
+         substring(norm, 1, 48) AS prefix
+  FROM base
+  WHERE norm <> '')
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM b2 a JOIN b2 b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.prefix, b.prefix) <= 12
+""",
+    doc="Edit-distance fuzzy dedup: levenshtein on a 48-char prefix, "
+        "gated by an opening-bigram blocking key — the quadratic arm "
+        "runs only inside blocks (equi-join, one shuffle).",
+)
+def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = CU.edit_distance_pairs(d, prefix_len=48, max_dist=12)
+    return out.select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+
+
+@query(
+    "strip_markup",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         '<div class="post"><b>' || text || '</b>&nbsp;&amp; more <br/>' AS raw
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(
+           regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&nbsp;', ' '),
+         '\\s+', ' ', 'g')) AS clean
+FROM seeded
+""",
+    doc="Boilerplate removal: strip tags, decode common entities, "
+        "collapse whitespace — regexp_replace chain, whole-stage "
+        "codegen, no UDF. Markup is seeded synthetically (corpus text "
+        "is plain).",
+)
+def strip_markup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<div class="post"><b>'), F.col("text"),
+        F.lit("</b>&nbsp;&amp; more <br/>"),
+    )
+    return d.select("doc_id", CU.strip_markup(raw).alias("clean"))

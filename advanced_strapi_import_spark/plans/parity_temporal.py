@@ -155,14 +155,9 @@ SELECT v AS id, min(u) AS cluster FROM reach GROUP BY v
         "transitive reachability + min() — exact value-level check.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from advanced_strapi_import_spark.plans.parity_ml import (
-        BANDS, NUM_HASHES, _corpus,
-    )
+    from advanced_strapi_import_spark.plans.parity_ml import _shared_bands
 
-    corpus = _corpus(spark, sf_dir)
-    sig = D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES)
-    bands = D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=BANDS)
-    pairs = D.lsh_candidate_pairs(bands)
+    pairs = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
     return D.connected_components(pairs)
 
 

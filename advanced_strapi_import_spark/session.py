@@ -35,7 +35,12 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] puts all 32 executor threads inside the driver JVM:
+        # 8g forced full-GC pauses mid-suite (2-3x per-query timing
+        # variance); 24g on the 128 GiB harness box keeps GC off the
+        # critical path. On a real cluster this knob is per-executor
+        # memory instead (see cluster_conf).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

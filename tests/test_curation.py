@@ -1,0 +1,161 @@
+"""Unit tests for corpus-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from advanced_strapi_import_spark.operators import curation as CU
+from tests.conftest import SF_TEST
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TEST}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+def test_pack_sequences_layout(spark):
+    chunks = spark.createDataFrame(
+        [Row(doc_id=i, chunk_index=j, n_tokens=64) for i in range(16) for j in range(3)]
+    )
+    out = CU.pack_sequences(chunks, budget=256, n_shards=4).collect()
+    assert len(out) == 48
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r.shard == r.doc_id % 4
+        assert r.seq_id == r.shard * (1 << 40) + r.tok_offset // 256
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_index))
+        # offsets are the exact running token count per shard
+        cum = 0
+        for r in rows:
+            assert r.tok_offset == cum
+            cum += r.n_tokens
+
+
+def test_pack_sequences_budget_fill(spark):
+    # 64-token chunks, budget 256 -> exactly 4 chunks per sequence
+    chunks = spark.createDataFrame(
+        [Row(doc_id=0, chunk_index=j, n_tokens=64) for j in range(8)]
+    )
+    out = CU.pack_sequences(chunks, budget=256, n_shards=1).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.seq_id] = sizes.get(r.seq_id, 0) + 1
+    assert sorted(sizes.values()) == [4, 4]
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+def test_contamination_self_and_clean(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i j"),      # bench member
+            Row(doc_id=2, text="a b c d e f g h tail x"),   # shares the first 8-gram
+            Row(doc_id=3, text="z y x w v u t s r q"),      # disjoint
+            Row(doc_id=4, text="too short"),                # < 8 tokens
+        ]
+    )
+    bench = corpus.filter(F.col("doc_id") == 1)
+    got = {r.doc_id: r for r in CU.contamination(corpus, bench, n=8).collect()}
+    assert got[1].contaminated and got[2].contaminated
+    assert not got[3].contaminated
+    assert got[4].n_ngrams == 0 and not got[4].contaminated
+    assert got[2].n_overlap == 1
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+def test_stratified_sample_quota_and_determinism(spark):
+    d = _docs(spark)
+    a = CU.stratified_sample(d, strata_col="lang", quota=5)
+    rows = a.collect()
+    per = {}
+    for r in rows:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert all(v <= 5 for v in per.values())
+    assert sorted(r.sample_rank for r in rows if r.lang == rows[0].lang) == list(
+        range(1, per[rows[0].lang] + 1)
+    )
+    b = CU.stratified_sample(d, strata_col="lang", quota=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# rarity
+# ---------------------------------------------------------------------------
+def test_doc_rarity_orders_rare_above_common(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="common xylophone quetzal obelisk"),
+        ]
+    )
+    got = {r.doc_id: r for r in CU.doc_rarity(df).collect()}
+    assert got[2].rarity_mean > got[1].rarity_mean
+    assert got[1].n_tokens == 4
+    # 'common' appears 5x -> floor(1e6/5) = 200000 each
+    assert got[1].rarity_sum == 4 * 200000
+
+
+# ---------------------------------------------------------------------------
+# mixture weights
+# ---------------------------------------------------------------------------
+def test_mix_weights_uniform_target(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 30 else "b") for i in range(40)]
+    )
+    got = {r.source: r for r in CU.mix_weights(df, strata_col="source").collect()}
+    assert got["a"].n_docs == 30 and got["b"].n_docs == 10
+    assert got["a"].share_ppm == 750000 and got["b"].share_ppm == 250000
+    # uniform target 0.5: a is over-represented (weight<1), b under (weight>1)
+    assert got["a"].weight_ppm < 1000000 < got["b"].weight_ppm
+    assert got["b"].weight_ppm == 2000000
+
+
+def test_mix_weights_explicit_target(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 10 else "b") for i in range(20)]
+    )
+    got = {
+        r.source: r
+        for r in CU.mix_weights(
+            df, strata_col="source", target={"a": 0.9, "b": 0.1}
+        ).collect()
+    }
+    assert got["a"].weight_ppm == 1800000  # 0.9 / 0.5
+    assert got["b"].weight_ppm == 200000   # 0.1 / 0.5
+
+
+# ---------------------------------------------------------------------------
+# edit-distance pairs
+# ---------------------------------------------------------------------------
+def test_edit_distance_pairs_blocks_and_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delts"),   # dist 1, same block
+            Row(doc_id=3, text="alpha beta entirely different and long tail"),
+            Row(doc_id=4, text="omega psi chi phi"),        # different block
+        ]
+    )
+    pairs = {(r.id_a, r.id_b): r.edit_dist for r in
+             CU.edit_distance_pairs(df, prefix_len=48, max_dist=5).collect()}
+    assert pairs[(1, 2)] == 1
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    assert (1, 3) not in pairs  # same block but dist > 5
+
+
+# ---------------------------------------------------------------------------
+# markup strip
+# ---------------------------------------------------------------------------
+def test_strip_markup(spark):
+    df = spark.createDataFrame(
+        [Row(s='<div class="x"><b>Hello</b>&nbsp;&amp; <i>world</i></div>')]
+    )
+    out = df.select(CU.strip_markup(F.col("s")).alias("c")).collect()[0].c
+    assert out == "Hello & world"

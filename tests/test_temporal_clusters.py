@@ -14,7 +14,17 @@ def test_connected_components_matches_union_find(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)],
         "id_a long, id_b long",
     )
-    got = {r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    # force the distributed pointer-jumping path (threshold 0) so this
+    # test exercises the loop, not the driver-side union-find
+    got = {
+        r["id"]: r["cluster"]
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    # the small-graph fast path must agree with the distributed loop
+    fast = {
+        r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    assert fast == got
 
     # reference union-find
     parent: dict[int, int] = {}
