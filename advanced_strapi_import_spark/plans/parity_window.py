@@ -16,6 +16,17 @@ from advanced_strapi_import_spark.plans.registry import load, load_events, query
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _us(c) -> F.Column:
+    """Microseconds-since-epoch for TIMESTAMP or TIMESTAMP_NTZ input.
+
+    Parquet ``timestamp[us]`` without a timezone infers to TIMESTAMP_NTZ
+    (spark.sql.parquet.inferTimestampNTZ default), which ``unix_micros``
+    rejects; casting to timestamp_ltz first (UTC session tz, so the
+    wall-clock value is preserved exactly) accepts both types."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp_ltz"))
+
+
 @query(
     "events_hourly",
     oracle="""
@@ -72,7 +83,7 @@ FROM s GROUP BY user_id, session_seq
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = _us("ts") - _us(F.lag("ts").over(w))
     g = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
@@ -86,7 +97,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+            (_us(F.max("ts")) - _us(F.min("ts"))).alias("duration_us"),
         )
         .select("user_id", "session_seq", "session_start", "n_events", "duration_us")
     )

@@ -50,14 +50,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events scan with timestamp normalization: the driver's events
-    parquet stores TIMESTAMP(NANOS), which Spark reads only as long
-    (legacy nanosAsLong conf); convert ns -> us to a real timestamp
-    (truncating division — same as DuckDB's ns->us cast)."""
+    """events scan with timestamp normalization. The driver's events
+    parquet has shipped with two physical ts encodings; normalize both
+    to a session-tz TIMESTAMP so every downstream operator sees one type:
+
+    - TIMESTAMP(NANOS): Spark reads only as long (nanosAsLong conf);
+      convert ns -> us (truncating division, same as DuckDB's cast).
+    - timestamp[us] without tz: infers as TIMESTAMP_NTZ, which some
+      builtins (``unix_micros``) reject; cast to timestamp_ltz (UTC
+      session tz, wall-clock preserved exactly)."""
     from pyspark.sql import functions as F, types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -24,18 +24,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-# ts is TIMESTAMP(NANOS) in the driver's parquet — Spark only reads that
-# as long (nanosAsLong); we convert ns -> us timestamp after the scan.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """events schema with the physically-stored ts type plugged in.
+    File-source streams require an explicit schema; the ts encoding has
+    shipped both as TIMESTAMP(NANOS) (reads as long under nanosAsLong)
+    and timestamp[us] (reads as TIMESTAMP_NTZ), so we probe the footer
+    via a batch read and declare what is actually there."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -43,13 +47,22 @@ def read_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over ``directory`` (the streaming source needs
-    a directory base path; ``glob`` selects the table files)."""
+    a directory base path; ``glob`` selects the table files). ts is
+    normalized to a session-tz TIMESTAMP whatever the file encoding
+    (see _events_schema)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    probed = spark.read.parquet(f"{directory}/{glob}").schema["ts"].dataType
+    reader = (
+        spark.readStream.schema(_events_schema(probed)).option("pathGlobFilter", glob)
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.format("parquet").load(directory)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(probed, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:

@@ -1,5 +1,10 @@
-"""Simulate the driver: smoke entry(), then queries() vs oracle_sql() at sf0.01."""
-import sys, hashlib
+"""Simulate the driver: smoke entry(), then queries() vs oracle_sql() at sf0.01.
+
+Usage: python tools/driver_sim.py [name-substring ...]
+With args, only queries whose name contains any substring are run.
+Exit code is nonzero if any query errors or mismatches.
+"""
+import sys, hashlib, time, traceback
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -7,11 +12,18 @@ from advanced_strapi_import_spark.session import get_spark
 
 spark = get_spark("driver-sim", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
+try:  # static conf in Spark 4 — builder-time only; harmless if refused
+    spark.conf.set("spark.ui.showConsoleProgress", "false")
+except Exception:
+    pass
+
+only = sys.argv[1:]
 
 # 1. smoke: entry
-df = e.entry(spark)
-rows = df.collect()
-print("ENTRY: rows =", len(rows), "schema =", df.schema.simpleString())
+if not only:
+    df = e.entry(spark)
+    rows = df.collect()
+    print("ENTRY: rows =", len(rows), "schema =", df.schema.simpleString())
 
 # 2. correctness at sf0.01
 SF = "/root/testdata/sf0.01"
@@ -20,28 +32,45 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, oracles = e.queries(), e.oracle_sql()
+bad = []
 for name, fn in qs.items():
-    sdf = fn(spark, SF)
-    srows = sorted([tuple(str(x) for x in r) for r in sdf.collect()])
-    scols = sorted(sdf.columns)
-    if name not in oracles:
-        print(f"{name}: ROWS-ONLY rows={len(srows)}")
+    if only and not any(s in name for s in only):
         continue
-    res = con.sql(oracles[name])
-    dcols = sorted(d[0] for d in res.description)
-    drows = sorted([tuple(str(x) for x in r) for r in res.fetchall()])
-    # reorder spark row tuples to sorted-col order (spark collect keeps df col order)
-    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
-    srows = sorted(tuple(r[i] for i in order) for r in [tuple(str(x) for x in row) for row in sdf.collect()])
-    dorder = [d[0] for d in res.description]
-    dres = con.sql(oracles[name]).fetchall()
-    dsortidx = sorted(range(len(dorder)), key=lambda i: dorder[i])
-    drows = sorted(tuple(str(r[i]) for i in dsortidx) for r in dres)
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF)
+        scols = sorted(sdf.columns)
+        order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+        srows = sorted(tuple(r[i] for i in order)
+                       for r in [tuple(str(x) for x in row) for row in sdf.collect()])
+        if name not in oracles:
+            print(f"{name}: ROWS-ONLY rows={len(srows)} ({time.time()-t0:.1f}s)", flush=True)
+            continue
+        res = con.sql(oracles[name])
+        dorder = [d[0] for d in res.description]
+        dcols = sorted(dorder)
+        dsortidx = sorted(range(len(dorder)), key=lambda i: dorder[i])
+        drows = sorted(tuple(str(r[i]) for i in dsortidx) for r in res.fetchall())
+    except Exception:
+        print(f"{name}: ERROR ({time.time()-t0:.1f}s)", flush=True)
+        traceback.print_exc()
+        bad.append(name)
+        continue
     h = lambda rs: hashlib.md5(repr(rs).encode()).hexdigest()[:12]
-    status = "MATCH" if (scols==dcols and srows==drows) else "MISMATCH"
-    print(f"{name}: {status} rows={len(srows)}/{len(drows)} cols={'ok' if scols==dcols else (scols,dcols)} hash={h(srows)}/{h(drows)}")
-    if status == "MISMATCH" and scols==dcols:
-        for a,b in zip(srows,drows):
-            if a!=b:
-                print("  first diff spark:", a); print("  first diff duck :", b); break
+    status = "MATCH" if (scols == dcols and srows == drows) else "MISMATCH"
+    print(f"{name}: {status} rows={len(srows)}/{len(drows)} "
+          f"cols={'ok' if scols == dcols else (scols, dcols)} "
+          f"hash={h(srows)}/{h(drows)} ({time.time()-t0:.1f}s)", flush=True)
+    if status == "MISMATCH":
+        bad.append(name)
+        if scols == dcols:
+            for a, b in zip(srows, drows):
+                if a != b:
+                    print("  first diff spark:", a)
+                    print("  first diff duck :", b)
+                    break
 spark.stop()
+if bad:
+    print("FAILING:", bad)
+    sys.exit(1)
+print("ALL GREEN")
