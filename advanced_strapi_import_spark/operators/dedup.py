@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from advanced_strapi_import_spark.caching import persist_tracked
+
 # ---------------------------------------------------------------------------
 # shared text primitives (portable across Spark/DuckDB)
 # ---------------------------------------------------------------------------
@@ -440,7 +442,7 @@ def jaccard_on_pairs(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
         ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
-        sh = sh.persist()
+        sh = persist_tracked(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     b = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))

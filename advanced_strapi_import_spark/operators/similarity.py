@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from advanced_strapi_import_spark.caching import persist_tracked
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -297,11 +299,15 @@ def embedding_near_dup(
     some table with p~0.93. The candidate self-join carries only
     (id, table, bucket); vectors join back AFTER pair-dedup, so the
     wide rows never ride the candidate shuffle."""
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).persist()
-    b = _multi_buckets(
-        vecs.select("id", F.col("__v")),
-        "__v", "id", tables=tables, planes=planes, dims=dims,
-    ).select("id", "__table", "__bucket").persist()
+    vecs = persist_tracked(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    )
+    b = persist_tracked(
+        _multi_buckets(
+            vecs.select("id", F.col("__v")),
+            "__v", "id", tables=tables, planes=planes, dims=dims,
+        ).select("id", "__table", "__bucket")
+    )
     a, c = b.alias("a"), b.alias("b")
     pair_ids = (
         a.join(

@@ -55,6 +55,66 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher-rule stopword list (Rae et al. 2021, table A1: a document must
+# contain >= 2 of these to pass the stopword rule).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style repetition-free quality gates (Rae et al. 2021 §A1 —
+    the de-facto rule set also used by Dolma/FineWeb): word count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), fraction of words containing an alphabetic character,
+    and distinct-stopword presence. Emits every metric plus the
+    conjunction, so downstream can re-threshold without recomputing.
+    All whole-stage-codegen expressions — no UDFs."""
+    toks = tokens(text)
+    n = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.round(char_sum / n, 4)
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n, 4
+    )
+    symbol_ratio = F.round(
+        F.regexp_count(text, F.lit(r"#|\.\.\.")) / n, 4
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stopword_hits": stop_hits.cast("long"),
+        "passes_gopher": passes,
+    }
+
+
 def quality_score(text: Column) -> Column:
     """Composite heuristic in [0,1]: rewards stopword presence and sane
     token lengths, penalizes punctuation/digit noise (C4/Gopher-style

@@ -219,3 +219,42 @@ def strip_markup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</b>&nbsp;&amp; more <br/>"),
     )
     return d.select("doc_id", CU.strip_markup(raw).alias("clean"))
+
+
+@query(
+    "doc_gopher_quality",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks), 4) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+               / len(toks), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(toks), 4) AS alpha_ratio,
+         len(list_intersect(list_transform(toks, x -> lower(x)),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len, symbol_ratio, alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        AND stop_hits >= 2) AS passes_gopher
+FROM f
+""",
+    doc="Gopher-rule quality gates (Rae et al. 2021 A1): word-count and "
+        "mean-word-length bounds, symbol-to-word ratio, alphabetic-word "
+        "fraction, distinct-stopword presence — every metric emitted "
+        "plus the conjunction; pure codegen expressions.",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = TX.gopher_rules(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])

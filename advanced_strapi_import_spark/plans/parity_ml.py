@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from advanced_strapi_import_spark.caching import persist_tracked, register_shared_releaser
 from advanced_strapi_import_spark.operators import dedup as D
 from advanced_strapi_import_spark.operators import similarity as S
 from advanced_strapi_import_spark.operators import text as TX
@@ -51,6 +52,18 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once, read it from every dedup job" pattern; shingle hashes are
 # ~tokens x 8 B, bands are 4 rows x 16 B per doc.
 _SHARED: dict = {}
+
+
+def _release_shared() -> None:
+    while _SHARED:
+        _, df = _SHARED.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+register_shared_releaser(_release_shared)
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +234,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def dedup_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist fingerprints: the chunk-bucket self-join reads them twice
-    fp = D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS).persist()
+    # (tracked — released by the harness after the query is consumed)
+    fp = persist_tracked(
+        D.simhash(_corpus(spark, sf_dir), "text", "id", bits=SIMHASH_BITS)
+    )
     return D.hamming_pairs(fp, max_distance=3, bits=SIMHASH_BITS)
 
 

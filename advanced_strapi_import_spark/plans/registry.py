@@ -34,10 +34,26 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None, doc: str = ""):
-    """Decorator registering a (spark_fn, oracle_sql) pair."""
+    """Decorator registering a (spark_fn, oracle_sql) pair.
+
+    Invoking a registered query first releases the PREVIOUS query's
+    run-scoped persists (see caching.py): harnesses that never call
+    release_tracked — the round driver runs ~100 queries in one
+    session — would otherwise accumulate every per-query persisted
+    frame in storage memory. Worst case for a pipeline composing two
+    registry queries is a recompute, never a wrong result."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        import functools
+
+        from advanced_strapi_import_spark import caching
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            caching.release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco

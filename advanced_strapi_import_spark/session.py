@@ -43,6 +43,12 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # the generated-class cache defaults to 100 entries; a 96-query
+        # suite compiles ~500 codegen stages, so with the default every
+        # query's compiled classes are evicted between runs and each
+        # re-execution pays full Janino recompile (seconds for wide
+        # plans). One class is small; keep them all.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     return builder.getOrCreate()
 

@@ -5,6 +5,7 @@
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -14,6 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import advanced_strapi_import_spark.plans.all  # noqa: F401
+from advanced_strapi_import_spark import caching
 from advanced_strapi_import_spark.plans.registry import QUERIES
 from advanced_strapi_import_spark.session import get_spark
 
@@ -51,14 +53,27 @@ def main() -> None:
                 spec.fn(spark, warm_sf).count()
             except Exception as exc:  # a warm failure must not kill the bench
                 print(f"# warm {spec.name} failed: {exc}", file=sys.stderr)
+            caching.release_tracked()
+        # drop the warm phase's session caches + checkpoint blocks: 96
+        # warm runs otherwise leave persisted/checkpointed storage that
+        # competes with the timed runs' execution memory (observed as
+        # multi-x degradation of late-suite queries).
+        caching.release_all()
+        gc.collect()
+        spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
+    for i, (name, spec) in enumerate(QUERIES.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        caching.release_tracked()  # per-query persists die with the query
+        if (i + 1) % 24 == 0:
+            # let the ContextCleaner reap orphaned localCheckpoint blocks
+            gc.collect()
+            spark._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -159,3 +159,51 @@ def test_strip_markup(spark):
     )
     out = df.select(CU.strip_markup(F.col("s")).alias("c")).collect()[0].c
     assert out == "Hello & world"
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+def test_gopher_rules_metrics_and_gates(spark):
+    from advanced_strapi_import_spark.operators import text as TX
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with more of and be to"] * 5
+    )  # 75 words, all alpha, plenty of stopwords
+    short = "the of and"  # fails min_words
+    symbols = " ".join(["###"] * 60)  # fails symbol ratio + alpha + stopwords
+    numeric = " ".join(["12345"] * 60) + " the be to of and"  # fails alpha ratio
+    df = spark.createDataFrame(
+        [Row(id=1, text=good), Row(id=2, text=short),
+         Row(id=3, text=symbols), Row(id=4, text=numeric)]
+    )
+    feats = TX.gopher_rules(F.col("text"))
+    rows = {r.id: r for r in df.select(
+        "id", *[v.alias(k) for k, v in feats.items()]).collect()}
+
+    assert rows[1].passes_gopher
+    assert rows[1].n_words == 75
+    assert rows[1].alpha_ratio == 1.0
+    assert rows[1].stopword_hits >= 2
+
+    assert not rows[2].passes_gopher  # too short
+    assert rows[2].n_words == 3
+
+    assert not rows[3].passes_gopher
+    assert rows[3].alpha_ratio == 0.0
+    assert rows[3].symbol_ratio > 0.1  # every token is '#'-only
+
+    assert not rows[4].passes_gopher
+    assert rows[4].alpha_ratio < 0.8
+    assert rows[4].stopword_hits == 5
+
+
+def test_gopher_rules_mean_word_len_bounds(spark):
+    from advanced_strapi_import_spark.operators import text as TX
+
+    tiny = " ".join(["a"] * 60) + " the be"  # mean len ~1 -> fails
+    df = spark.createDataFrame([Row(id=1, text=tiny)])
+    feats = TX.gopher_rules(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert r.mean_word_len < 3.0
+    assert not r.passes_gopher

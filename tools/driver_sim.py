@@ -8,6 +8,7 @@ import sys, hashlib, time, traceback
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
+from advanced_strapi_import_spark import caching
 from advanced_strapi_import_spark.session import get_spark
 
 spark = get_spark("driver-sim", shuffle_partitions=8)
@@ -56,6 +57,8 @@ for name, fn in qs.items():
         traceback.print_exc()
         bad.append(name)
         continue
+    finally:
+        caching.release_tracked()
     h = lambda rs: hashlib.md5(repr(rs).encode()).hexdigest()[:12]
     status = "MATCH" if (scols == dcols and srows == drows) else "MISMATCH"
     print(f"{name}: {status} rows={len(srows)}/{len(drows)} "
