@@ -119,21 +119,25 @@ GROUP BY event_type
 """,
     doc="Streaming exact dedup: the event stream unioned with itself "
         "(guaranteed duplicates) through watermark-bounded "
-        "dropDuplicatesWithinWatermark, drained with availableNow — "
-        "the deduped drain equals the batch answer over the ORIGINAL "
-        "(duplicate-free) table.",
+        "dropDuplicatesWithinWatermark, then aggregated INSIDE the "
+        "stream (chained stateful operators) so the drain emits the "
+        "5-row aggregate, not the full deduped table — the drain "
+        "equals the batch answer over the ORIGINAL (duplicate-free) "
+        "table.",
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ST.read_events_stream(spark, sf_dir).unionByName(
         ST.read_events_stream(spark, sf_dir)
     )
-    drained = ST.run_available_now(
-        ST.dedup_stream(doubled), output_mode="append"
+    agg = (
+        ST.dedup_stream(doubled)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
     )
-    return drained.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
+    return ST.run_available_now(agg, output_mode="complete")
 
 
 @query(
