@@ -503,3 +503,37 @@ def jaccard_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch vs corpus)
+# ---------------------------------------------------------------------------
+def incremental_band_candidates(
+    corpus_bands: DataFrame, batch_bands: DataFrame
+) -> DataFrame:
+    """(new_id, dup_of) candidates for an ARRIVING batch against an
+    existing corpus — the daily-ingest shape of LSH dedup at 100 TB:
+    the corpus band table is computed once and stored (the "signature
+    table" pattern); each day only the new batch is shingled, and the
+    join generates batch x (corpus + earlier-batch) candidates, never
+    corpus x corpus. Requires batch ids to sort after corpus ids (the
+    natural monotonic-ingest-id layout); ``id < new_id`` then both
+    orders within-batch pairs and excludes old x old for free.
+
+    The batch side is broadcast: a day's arrivals are orders of
+    magnitude smaller than the corpus, so the corpus band table never
+    shuffles — the scan streams against the broadcast hash map."""
+    all_bands = corpus_bands.unionByName(batch_bands)
+    new = F.broadcast(
+        batch_bands.select(
+            F.col("id").alias("new_id"), F.col("band_hash").alias("__bh")
+        )
+    )
+    return (
+        all_bands.join(
+            new,
+            (F.col("band_hash") == F.col("__bh")) & (F.col("id") < F.col("new_id")),
+        )
+        .select("new_id", F.col("id").alias("dup_of"))
+        .distinct()
+    )

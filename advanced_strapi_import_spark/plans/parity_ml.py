@@ -770,3 +770,52 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     feats = TX.repetition_features(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: arriving batch vs existing corpus
+# ---------------------------------------------------------------------------
+_INCR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text || ' update' FROM documents
+  WHERE doc_id % 5 = 0)
+"""
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH {_INCR_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()}
+SELECT DISTINCT a.id AS new_id, b.id AS dup_of
+FROM bands a JOIN bands b
+  ON a.band_hash = b.band_hash AND b.id < a.id
+WHERE a.id >= 500000
+""",
+    doc="Incremental LSH dedup — the daily-ingest shape: an arriving "
+        "batch (docs with doc_id%5=0, lightly mutated, re-keyed after "
+        "the corpus) is shingled and banded, then joined against the "
+        "stored corpus band table + itself. batch x (corpus + earlier "
+        "batch) candidates only; corpus x corpus never re-runs, the "
+        "corpus never shuffles (batch side broadcast).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select(F.col("doc_id").alias("id"), "text")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("id"),
+        F.concat(F.col("text"), F.lit(" update")).alias("text"),
+    )
+    corpus_bands = D.lsh_bands(
+        D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES),
+        num_hashes=NUM_HASHES, bands=BANDS,
+    )
+    batch_bands = D.lsh_bands(
+        D.minhash_signature(batch, "text", "id", num_hashes=NUM_HASHES),
+        num_hashes=NUM_HASHES, bands=BANDS,
+    )
+    return D.incremental_band_candidates(corpus_bands, batch_bands)

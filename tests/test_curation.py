@@ -207,3 +207,27 @@ def test_gopher_rules_mean_word_len_bounds(spark):
     r = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
     assert r.mean_word_len < 3.0
     assert not r.passes_gopher
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+def test_incremental_band_candidates(spark):
+    from advanced_strapi_import_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [Row(id=1, text=base),
+         Row(id=2, text="completely different content about spark physical plans")]
+    )
+    batch = spark.createDataFrame(
+        [Row(id=100, text=base + " update"),          # near-dup of corpus id 1
+         Row(id=101, text="unrelated brand new document text nothing shared here")]
+    )
+    cb = D.lsh_bands(D.minhash_signature(corpus, "text", "id"))
+    bb = D.lsh_bands(D.minhash_signature(batch, "text", "id"))
+    out = D.incremental_band_candidates(cb, bb).collect()
+    pairs = {(r.new_id, r.dup_of) for r in out}
+    assert (100, 1) in pairs                     # batch near-dup found
+    assert all(new >= 100 for new, _ in pairs)   # never corpus x corpus
+    assert (101, 2) not in pairs                 # unrelated docs don't collide
