@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from advanced_strapi_import_spark.operators.multimodal import byte_histogram
+from advanced_strapi_import_spark.plans import parity_ml as ML
 from advanced_strapi_import_spark.plans.registry import load, query
 from advanced_strapi_import_spark.streaming import ingest as ST
 
@@ -163,3 +164,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ST.purchase_after_view_join(views, purchases)
     drained = ST.run_available_now(joined, output_mode="append")
     return drained.select("view_id", "purchase_id")
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle=f"""
+WITH {ML._INCR_CORPUS_SQL.strip()},
+{ML._SHINGLES_SQL.strip()},
+{ML._minhash_sig_sql()},
+{ML._bands_sql()}
+SELECT DISTINCT a.id AS new_id, b.id AS dup_of
+FROM bands a JOIN bands b
+  ON a.band_hash = b.band_hash AND b.id < a.id
+WHERE a.id >= 500000
+""",
+    doc="Streaming incremental LSH dedup: a stream of arriving docs is "
+        "banded per micro-batch (foreachBatch) and joined against the "
+        "stored corpus band table, which grows by each batch's bands — "
+        "the streaming face of dedup_incremental; the drained result "
+        "equals the batch answer.",
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import dedup as D
+    from advanced_strapi_import_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select(F.col("doc_id").alias("id"), "text")
+    corpus_bands = D.lsh_bands(D.minhash_signature(corpus, "text", "id"))
+    arriving = (
+        ST.read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("id"),
+            F.concat(F.col("text"), F.lit(" update")).alias("text"),
+        )
+    )
+    return ST.incremental_dedup_stream(corpus_bands, arriving)

@@ -302,3 +302,69 @@ def purchase_after_view_join(views: DataFrame, purchases: DataFrame) -> DataFram
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup (stream of new docs vs stored corpus bands)
+# ---------------------------------------------------------------------------
+def read_documents_stream(
+    spark: SparkSession, directory: str, *, glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the documents table; schema probed from
+    the parquet footer (file-source streams require one explicitly)."""
+    schema = spark.read.parquet(f"{directory}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(directory)
+
+
+def incremental_dedup_stream(
+    corpus_bands: DataFrame, doc_stream: DataFrame,
+    *, text_col: str = "text", id_col: str = "id",
+) -> DataFrame:
+    """Streaming incremental LSH dedup: each arriving micro-batch of
+    documents is shingled/banded and joined against the corpus band
+    table, then its OWN bands are appended to the corpus so later
+    micro-batches dedup against earlier arrivals too. foreachBatch is
+    the right tool — the per-batch work is ordinary batch LSH (exactly
+    operators/dedup.incremental_band_candidates), which no chain of
+    streaming stateful operators could express (signature aggregation
+    + band join + distinct is 3 stateful stages).
+
+    At 100 TB the corpus band table is a stored table and the append is
+    a table append (Delta/Iceberg or partitioned parquet); here the
+    accumulated frame is localCheckpoint'ed per batch so lineage stays
+    flat. Candidate pairs are driver-small (duplicates of one batch);
+    they are collected per batch and returned as one DataFrame."""
+    from advanced_strapi_import_spark.operators import dedup as D
+
+    spark = corpus_bands.sparkSession
+    state = {"bands": corpus_bands}
+    found: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        bb = D.lsh_bands(
+            D.minhash_signature(batch_df, text_col, id_col)
+        ).localCheckpoint(eager=True)
+        pairs = D.incremental_band_candidates(state["bands"], bb)
+        found.extend(pairs.collect())
+        state["bands"] = state["bands"].unionByName(bb)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import types as T
+
+    id_type = corpus_bands.schema["id"].dataType
+    schema = T.StructType(
+        [T.StructField("new_id", id_type), T.StructField("dup_of", id_type)]
+    )
+    return spark.createDataFrame(found, schema)

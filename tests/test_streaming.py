@@ -77,3 +77,36 @@ def test_dedup_stream_removes_duplicates(spark):
     base = load_events(spark, SF_TEST).count()
     assert n == base  # doubled stream collapses back to one row per event_id
     assert deduped.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_incremental_dedup_stream_across_microbatches(spark, tmp_path):
+    """Cross-batch dedup: a doc arriving in micro-batch 2 that
+    duplicates a micro-batch-1 arrival is caught (the band table grows
+    per batch), and corpus dups are caught in every batch."""
+    from pyspark.sql import Row
+    from advanced_strapi_import_spark.operators import dedup as D
+    from advanced_strapi_import_spark.streaming import ingest as ST
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame([Row(id=1, text=base)])
+    corpus_bands = D.lsh_bands(D.minhash_signature(corpus, "text", "id"))
+
+    import shutil
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    for name, rid in [("b1.parquet", 100), ("b2.parquet", 200)]:
+        w = tmp_path / f"w_{name}"
+        spark.createDataFrame([Row(id=rid, text=base + " update")]).coalesce(
+            1
+        ).write.parquet(str(w))
+        part = next(w.glob("part-*.parquet"))
+        shutil.copy(part, d / name)  # flat file so pathGlobFilter matches
+
+    stream = ST.read_documents_stream(
+        spark, str(d), glob="b*.parquet", max_files_per_trigger=1
+    )
+    out = ST.incremental_dedup_stream(corpus_bands, stream)
+    pairs = {(r.new_id, r.dup_of) for r in out.collect()}
+    assert (100, 1) in pairs and (200, 1) in pairs  # corpus dups per batch
+    assert (200, 100) in pairs                      # cross-micro-batch dup
