@@ -192,3 +192,73 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "next_purchase",
     )
+
+
+def _keep_best_oracle() -> str:
+    """Clusters oracle extended to the keep decision: every corpus doc
+    joins its component (own id when unclustered), then the keeper per
+    cluster is the longest text with min-id tie-break."""
+    from advanced_strapi_import_spark.plans import parity_ml as ML
+
+    return f"""
+WITH RECURSIVE {ML._CORPUS_SQL.strip()},
+{ML._SHINGLES_SQL.strip()},
+{ML._minhash_sig_sql()},
+{ML._bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION SELECT id_b, id_a FROM cand),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id AS v, id AS u FROM nodes
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+cc AS (SELECT v AS id, min(u) AS cluster FROM reach GROUP BY v),
+labeled AS (
+  SELECT c.id, coalesce(cc.cluster, c.id) AS cluster,
+         length(c.text) AS n_chars
+  FROM corpus c LEFT JOIN cc ON cc.id = c.id)
+SELECT id, cluster, CAST(n_chars AS BIGINT) AS n_chars,
+       (row_number() OVER (
+          PARTITION BY cluster ORDER BY n_chars DESC, id ASC) = 1
+       ) AS is_kept
+FROM labeled
+"""
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="The dedup deliverable: every corpus doc labeled with its "
+        "duplicate cluster (own id when unclustered) and a keep/drop "
+        "verdict — keeper = longest text, min-id tie-break. LSH "
+        "candidates -> connected components -> quality argmax; at "
+        "100 TB this emits the keep list a curation pipeline actually "
+        "writes, not pairs.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.plans.parity_ml import _corpus, _shared_bands
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    cc = D.connected_components(pairs)
+    labeled = (
+        corpus.join(cc.withColumnRenamed("cluster", "__cc"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__cc"), F.col("id")).alias("cluster"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        "id", "cluster", "n_chars",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

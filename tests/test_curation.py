@@ -231,3 +231,35 @@ def test_incremental_band_candidates(spark):
     assert (100, 1) in pairs                     # batch near-dup found
     assert all(new >= 100 for new, _ in pairs)   # never corpus x corpus
     assert (101, 2) not in pairs                 # unrelated docs don't collide
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Keeper = longest text in the cluster, min-id tie-break;
+    unclustered docs keep themselves under their own id."""
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [Row(id=1, text=base),
+         Row(id=2, text=base + " update"),        # near-dup, longer -> keeper
+         Row(id=3, text="totally unrelated text about catalyst plan rewrites")]
+    )
+    bands = D.lsh_bands(D.minhash_signature(df, "text", "id"))
+    cc = D.connected_components(D.lsh_candidate_pairs(bands))
+    labeled = (
+        df.join(cc.withColumnRenamed("cluster", "__cc"), "id", "left")
+        .select(
+            "id", F.coalesce(F.col("__cc"), F.col("id")).alias("cluster"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    rows = {r.id: r for r in labeled.select(
+        "id", "cluster", (F.row_number().over(w) == 1).alias("is_kept")
+    ).collect()}
+    assert rows[1].cluster == 1 and rows[2].cluster == 1
+    assert rows[2].is_kept and not rows[1].is_kept  # longer wins
+    assert rows[3].cluster == 3 and rows[3].is_kept  # singleton keeps itself
