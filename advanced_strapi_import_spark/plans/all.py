@@ -46,7 +46,7 @@ _FIRST = [
     "seq_pack_chunks", "contamination_8gram", "sample_stratified",
     "doc_rarity", "corpus_mix_weights", "fuzzy_edit_pairs", "strip_markup",
     "doc_gopher_quality", "dedup_incremental", "stream_dedup_incremental",
-    "dedup_keep_best",
+    "dedup_keep_best", "events_anomaly_zscore", "embedding_quantize",
     "embedding_ivf_topk", "events_approx_users",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the

@@ -355,3 +355,45 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in counts[1:]:
         out = out.crossJoin(df)  # 1x1 scalar joins
     return out
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+stats AS (
+  SELECT event_type, day, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev(n) OVER (PARTITION BY event_type) AS sigma
+  FROM daily)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round((n - mu) / sigma, 4) AS zscore,
+       (abs((n - mu) / sigma) > 2.0) AS is_anomaly
+FROM stats
+""",
+    doc="Daily-count anomaly detection per event type: z-score against "
+        "the type's own daily distribution (sample stddev both "
+        "engines), |z| > 2 flagged — two shuffles (daily agg + "
+        "per-type window), both on low-cardinality keys.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev("n").over(w)
+    return daily.select(
+        "event_type", "day", F.col("n").cast("long").alias("n"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -819,3 +819,46 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES, bands=BANDS,
     )
     return D.incremental_band_candidates(corpus_bands, batch_bands)
+
+
+# ---------------------------------------------------------------------------
+# embedding storage quantization (int8)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+q AS (
+  SELECT vec_id, maxabs,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+  FROM s)
+SELECT vec_id,
+       round(maxabs / 127.0, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_min(qv) AS BIGINT) AS q_min
+FROM q
+""",
+    doc="int8 storage quantization per vector (symmetric absmax scale, "
+        "floor(x*127/maxabs + 0.5) — identical half-up rounding in both "
+        "engines): 4x smaller vectors for the ANN corpus; emits scale "
+        "and quantized checksums. One narrow projection, no shuffle.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(maxabs / F.lit(127.0), 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(qv).alias("q_max"),
+        F.array_min(qv).alias("q_min"),
+    )
