@@ -56,3 +56,41 @@ def exchanges_in_plan(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange" in line and "ReusedExchange" not in line
     )
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    *,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Time-series layout: hive-partition by day of ``ts_col`` and sort
+    rows by the timestamp inside each file.
+
+    This is the scan-side half of the 100 TB story that bucketing
+    doesn't cover: a time-range filter prunes whole partition
+    directories BEFORE listing files (PartitionFilters in the scan
+    node), and the in-file ordering gives parquet min/max zone maps a
+    monotone column, so even intra-day range predicates skip row
+    groups. repartitionByRange on (day, ts) lines file boundaries up
+    with the sort order instead of hashing days across writers."""
+    from pyspark.sql import functions as F
+
+    staged = (
+        df.withColumn("__day", F.date_format(F.date_trunc("day", ts_col), "yyyy-MM-dd"))
+        .repartitionByRange(F.col("__day"), F.col(ts_col))
+        .sortWithinPartitions("__day", ts_col)
+    )
+    writer = staged.write.mode(mode).partitionBy("__day")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the day-partitioned layout back; day-range predicates on
+    ``__day`` become PartitionFilters (no file listing outside the
+    range)."""
+    return spark.read.parquet(path)

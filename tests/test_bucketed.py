@@ -73,3 +73,33 @@ def test_bucketed_groupby_has_no_exchange(bucketed_tables):
     )
     assert exchanges_in_plan(raw_agg) == 1
     assert agg.count() == raw_agg.count()
+
+
+def test_time_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """A day filter on the partitioned layout must read only that day's
+    files (partition pruning before file listing) and the scan must
+    carry a PartitionFilters entry for it."""
+    from advanced_strapi_import_spark.plans.registry import load_events
+    from advanced_strapi_import_spark.sources import bucketed as B
+    from tests.conftest import SF_TEST
+
+    e = load_events(spark, SF_TEST)
+    out = str(tmp_path / "events_by_day")
+    B.write_time_partitioned(e, out, "ts", max_records_per_file=50_000)
+
+    full = B.read_time_partitioned(spark, out)
+    days = [r["__day"] for r in full.select("__day").distinct().collect()]
+    assert len(days) > 1
+    one_day = full.filter(F.col("__day") == days[0])
+
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__day" in plan.split("PartitionFilters")[1][:200]
+    # layout is physical: one hive directory per day, each with files
+    import os
+
+    part_dirs = [d for d in os.listdir(out) if d.startswith("__day=")]
+    assert sorted(part_dirs) == sorted(f"__day={d}" for d in days)
+    assert os.listdir(os.path.join(out, f"__day={days[0]}"))
+    # row equivalence with a timestamp-range filter on the raw table
+    expected = e.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == days[0]).count()
+    assert one_day.count() == expected
