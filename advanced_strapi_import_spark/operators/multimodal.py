@@ -66,6 +66,61 @@ def _pil_open(data: bytes) -> tuple[int, int, str]:
     return im.width, im.height, im.format or ""
 
 
+class UnknownContainer(ValueError):
+    """Bytes whose container format the header sniffer does not know —
+    distinct from a RECOGNIZED container with a corrupt header, which
+    must surface as bad data (NULL), never fall through to a stub."""
+
+
+def header_dimensions(data: bytes) -> tuple[int, int, str]:
+    """REAL metadata decode with no codec library: parse width/height
+    out of the container header for PNG / JPEG / GIF / BMP — the same
+    header-sniff fast image-metadata tools use (no pixel decompression
+    is needed to know dimensions). Raises ValueError on anything it
+    cannot prove, so corrupt input surfaces as NULL meta, never as
+    plausible fake numbers.
+
+    Format references (public specs): PNG IHDR is the first chunk after
+    the 8-byte signature (width/height big-endian u32 at offsets
+    16/20); JPEG dimensions live in the first SOFn marker (height then
+    width, big-endian u16); GIF87a/89a pack width/height little-endian
+    u16 at offsets 6/8; BMP's BITMAPINFOHEADER has signed little-endian
+    i32 at offsets 18/22 (height may be negative for top-down rows)."""
+    import struct
+
+    if data is None or len(data) < 10:
+        raise UnknownContainer("too short")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("bad PNG IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h, "PNG"
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return w, h, "JPEG"
+            i += 2 + seg_len
+        raise ValueError("no JPEG SOF marker")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, "GIF"
+    if data[:2] == b"BM":
+        if len(data) < 26:
+            raise ValueError("bad BMP header")
+        w, h = struct.unpack("<ii", data[18:26])
+        return w, abs(h), "BMP"
+    raise UnknownContainer("unknown container")
+
+
 def decode_image_meta(
     df: DataFrame, binary_col: str = "content", opener=None
 ) -> DataFrame:
@@ -74,28 +129,40 @@ def decode_image_meta(
     ``opener``: callable(bytes) -> (width, height, format), raising on
     corrupt input — the injection point for alternative codecs and for
     tests (a closure passed here is cloudpickled into the worker, where
-    a driver-side monkeypatch would not reach). Default: PIL when
-    importable, else the clearly-marked deterministic fake.
+    a driver-side monkeypatch would not reach).
 
-    On the real-codec path a decode FAILURE surfaces as a NULL
-    image_meta — bad data must never get plausible fake dimensions;
-    ``_fake_decode`` is reserved for the no-codec container case."""
+    Default decode ladder (all worker-side):
+      1. ``header_dimensions`` — REAL metadata decode, no codec
+         library: PNG/JPEG/GIF/BMP dimensions parsed from the container
+         header. A RECOGNIZED container with a corrupt header is bad
+         data -> NULL image_meta, never fake numbers.
+      2. unknown container + PIL importable -> PIL decode (failure ->
+         NULL).
+      3. unknown container, no codec in the environment -> the
+         clearly-marked deterministic ``_fake_decode`` stub, so the
+         Arrow plumbing stays exercisable in codec-less containers."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("image_meta", IMAGE_META)])
-    real = opener if opener is not None else (_pil_open if _have_pil() else None)
+    pil = _have_pil()
+
+    def default_decode(data):
+        try:
+            return header_dimensions(data)
+        except UnknownContainer:
+            if pil:
+                return _pil_open(data)  # failure propagates -> NULL
+            return _fake_decode(data)
+
+    real = opener if opener is not None else default_decode
 
     def stage(batches) -> Iterator:
         for pdf in batches:
             metas = []
             for data in pdf[binary_col]:
-                if real is not None:
-                    try:
-                        w, h, fmt = real(data)
-                        metas.append({"width": w, "height": h, "format": fmt})
-                    except Exception:
-                        metas.append(None)
-                else:
-                    w, h, fmt = _fake_decode(data)
+                try:
+                    w, h, fmt = real(data)
                     metas.append({"width": w, "height": h, "format": fmt})
+                except Exception:
+                    metas.append(None)
             pdf = pdf.copy()
             pdf["image_meta"] = metas
             yield pdf

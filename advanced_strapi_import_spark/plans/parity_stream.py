@@ -200,3 +200,39 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ST.incremental_dedup_stream(corpus_bands, arriving)
+
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 1024) + 1 AS INT) AS width,
+       CAST((n_chars % 1024) + 1 AS INT) AS height,
+       'PNG' AS format
+FROM documents
+""",
+    doc="REAL image-metadata decode (no codec library): a valid PNG "
+        "header is synthesized per doc (width/height derived from doc "
+        "fields), pushed through the Arrow mapInPandas decode stage, "
+        "and header_dimensions parses the IHDR back — the oracle "
+        "predicts the dimensions arithmetically.",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import decode_image_meta
+
+    d = load(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1024 + 1).cast("int")
+    h = (F.col("n_chars") % 1024 + 1).cast("int")
+    be32 = lambda c: F.unhex(F.lpad(F.lower(F.hex(c)), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig + len + IHDR
+        be32(w), be32(h),
+        F.unhex(F.lit("0802000000")),  # bit depth / color / rest of IHDR
+    )
+    decoded = decode_image_meta(d.select("doc_id", png.alias("content")))
+    return decoded.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.format").alias("format"),
+    )

@@ -88,3 +88,50 @@ def test_real_codec_branch_and_corrupt_null(spark):
     assert result[1] is not None and result[1]["width"] == 7
     assert result[1]["height"] == 14 and result[1]["format"] == "PNG"
     assert result[2] is None
+
+
+def test_header_dimensions_real_decode():
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert MM.header_dimensions(png) == (640, 480, "PNG")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert MM.header_dimensions(gif) == (320, 200, "GIF")
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert MM.header_dimensions(bmp) == (100, 50, "BMP")  # top-down abs()
+
+    # JPEG: SOI, APP0 segment, SOF0 with height=24 width=32
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 24, 32) + b"\x03\x00\x00\x00")
+    assert MM.header_dimensions(jpeg) == (32, 24, "JPEG")
+
+    import pytest
+
+    with pytest.raises(MM.UnknownContainer):
+        MM.header_dimensions(b"plain text payload")
+    # recognized container, corrupt header -> ValueError but NOT unknown
+    with pytest.raises(ValueError) as exc:
+        MM.header_dimensions(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    assert not isinstance(exc.value, MM.UnknownContainer)
+
+
+def test_decode_image_meta_header_sniff_in_spark(spark):
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(corrupt_png)), (3, bytearray(b"\x00" * 10))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r["image_meta"]
+           for r in MM.decode_image_meta(df).collect()}
+    assert got[1]["width"] == 640 and got[1]["format"] == "PNG"  # real decode
+    assert got[2] is None                                        # corrupt -> NULL
+    assert got[3]["format"] == "fake"                            # unknown, no codec
