@@ -862,3 +862,105 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(qv).alias("q_max"),
         F.array_min(qv).alias("q_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped retrieval scoring (integer fixed-point, exact cross-engine)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["hash", "merge", "scan"]
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT f.doc_id,
+         ((88 * s.t * f.tf * 1000000)
+          // (40 * s.t * f.tf + 12 * s.t + 36 * l.dl * s.n))
+         * (((s.n - d.df) * 2 + 1) * 1000000 // (d.df * 2 + 1))
+         // 1000000 AS term_score
+  FROM tf f
+  JOIN dl l USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN stats s
+  WHERE f.term IN ('hash', 'merge', 'scan')),
+totals AS (
+  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
+FROM totals
+ORDER BY score_ppm DESC, doc_id LIMIT 10
+""",
+    doc="BM25-shaped retrieval: Okapi tf saturation + length "
+        "normalization (k1=1.2, b=0.75) and a RATIONAL idf — all in "
+        "exact fixed-point BIGINT arithmetic (score_ppm = "
+        "tfnorm * idf, each scaled 1e6), so both engines agree "
+        "bit-for-bit; the float-log idf is deliberately replaced by "
+        "its rational core (N-df+.5)/(df+.5), documented divergence "
+        "from textbook BM25. Plan: tf/dl/df aggregates, stats and the "
+        "3-term query set broadcast, one top-k window.",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        tf.filter(F.col("term").isin(_BM25_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        # `div` is true integral division (same as DuckDB //) — the
+        # double-division-then-floor alternative silently loses
+        # exactness past 2^53, which a corpus-sized T*tf*1e6 reaches.
+        .select(
+            "doc_id",
+            F.expr(
+                "((88 * t * tf * 1000000) div "
+                " (40 * t * tf + 12 * t + 36 * dl * n))"
+            ).alias("__tfn_ppm"),
+            F.expr("(((n - df) * 2 + 1) * 1000000) div (df * 2 + 1)").alias(
+                "__idf_ppm"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("(__tfn_ppm * __idf_ppm) div 1000000").alias("term_score"),
+        )
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("long").alias("score_ppm")
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "score_ppm", "rnk")
+    )
