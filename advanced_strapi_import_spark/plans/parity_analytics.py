@@ -397,3 +397,43 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_scd2_history",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts, value
+  FROM events WHERE event_type = 'purchase'),
+versioned AS (
+  SELECT user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+         strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+         round(value, 2) AS value,
+         (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+           AS is_current
+  FROM changes)
+SELECT user_id, effective_from, effective_to, value, is_current
+FROM versioned
+""",
+    doc="SCD2 history build: each change event becomes a versioned row "
+        "with [effective_from, effective_to) validity and an is_current "
+        "flag — lead() over (user, ts), one shuffle on the key; the "
+        "standard warehouse pattern for dimension history at any "
+        "scale.",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return e.select(
+        "user_id",
+        F.date_format("ts", fmt).alias("effective_from"),
+        F.date_format(nxt, fmt).alias("effective_to"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
