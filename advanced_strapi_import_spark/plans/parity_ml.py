@@ -978,3 +978,63 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "score_ppm", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction: first-merge pair frequencies
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+words AS (SELECT term FROM toks WHERE term <> ''),
+chars AS (
+  SELECT term, regexp_extract_all(term, '.') AS cs FROM words),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(cs)),
+                               i -> cs[i] || cs[i + 1])) AS pair
+  FROM chars WHERE len(cs) >= 2),
+counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+FROM counted
+ORDER BY n DESC, pair LIMIT 20
+""",
+    doc="BPE vocabulary induction, step 1: adjacent character-pair "
+        "frequencies over all corpus word occurrences — the argmax "
+        "pair is the first BPE merge. Explode words -> in-place pair "
+        "expansion (JVM transform, no per-char rows until the explode) "
+        "-> one count shuffle -> top-20. The iteration loop of full "
+        "BPE training repeats this with merged symbols.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cs = F.split(F.col("term"), "")
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.size(cs) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - 1),
+                    lambda i: F.concat(
+                        F.element_at(cs, i), F.element_at(cs, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+        .select("pair", "n", "rnk")
+    )
