@@ -88,6 +88,11 @@ def tune(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # a vanilla session's 200 shuffle partitions cost pure
+        # scheduling overhead at correctness-check scale; AQE still
+        # owns runtime parallelism above this floor
+        ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)
