@@ -45,11 +45,14 @@ _FIRST = [
     "q22_global_sales_opportunity",
     "seq_pack_chunks", "contamination_8gram", "sample_stratified",
     "doc_rarity", "corpus_mix_weights", "fuzzy_edit_pairs", "strip_markup",
+    # the two rows-only -> bound-check conversions (VERDICT item 3)
+    # must not fall off a 50-query window, so they precede this
+    # round's net-new queries
+    "embedding_ivf_topk", "events_approx_users",
     "doc_gopher_quality", "dedup_incremental", "stream_dedup_incremental",
     "dedup_keep_best", "events_anomaly_zscore", "embedding_quantize",
     "multimodal_image_meta", "doc_bm25_topk", "events_scd2_history",
     "bpe_merge_candidates",
-    "embedding_ivf_topk", "events_approx_users",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).
