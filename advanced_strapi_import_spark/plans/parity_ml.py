@@ -1038,3 +1038,36 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("pair", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_confusion",
+    oracle=(
+        # _lang_sql is "WITH f AS (...)\nSELECT ... FROM f"; lift its
+        # final SELECT into a pred CTE and aggregate against the labels
+        _lang_sql().rsplit("\nSELECT", 1)[0]
+        + ",\npred AS (SELECT"
+        + _lang_sql().rsplit("\nSELECT", 1)[1]
+        + """)
+SELECT d.lang AS label, p.lang_pred AS pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+    ),
+    doc="Classifier evaluation: the labeled lang column crossed with "
+        "the stopword-argmax prediction — a confusion matrix as one "
+        "groupBy; the shape every model-eval job reduces to, and the "
+        "precision/recall source for the lang-ID heuristic.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pred = d.select("doc_id", TX.lang_id(F.col("text")).alias("pred"))
+    return (
+        d.select("doc_id", F.col("lang").alias("label"))
+        .join(pred, "doc_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
