@@ -258,3 +258,52 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     feats = TX.gopher_rules(F.col("text"))
     return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k FROM counts),
+w AS (
+  SELECT source,
+         CAST(floor((1.0 / k) / (n_docs / total) * 1000000) AS BIGINT)
+           AS weight_ppm
+  FROM counts, tot),
+planned AS (
+  SELECT d.doc_id, d.source, w.weight_ppm,
+         ('0x' || substr(md5('epoch0:' || d.doc_id), 1, 15))::BIGINT
+           % 1000000 AS draw
+  FROM documents d JOIN w USING (source))
+SELECT doc_id, source,
+       CAST(weight_ppm // 1000000
+            + CASE WHEN draw < weight_ppm % 1000000 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_copies
+FROM planned
+""",
+    doc="Epoch replication plan: each doc's copy count for one training "
+        "epoch = floor(mix weight) + a hash-thresholded extra copy for "
+        "the fractional part (deterministic stochastic rounding — no "
+        "RNG, reproducible across engines and runs; per-source expected "
+        "copy mass equals the target mixture). Broadcast weight join, "
+        "zero extra shuffles; n_copies=0 means the doc sits out the "
+        "epoch (down-sampling).",
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.dedup import hash64
+
+    d = load(spark, sf_dir, "documents")
+    w = CU.mix_weights(d, strata_col="source").select("source", "weight_ppm")
+    draw = hash64(F.concat(F.lit("epoch0:"), F.col("doc_id"))) % 1_000_000
+    return (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "doc_id", "source",
+            (
+                F.expr("weight_ppm div 1000000")
+                + F.when(draw < F.col("weight_ppm") % 1_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_copies"),
+        )
+    )
