@@ -1071,3 +1071,56 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup: docs that are substrings of another doc
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id)
+SELECT c.id_a AS contained_id, c.id_b AS container_id
+FROM cand c
+JOIN corpus x ON x.id = c.id_a
+JOIN corpus y ON y.id = c.id_b
+WHERE length(x.text) < length(y.text) AND position(x.text IN y.text) > 0
+UNION ALL
+SELECT c.id_b, c.id_a
+FROM cand c
+JOIN corpus x ON x.id = c.id_b
+JOIN corpus y ON y.id = c.id_a
+WHERE length(x.text) < length(y.text) AND position(x.text IN y.text) > 0
+""",
+    doc="Containment dedup: a doc strictly contained in a longer doc "
+        "is a duplicate even when shingle Jaccard is low. The "
+        "substring test runs ONLY on LSH candidate pairs (shared band "
+        "table), so the quadratic arm stays bucket-bounded; texts join "
+        "back to the narrow pair list after candidate dedup.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    xa = corpus.select(F.col("id").alias("id_a"), F.col("text").alias("__ta"))
+    xb = corpus.select(F.col("id").alias("id_b"), F.col("text").alias("__tb"))
+    joined = pairs.join(xa, "id_a").join(xb, "id_b")
+    a_in_b = joined.filter(
+        (F.length("__ta") < F.length("__tb"))
+        & (F.instr(F.col("__tb"), F.col("__ta")) > 0)
+    ).select(
+        F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id")
+    )
+    b_in_a = joined.filter(
+        (F.length("__tb") < F.length("__ta"))
+        & (F.instr(F.col("__ta"), F.col("__tb")) > 0)
+    ).select(
+        F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id")
+    )
+    return a_in_b.unionByName(b_in_a)
