@@ -437,3 +437,48 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "events_key_skew_stats",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key)
+SELECT p.user_id, p.n,
+       CAST(p.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(p.n * t.n_keys * 100 // t.total AS BIGINT) AS x_uniform_pct,
+       CAST(row_number() OVER (ORDER BY p.n DESC, p.user_id) AS INT) AS rnk
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.n DESC, p.user_id LIMIT 10
+""",
+    doc="Skew diagnosis: the 10 heaviest grouping keys with their share "
+        "(ppm) and multiple-of-uniform-share (pct, exact integer math) "
+        "— the observability that decides when an aggregation/join "
+        "needs salting or AQE skew handling. One count shuffle plus a "
+        "1-row broadcast of the totals.",
+)
+def events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id", "n",
+            F.expr("(n * 1000000) div total").alias("share_ppm"),
+            F.expr("(n * n_keys * 100) div total").alias("x_uniform_pct"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )

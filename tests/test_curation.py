@@ -263,3 +263,25 @@ def test_dedup_keep_best_semantics(spark):
     assert rows[1].cluster == 1 and rows[2].cluster == 1
     assert rows[2].is_kept and not rows[1].is_kept  # longer wins
     assert rows[3].cluster == 3 and rows[3].is_kept  # singleton keeps itself
+
+
+def test_incremental_candidates_broadcast_plan(spark):
+    """The corpus side must NOT shuffle: the batch bands broadcast, so
+    the physical plan joins via BroadcastHashJoin with no Exchange on
+    the corpus scan path."""
+    from advanced_strapi_import_spark.operators import dedup as D
+
+    corpus = _docs(spark).select(F.col("doc_id").alias("id"), "text")
+    batch = _docs(spark).limit(20).select(
+        (F.col("doc_id") + 500000).alias("id"), "text"
+    )
+    cb = D.lsh_bands(D.minhash_signature(corpus, "text", "id"))
+    bb = D.lsh_bands(D.minhash_signature(batch, "text", "id"))
+    out = D.incremental_band_candidates(cb, bb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The candidate join must be broadcast (batch side), never a
+    # sort-merge that would shuffle the corpus band table. The band
+    # TABLE build itself (signature groupBy) legitimately shuffles —
+    # in production that table is precomputed and stored.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
