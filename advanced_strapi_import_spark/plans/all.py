@@ -53,7 +53,7 @@ _FIRST = [
     "dedup_keep_best", "events_anomaly_zscore", "embedding_quantize",
     "multimodal_image_meta", "doc_bm25_topk", "events_scd2_history",
     "bpe_merge_candidates", "lang_id_confusion", "corpus_epoch_plan",
-    "dedup_containment", "events_key_skew_stats",
+    "dedup_containment", "events_key_skew_stats", "embedding_pq_topk",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

@@ -1124,3 +1124,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id")
     )
     return a_in_b.unionByName(b_in_a)
+
+
+@query(
+    "embedding_pq_topk",
+    oracle="""
+SELECT vec_id AS query_id, TRUE AS recall_floor_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+    doc="Product-quantization ANN (ADC): vectors compress to 32 "
+        "byte-codes (seeded per-subspace k-means codebooks trained on "
+        "a driver sample); query scoring reads only the codes via "
+        "per-query distance-table lookups — no vector traffic. "
+        "Value-checked like IVF: recall vs brute-force cosine top-5 — "
+        "every query recovers >= 1 true neighbor (floor) and mean "
+        "recall >= 0.5, both booleans the oracle pins TRUE. (Measured: "
+        "mean 0.83 @ sf0.01, 0.73 @ sf0.1, per-query min 0.8 / 0.4 — "
+        "seeded training, deterministic.)",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    pq = S.pq_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    brute = S.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = (
+        pq.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    mean_recall = F.avg(F.col("hits") / 5.0).over(Window.partitionBy())
+    return per_q.select(
+        "query_id",
+        (F.col("hits") >= 1).alias("recall_floor_ok"),
+        (mean_recall >= 0.5).alias("mean_recall_ok"),
+    )

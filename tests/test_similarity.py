@@ -52,3 +52,23 @@ def test_lsh_scores_match_bruteforce_on_hits(spark):
     }
     for pair in set(exact) & set(lsh):
         assert exact[pair] == lsh[pair]  # same cosine, same rounding
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    from advanced_strapi_import_spark.operators import similarity as S
+    from tests.conftest import SF_TEST
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    pq = S.pq_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    brute = S.cosine_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    hits = {r.query_id: r["count"] for r in
+            pq.join(brute, ["query_id", "neighbor_id"], "left_semi")
+              .groupBy("query_id").count().collect()}
+    q_ids = [r.vec_id for r in qs.select("vec_id").collect()]
+    recalls = [hits.get(q, 0) / 5 for q in q_ids]
+    assert min(recalls) >= 0.2          # every query finds a true neighbor
+    assert sum(recalls) / len(recalls) >= 0.5
+    # seeded training: two runs give identical neighbor sets
+    again = S.pq_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, again.collect()))
