@@ -380,14 +380,21 @@ def pq_topk(
     books = np.empty((m, codebook, sub_d))
     for j in range(m):
         sub = sample[:, j * sub_d:(j + 1) * sub_d]
-        centers = sub[[rng.randint(len(sub))]]
-        for _ in range(codebook - 1):
-            d2min = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(2).min(1)
-            centers = np.vstack(
-                [sub[rng.choice(len(sub), p=d2min / d2min.sum())], *centers]
-            )
+        # k-means++ seeding with an incremental running min — O(n) per new
+        # center instead of O(n*k): d2min only shrinks when the NEWEST
+        # center is closer, so min-against-one replaces min-over-all.
+        # Same rng call sequence and same probabilities as the naive form.
+        centers = np.empty((codebook, sub_d))
+        centers[0] = sub[rng.randint(len(sub))]
+        d2min = ((sub - centers[0]) ** 2).sum(1)
+        for c_i in range(1, codebook):
+            centers[c_i] = sub[rng.choice(len(sub), p=d2min / d2min.sum())]
+            d2min = np.minimum(d2min, ((sub - centers[c_i]) ** 2).sum(1))
+        # Lloyd iterations via the ||x||^2 - 2x.c + ||c||^2 expansion:
+        # one matmul per pass, no (n, k, d) broadcast temp.
+        x2 = (sub * sub).sum(1)[:, None]
         for _ in range(15):
-            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(2)
+            d2 = x2 - 2.0 * (sub @ centers.T) + (centers * centers).sum(1)[None]
             assign = d2.argmin(1)
             for c_i in range(codebook):
                 members = sub[assign == c_i]
@@ -403,12 +410,21 @@ def pq_topk(
         ((q.reshape(m, 1, sub_d) - books) ** 2).sum(2) for q in q_mat
     ])  # (nq, m, codebook)
 
+    # flat view (nq, m*codebook) so a batch of codes gathers in ONE fancy
+    # index instead of a Python loop over rows
+    tables_flat = tables.reshape(len(q_ids), m * codebook)
+    b2 = (books * books).sum(2)  # (m, codebook)
+
     def _adc(v):
         mat = _norm(np.stack(v.to_numpy()))
-        sub = mat.reshape(len(mat), m, 1, sub_d)
-        codes = ((sub - books[None]) ** 2).sum(3).argmin(2)  # (B, m)
-        # dists[b, q] = sum_j tables[q, j, codes[b, j]]
-        d = np.stack([tables[:, np.arange(m), c].sum(1) for c in codes])  # (B, nq)
+        sub = mat.reshape(len(mat), m, sub_d)
+        # encode: per-subspace argmin via the matmul expansion (the x^2
+        # term is constant per (row, subspace) and drops out of argmin)
+        cross = np.einsum("bjd,jkd->bjk", sub, books)  # (B, m, codebook)
+        codes = (b2[None] - 2.0 * cross).argmin(2)  # (B, m)
+        # dists[b, q] = sum_j tables[q, j, codes[b, j]] — one gather
+        flat_codes = (np.arange(m) * codebook)[None, :] + codes  # (B, m)
+        d = tables_flat[:, flat_codes].sum(2).T  # (nq, B, m) -> (B, nq)
         return pd.Series([row for row in np.round(d, 9)])
 
     _adc.__annotations__ = {"v": pd.Series, "return": pd.Series}

@@ -1063,11 +1063,15 @@ GROUP BY d.lang, p.lang_pred
         "precision/recall source for the lang-ID heuristic.",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label and prediction live on the same row — one projection, one
+    # partial-agg shuffle; a label-table join would only be needed when
+    # predictions are materialized separately
     d = load(spark, sf_dir, "documents")
-    pred = d.select("doc_id", TX.lang_id(F.col("text")).alias("pred"))
     return (
-        d.select("doc_id", F.col("lang").alias("label"))
-        .join(pred, "doc_id")
+        d.select(
+            F.col("lang").alias("label"),
+            TX.lang_id(F.col("text")).alias("pred"),
+        )
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
