@@ -63,12 +63,20 @@ def build_repeatable_component(
     Relation-typed component fields resolve each token through the
     cascade when a target DataFrame is provided.
     """
-    splits = {cf: C.split_trim(F.col(f"`{src}`")) for cf, src in columns.items()}
+    # Materialize each field's split array ONCE per row. Higher-order
+    # functions run interpreted (outside whole-stage codegen), so a
+    # split_trim referenced inside the transform() below would re-split
+    # the source string once per element per field; hoisting the arrays
+    # into plain projected columns keeps the split in codegen and the
+    # HOF body down to try_element_at + cast.
+    arr_cols = {cf: f"__arr__{field}__{cf}" for cf in columns}
+    out = df
+    for cf, src in columns.items():
+        out = out.withColumn(arr_cols[cf], C.split_trim(F.col(f"`{src}`")))
+    splits = {cf: F.col(arr_cols[cf]) for cf in columns}
     n = F.greatest(*[F.size(s) for s in splits.values()]) if len(splits) > 1 else F.size(
         next(iter(splits.values()))
     )
-
-    out = df
     resolved_maps: dict[str, str] = {}
     if registry is not None and targets:
         for cf, src in columns.items():
@@ -101,7 +109,7 @@ def build_repeatable_component(
         for cf, src in columns.items():
             # try_element_at: out-of-range index pads null (ragged lists,
             # A3) instead of throwing under ANSI mode
-            tok = F.try_element_at(C.split_trim(F.col(f"`{src}`")), i)
+            tok = F.try_element_at(splits[cf], i)
             attr = comp_ct.attributes.get(cf, Attribute(type="string"))
             if cf in resolved_maps:
                 parts.append(
@@ -116,7 +124,9 @@ def build_repeatable_component(
         F.transform(F.sequence(F.lit(1), n), item),
     )
     # drop() matches raw names (dots included), no backticks
-    return out.drop(*columns.values(), *resolved_maps.values())
+    return out.drop(
+        *columns.values(), *arr_cols.values(), *resolved_maps.values()
+    )
 
 
 def build_single_component(

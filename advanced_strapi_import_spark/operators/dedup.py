@@ -165,22 +165,26 @@ def lsh_bands(
     folded — WITH the band id — into one 63-bit bigint. A single narrow
     join/shuffle key (8 bytes vs a 32-char md5 string), and because the
     band id is inside the hash, downstream candidate generation buckets
-    on band_hash alone."""
+    on band_hash alone.
+
+    Built as ONE pass over the signature frame — an explode of a
+    bands-length struct array — not a union of per-band projections: a
+    union re-evaluates the whole upstream signature subplan (shingle
+    explode + md5 + groupBy) once per band, quadrupling the dominant
+    map cost whenever the signature isn't already materialized."""
     rows = num_hashes // bands
-    parts = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sig.select(
-                "id",
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 hash64(F.concat_ws(",", F.lit(b), *cols)).alias("band_hash"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig.select("id", F.explode(F.array(*entries)).alias("__e")).select(
+        "id", F.col("__e.band").alias("band"), F.col("__e.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ from advanced_strapi_import_spark.caching import persist_tracked, register_share
 from advanced_strapi_import_spark.operators import dedup as D
 from advanced_strapi_import_spark.operators import similarity as S
 from advanced_strapi_import_spark.operators import text as TX
-from advanced_strapi_import_spark.plans.registry import load, query
+from advanced_strapi_import_spark.plans.registry import fan_out, load, query
 
 NUM_HASHES = 16
 BANDS = 4
@@ -40,7 +40,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("text"), F.lit(" extra token")))
         .alias("text"),
     )
-    return base.unionByName(dup)
+    # single-row-group source file -> 1 scan split; everything downstream
+    # of the corpus is per-row compute (md5-per-shingle, simhash bit
+    # sums), so spread it across the cores first
+    return fan_out(base.unionByName(dup))
 
 
 # Session-scoped materialized subplans: four registry queries
@@ -92,8 +95,10 @@ def _shared_plain_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compute the signature table once, read it from every ingest)."""
     key = (spark.sparkContext.applicationId, sf_dir, "plain_bands")
     if key not in _SHARED:
-        corpus = load(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("id"), "text"
+        corpus = fan_out(
+            load(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("id"), "text"
+            )
         )
         _SHARED[key] = D.lsh_bands(
             D.minhash_signature(corpus, "text", "id", num_hashes=NUM_HASHES),
@@ -822,13 +827,19 @@ WHERE a.id >= 500000
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 500000).alias("id"),
-        F.concat(F.col("text"), F.lit(" update")).alias("text"),
+    batch = fan_out(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 500000).alias("id"),
+            F.concat(F.col("text"), F.lit(" update")).alias("text"),
+        )
     )
-    batch_bands = D.lsh_bands(
-        D.minhash_signature(batch, "text", "id", num_hashes=NUM_HASHES),
-        num_hashes=NUM_HASHES, bands=BANDS,
+    # the batch band table feeds BOTH sides of the candidate join (the
+    # union and the broadcast) — persist so the batch is shingled once
+    batch_bands = persist_tracked(
+        D.lsh_bands(
+            D.minhash_signature(batch, "text", "id", num_hashes=NUM_HASHES),
+            num_hashes=NUM_HASHES, bands=BANDS,
+        )
     )
     return D.incremental_band_candidates(
         _shared_plain_bands(spark, sf_dir), batch_bands
@@ -1066,7 +1077,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label and prediction live on the same row — one projection, one
     # partial-agg shuffle; a label-table join would only be needed when
     # predictions are materialized separately
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return (
         d.select(
             F.col("lang").alias("label"),

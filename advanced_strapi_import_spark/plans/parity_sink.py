@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from advanced_strapi_import_spark.operators import components as CMP
 from advanced_strapi_import_spark.operators import export as X
 from advanced_strapi_import_spark.operators import upsert as U
-from advanced_strapi_import_spark.plans.registry import load, query
+from advanced_strapi_import_spark.plans.registry import fan_out, load, query
 from advanced_strapi_import_spark.schema import ContentType, Attribute
 
 
@@ -185,7 +185,9 @@ FROM exploded
         "lengths pad null; flattened back for the oracle compare.",
 )
 def component_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    # the pivot's per-element split/cast expressions are the cost here,
+    # and the single-file orders scan is one split — spread first
+    o = fan_out(load(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
     src = o.select(
         k.alias("k"),

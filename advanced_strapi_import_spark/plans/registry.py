@@ -65,6 +65,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's default parallelism —
+    placed between a scan and a compute-bound stage when the scan's
+    split count is below the core count.
+
+    The test tables are single-row-group parquet files, so Spark's
+    byte-range file splitting yields ONE input partition and every
+    per-row-heavy expression (md5-per-shingle, stopword scans, regexp
+    casts) serializes on one core. At 100 TB a table is thousands of
+    splits and this is a no-op decision — but the operator is still the
+    standard fix whenever scan parallelism < cores (few huge gzip/row
+    files, small dimension feeding a heavy UDF). The shuffle moves only
+    the scan's projected columns, priced far below the compute it
+    unlocks; do NOT use it in front of cheap scans or aggregations —
+    those are bounded by the shuffle it would add."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan with timestamp normalization. The driver's events
     parquet has shipped with two physical ts encodings; normalize both

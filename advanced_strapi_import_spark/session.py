@@ -14,6 +14,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# InferFiltersFromGenerate turns every explode(f(x)) into
+# `size(f(x)) > 0 AND isnotnull(f(x))`, and predicate pushdown then
+# drags that inferred filter below exchanges to the scan — so the whole
+# generator expression (shingle transforms, pivot builders: our most
+# expensive map-side work) is evaluated TWICE, once of those in the
+# scan stage whose parallelism is the file split count (1, for
+# single-row-group files). The inference only ever saves work when most
+# input arrays are empty, which never holds for shingles/chunks/pivots;
+# the double evaluation is a pure loss, so the rule is excluded at the
+# session level (same class of fix as SPARK-36715's cost guard).
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def get_spark(app_name: str = "advanced-strapi-import-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -49,6 +63,7 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
         # re-execution pays full Janino recompile (seconds for wide
         # plans). One class is small; keep them all.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     return builder.getOrCreate()
 
@@ -93,6 +108,7 @@ def tune(spark: SparkSession) -> SparkSession:
         # owns runtime parallelism above this floor
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
     ]:
         try:
             spark.conf.set(k, v)
