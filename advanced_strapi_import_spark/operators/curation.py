@@ -302,3 +302,66 @@ def strip_markup(text: Column) -> Column:
     for ent, rep in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# per-domain caps (source-level quota)
+# ---------------------------------------------------------------------------
+def domain_caps(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cap: int = 25,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, best-quality first —
+    the CommonCrawl-style guard against one domain flooding the mix.
+    Deterministic total order: (quality desc, id asc).
+
+    SCALE: one shuffle on the domain key; the per-domain sort is
+    window-local. A skewed mega-domain is exactly the case the cap
+    exists for — rank_limit-style early pruning applies because rows
+    ranked past ``cap`` are dropped before any further stage."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+def hash_split(
+    id_col: Column,
+    *,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """'train'/'val'/'test' by md5-bucket of the id — the standard
+    leakage-safe split: membership is a pure function of the id, stable
+    across runs, engines, and re-shards (no sampling state to persist).
+    Bucket = first 8 md5 hex chars mod 100."""
+    from advanced_strapi_import_spark.operators.dedup import hash32
+
+    bucket = hash32(id_col) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocklist filtering (C4-style banned-word gate)
+# ---------------------------------------------------------------------------
+def blocklist_hits(text: Column, blocked: list[str]) -> Column:
+    """Count of tokens in ``blocked`` (exact whitespace-token match,
+    case-sensitive — the predictable form; callers lower() both sides
+    for the insensitive variant). Single pass over the token array."""
+    return F.size(
+        F.filter(F.split(text, " "), lambda t: t.isin([*blocked]))
+    )

@@ -20,6 +20,7 @@ import advanced_strapi_import_spark.plans.parity_pipeline  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_skew  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_tpch  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_curation  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_sketch  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
@@ -54,6 +55,11 @@ _FIRST = [
     "multimodal_image_meta", "doc_bm25_topk", "events_scd2_history",
     "bpe_merge_candidates", "lang_id_confusion", "corpus_epoch_plan",
     "dedup_containment", "events_key_skew_stats", "embedding_pq_topk",
+    # round-2 net-new queries: behind the backlog above so the 50-query
+    # window r02 verifies stays the r01-unverified set; these rotate in
+    # next round
+    "events_cms_topk", "dedup_bloom_gate", "doc_domain_caps",
+    "corpus_hash_split", "doc_blocklist_filter", "embedding_semdedup",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

@@ -307,3 +307,85 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_copies"),
         )
     )
+
+
+@query(
+    "doc_domain_caps",
+    oracle="""
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 25
+""",
+    doc="Per-domain cap: keep the top-25 docs per source by "
+        "(n_chars desc, doc_id) — the guard against one domain "
+        "flooding the training mix. One shuffle on the domain key, "
+        "window-local rank, rows past the cap pruned immediately.",
+)
+def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return CU.domain_caps(d, cap=25).select(
+        "doc_id", "source", F.col("rk").cast("int").alias("rk")
+    )
+
+
+@query(
+    "corpus_hash_split",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split
+""",
+    doc="Deterministic train/val/test split (80/10/10) by md5-bucket "
+        "of doc_id — leakage-safe: membership is a pure function of "
+        "the id, stable across runs/engines/re-shards. Output is the "
+        "per-split doc and token census.",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            CU.hash_split(F.col("doc_id").cast("string")).alias("split"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_blocklist_filter",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('slow', 'dup'))) AS INT) AS n_blocked,
+       len(list_filter(string_split(text, ' '),
+                       t -> t IN ('slow', 'dup'))) > 0 AS blocked
+FROM documents
+""",
+    doc="C4-style blocklist gate: per-doc count of banned tokens "
+        "(exact whitespace-token match) and the drop verdict. One "
+        "codegen'd pass over the token array, no shuffle, no UDF.",
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hits = CU.blocklist_hits(F.col("text"), ["slow", "dup"])
+    return d.select(
+        "doc_id",
+        hits.cast("int").alias("n_blocked"),
+        (hits > 0).alias("blocked"),
+    )

@@ -1180,3 +1180,51 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hits") >= 1).alias("recall_floor_ok"),
         (mean_recall >= 0.5).alias("mean_recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style keep/drop verdicts over embeddings)
+# ---------------------------------------------------------------------------
+_SEMDEDUP_ORACLE = f"""
+WITH {_ND_CORPUS_SQL},
+{_ND_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+va AS (SELECT id AS id_a, emb AS ea FROM corpus),
+vb AS (SELECT id AS id_b, emb AS eb FROM corpus),
+pairs AS (
+  SELECT c.id_a, c.id_b, ea, eb FROM cand c JOIN va USING (id_a) JOIN vb USING (id_b)),
+expl AS (
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+dots AS (
+  SELECT id_a, id_b, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM expl GROUP BY id_a, id_b),
+dropped AS (
+  SELECT DISTINCT id_b AS id FROM dots
+  WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.9)
+SELECT c.id, d.id IS NULL AS kept
+FROM corpus c LEFT JOIN dropped d ON d.id = c.id
+"""
+
+
+@query(
+    "embedding_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="Semantic dedup (SemDeDup-shaped): per-vector keep/drop "
+        "verdicts — a vector is dropped when any LOWER-id vector in a "
+        "shared LSH bucket sits at cosine >= 0.9 (lowest id is the "
+        "cluster representative). The same multi-table LSH gating as "
+        "embedding_near_dup, materialized as the curation decision "
+        "instead of the pair list; candidate shuffle carries ids only.",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_near_dup_q(spark, sf_dir)
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"))
+    corpus = base.unionByName(base.select((F.col("id") + 100000).alias("id")))
+    return corpus.join(
+        dropped.withColumn("__d", F.lit(True)), "id", "left"
+    ).select("id", F.col("__d").isNull().alias("kept"))

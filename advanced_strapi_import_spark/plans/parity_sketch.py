@@ -1,0 +1,155 @@
+"""Sketch queries: count-min heavy hitters and Bloom-filter ingest
+gating. Both sketches use the md5-based portable hash family
+(operators/dedup.uhash_consts), so the DuckDB oracles rebuild the
+sketches bit-for-bit — exact value checks, not loose bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from advanced_strapi_import_spark.operators import sketches as SK
+from advanced_strapi_import_spark.operators.dedup import UHASH_P, uhash_consts
+from advanced_strapi_import_spark.plans.registry import load, query
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+BLOOM_K = 4
+BLOOM_M = 1 << 20
+
+
+def _h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {UHASH_P}"
+
+
+def _cms_bucket_sql(d: int) -> str:
+    a, b = uhash_consts(d)
+    return f"((h32 * {a} + {b}) % {UHASH_P}) % {CMS_WIDTH}"
+
+
+def _cms_oracle() -> str:
+    sketch_arms = "\n    UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_sql(d)} AS bucket FROM h"
+        for d in range(CMS_DEPTH)
+    )
+    probe_arms = "\n    UNION ALL ".join(
+        f"SELECT user_id, exact_cnt, {d} AS d, {_cms_bucket_sql(d)} AS bucket FROM qh"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH h AS (
+  SELECT user_id, {_h32_sql("CAST(user_id AS VARCHAR)")} AS h32 FROM events),
+sketch AS (
+  SELECT d, bucket, count(*) AS cnt FROM (
+    {sketch_arms}) GROUP BY d, bucket),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events
+  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 10),
+qh AS (
+  SELECT user_id, exact_cnt, {_h32_sql("CAST(user_id AS VARCHAR)")} AS h32 FROM exact),
+probes AS (
+    {probe_arms})
+SELECT p.user_id, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(s.cnt) AS BIGINT) AS cms_cnt,
+       min(s.cnt) >= p.exact_cnt AS over_ok
+FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+
+@query(
+    "events_cms_topk",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch heavy hitters: a 4x512 sketch built in one "
+        "map-side-combinable groupBy (constant size regardless of the "
+        "key domain), probed for the exact top-10 users. cms_cnt >= "
+        "exact_cnt always (count-min never under-counts); the oracle "
+        "rebuilds the sketch bit-for-bit from the same hash constants.",
+)
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    sketch = SK.cms_build(e, key, depth=CMS_DEPTH, width=CMS_WIDTH)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    est = SK.cms_estimate(
+        sketch, top, F.col("user_id").cast("string"),
+        depth=CMS_DEPTH, width=CMS_WIDTH,
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_cnt").cast("long").alias("cms_cnt"),
+        (F.col("cms_cnt") >= F.col("exact_cnt")).alias("over_ok"),
+    )
+
+
+def _bloom_pos_sql(i: int) -> str:
+    a, b = uhash_consts(100 + i)
+    return f"((h * {a} + {b}) % {UHASH_P}) % {BLOOM_M}"
+
+
+def _bloom_oracle() -> str:
+    corpus_arms = "\n  UNION ".join(
+        f"SELECT DISTINCT {_bloom_pos_sql(i)} AS p FROM ch"
+        for i in range(BLOOM_K)
+    )
+    pos_list = ", ".join(_bloom_pos_sql(i) for i in range(BLOOM_K))
+    return f"""
+WITH batch AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN text || ' novel' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 = 0),
+ch AS (SELECT {_h32_sql("text")} AS h FROM documents),
+cbits AS (
+  {corpus_arms}),
+bh AS (SELECT doc_id, text, {_h32_sql("text")} AS h FROM batch),
+bpos AS (SELECT doc_id, unnest([{pos_list}]) AS p FROM bh),
+hits AS (
+  SELECT doc_id, bool_and(p IN (SELECT p FROM cbits)) AS bloom_hit
+  FROM bpos GROUP BY doc_id),
+membership AS (
+  SELECT b.doc_id, b.text IN (SELECT text FROM documents) AS in_corpus
+  FROM batch b)
+SELECT h.doc_id, h.bloom_hit, m.in_corpus,
+       (h.bloom_hit OR NOT m.in_corpus) AS fn_ok
+FROM hits h JOIN membership m ON m.doc_id = h.doc_id
+"""
+
+
+@query(
+    "dedup_bloom_gate",
+    oracle=_bloom_oracle(),
+    doc="Bloom-filter ingest gate: the corpus collapses once to a "
+        "2^20-bit bitmap (128 KiB) broadcast to every executor; an "
+        "arriving batch (half duplicates, half novel) is tested "
+        "locally with zero shuffle and no corpus join. fn_ok asserts "
+        "the no-false-negative guarantee per row; the oracle rebuilds "
+        "the exact bit positions so bloom_hit (false positives "
+        "included) matches bit-for-bit.",
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" novel"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    flagged = SK.bloom_gate(d, batch, "text", k=BLOOM_K, m=BLOOM_M)
+    corpus_texts = (
+        d.select("text").distinct().withColumn("__in", F.lit(True))
+    )
+    in_corpus = F.coalesce("__in", F.lit(False))
+    return flagged.join(corpus_texts, "text", "left").select(
+        "doc_id",
+        "bloom_hit",
+        in_corpus.alias("in_corpus"),
+        (F.col("bloom_hit") | ~in_corpus).alias("fn_ok"),
+    )
