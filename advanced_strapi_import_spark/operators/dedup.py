@@ -249,6 +249,11 @@ def hamming_pairs(
     the join stays equi."""
     chunks = max_distance + 1
     chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+
+    def chunk_val(col: Column, c: int) -> Column:
+        return F.shiftright(col, c * chunk_bits).bitwiseAND(F.lit(mask))
+
     parts = []
     for c in range(chunks):
         parts.append(
@@ -256,9 +261,7 @@ def hamming_pairs(
                 "id",
                 "simhash",
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("chunk_val"),
+                chunk_val(F.col("simhash"), c).alias("chunk_val"),
             )
         )
     buckets = parts[0]
@@ -266,22 +269,29 @@ def hamming_pairs(
         buckets = buckets.unionByName(p)
     a, b = buckets.alias("a"), buckets.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    # filter on distance BEFORE the distinct: the dedup shuffle then only
-    # carries surviving pairs, not every bucket collision
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (dist <= max_distance),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dist.alias("hamming"),
-        )
-        .distinct()
+    # A pair sharing k chunks would surface k times; instead of a
+    # distinct() (which shuffles every surviving pair again, ~4x the
+    # result size), emit the pair ONLY from its lowest shared chunk:
+    # require every chunk below the join chunk to differ. Both full
+    # fingerprints ride the join, so the guard is a cheap post-join
+    # predicate inside the bucket — the dedup costs zero exchanges.
+    lowest = F.lit(True)
+    for c in range(chunks - 1):
+        lowest = lowest & F.when(
+            F.col("a.chunk") > c,
+            chunk_val(F.col("a.simhash"), c) != chunk_val(F.col("b.simhash"), c),
+        ).otherwise(F.lit(True))
+    return a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (dist <= max_distance)
+        & lowest,
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        dist.alias("hamming"),
     )
 
 

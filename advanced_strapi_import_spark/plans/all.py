@@ -60,6 +60,9 @@ _FIRST = [
     # next round
     "events_cms_topk", "dedup_bloom_gate", "doc_domain_caps",
     "corpus_hash_split", "doc_blocklist_filter", "embedding_semdedup",
+    "events_transition_matrix", "events_median_mad",
+    "vocab_zipf_coverage", "diversity_ngram_ratio",
+    "retrieval_rrf_fusion", "minhash_est_error",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

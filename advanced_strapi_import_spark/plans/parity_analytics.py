@@ -482,3 +482,103 @@ def events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+m AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+FROM m
+""",
+    doc="Markov transition matrix over per-user event sequences: "
+        "lag(event_type) within the (user_id, ts) window, then a "
+        "global count per (prev, next). One shuffle on user_id (the "
+        "window), one on the tiny matrix key; the share window runs "
+        "over the |types|^2-row result, not the events. The standard "
+        "product-analytics path model.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    m = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy()
+    return m.select(
+        "prev_type", "next_type", "n",
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        F.sum("n").over(tot).alias("__tot"),
+    ).select(
+        "prev_type", "next_type", "n",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
+
+
+@query(
+    "events_median_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - med.med) AS adev, med.med AS med
+  FROM events e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       round(max(dev.med), 2) AS med,
+       round(max(mad.mad), 2) AS mad,
+       CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+    doc="Robust outlier detection per event type: median + MAD "
+        "(median absolute deviation) and the count of points beyond "
+        "3*MAD — immune to the outliers that wreck mean/stddev "
+        "z-scores. Exact interpolated medians (Spark `percentile` == "
+        "DuckDB `quantile_cont`; median picks/averages two sorted "
+        "elements — IEEE-exact, no transcendental drift). Two grouped "
+        "median passes + a broadcast join of the 5-row stats; at "
+        "100 TB swap percentile for approx_percentile, same shape.",
+)
+def events_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 2).alias("med"),
+            F.round(F.max("mad"), 2).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -389,3 +389,107 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("int").alias("n_blocked"),
         (hits > 0).alias("blocked"),
     )
+
+
+@query(
+    "vocab_zipf_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+  FROM counts)
+SELECT tok, cnt, CAST(rnk AS INT) AS rnk,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(sum(cnt) OVER (ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // total AS BIGINT) AS cum_ppm
+FROM ranked, tot
+WHERE rnk <= 50
+""",
+    doc="Zipf head of the corpus vocabulary: top-50 tokens with rank, "
+        "ppm share, and CUMULATIVE coverage — the tokenizer-design "
+        "query (how much of the stream do k types cover). The global "
+        "rank window runs on the top-50 slice only: counts are "
+        "aggregated, top-k'd via orderBy+limit (2-phase top-k, no "
+        "single-task sort of the vocabulary), then ranked; the "
+        "corpus-total is a 1-row broadcast.",
+)
+def vocab_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(50)
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    cum = (
+        Window.orderBy(F.col("cnt").desc(), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .withColumn("__cum", F.sum("cnt").over(cum))
+        .join(F.broadcast(total))
+        .select(
+            "tok", "cnt", "rnk",
+            F.expr("cnt * 1000000 div total").cast("long").alias("share_ppm"),
+            F.expr("__cum * 1000000 div total").cast("long").alias("cum_ppm"),
+        )
+    )
+
+
+@query(
+    "diversity_ngram_ratio",
+    oracle="""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS tk FROM documents),
+expl AS (
+  SELECT source, tk,
+         unnest(range(1, greatest(len(tk) - 1, 1))) AS i
+  FROM t),
+grams AS (
+  SELECT source, array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+  FROM expl)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       CAST(count(DISTINCT gram) * 1000000 // count(*) AS BIGINT)
+         AS diversity_ppm
+FROM grams GROUP BY source
+""",
+    doc="N-gram diversity per source: distinct/total trigram ratio — "
+        "the memorization/templated-content signal (low ratio = "
+        "repetitive source; the self-BLEU axis of corpus QA). "
+        "Trigram explode + one grouped count-distinct (partial "
+        "aggregation map-side); at 100 TB swap the exact distinct for "
+        "approx_count_distinct — same plan, bounded state.",
+)
+def diversity_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", F.split("text", " ").alias("tk"))
+    # docs with < 3 tokens have no trigram (oracle's range(1, max(n-1,1))
+    # is empty for them) — filter before the explode, don't special-case
+    expl = t.filter(F.size("tk") >= 3).select(
+        "source", "tk",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 2)).alias("i"),
+    )
+    grams = expl.select(
+        "source", F.concat_ws(" ", F.expr("slice(tk, i, 3)")).alias("gram")
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+        F.expr("count(distinct gram) * 1000000 div count(*)")
+         .cast("long").alias("diversity_ppm"),
+    )

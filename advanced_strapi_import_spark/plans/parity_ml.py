@@ -894,11 +894,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BM25_TERMS = ["hash", "merge", "scan"]
 
-
-@query(
-    "doc_bm25_topk",
-    oracle=f"""
-WITH toks AS (
+# Shared oracle fragment: per-doc BM25 totals over _BM25_TERMS —
+# consumed by doc_bm25_topk and retrieval_rrf_fusion.
+_BM25_TOTALS_SQL = """
+toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents),
 tf AS (
@@ -924,6 +923,13 @@ scored AS (
 totals AS (
   SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_ppm
   FROM scored GROUP BY doc_id)
+"""
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+WITH {_BM25_TOTALS_SQL.strip()}
 SELECT doc_id, score_ppm,
        CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rnk
 FROM totals
@@ -941,6 +947,19 @@ ORDER BY score_ppm DESC, doc_id LIMIT 10
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    totals = _bm25_totals(spark, sf_dir)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "score_ppm", "rnk")
+    )
+
+
+def _bm25_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fixed-point BM25 totals over _BM25_TERMS (docs with at
+    least one query-term hit) — the Spark twin of _BM25_TOTALS_SQL."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -979,15 +998,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(__tfn_ppm * __idf_ppm) div 1000000").alias("term_score"),
         )
     )
-    totals = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("term_score").cast("long").alias("score_ppm")
-    )
-    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
-    return (
-        totals.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .orderBy(F.col("score_ppm").desc(), "doc_id")
-        .limit(10)
-        .select("doc_id", "score_ppm", "rnk")
     )
 
 
@@ -1228,3 +1240,196 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(
         dropped.withColumn("__d", F.lit(True)), "id", "left"
     ).select("id", F.col("__d").isNull().alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# sketch-accuracy evaluation: minhash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+def _est_matches_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END"
+        for s in range(NUM_HASHES)
+    )
+    return f"""
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+est AS (
+  SELECT c.id_a, c.id_b, CAST({terms} AS BIGINT) AS matches
+  FROM cand c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b)"""
+
+
+@query(
+    "minhash_est_error",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+{_est_matches_sql()},
+shh AS (SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+inter AS (
+  SELECT e.id_a, e.id_b, count(*) AS i
+  FROM est e
+  JOIN shh a ON a.id = e.id_a
+  JOIN shh b ON b.id = e.id_b AND b.sh = a.sh
+  GROUP BY e.id_a, e.id_b)
+SELECT e.id_a, e.id_b,
+       CAST(e.matches * 1000000 // {NUM_HASHES} AS BIGINT) AS est_ppm,
+       CAST(coalesce(i.i, 0) * 1000000
+            // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS jaccard_ppm,
+       CAST(abs(e.matches * 1000000 // {NUM_HASHES}
+                - coalesce(i.i, 0) * 1000000
+                  // (sa.n + sb.n - coalesce(i.i, 0))) AS BIGINT) AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes sa ON sa.id = e.id_a
+JOIN sizes sb ON sb.id = e.id_b
+""",
+    doc="Sketch-accuracy audit: per LSH-candidate pair, the MinHash(16) "
+        "similarity estimate (matching signature positions / 16) "
+        "against the exact shingle Jaccard, with the absolute error — "
+        "all in integer ppm so cross-engine hashes are exact. This is "
+        "the query you run before trusting a sketch at 100 TB: it "
+        "reuses the persisted shingle/band subplans (no re-explode) "
+        "and only ever scores LSH candidates, never all pairs.",
+)
+def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shared_shingles(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    sigs = D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{s}").alias(f"__a{s}") for s in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{s}").alias(f"__b{s}") for s in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"__a{s}") == F.col(f"__b{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", matches.cast("long").alias("matches"))
+    )
+    shh = sh.select("id", F.col("sh64").alias("sh"))
+    sizes = shh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    b = shh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))
+    inter = (
+        est.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("__idb"))
+              & (F.col("__sha") == F.col("__shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+              "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+              "id_b")
+        .withColumn("__i", F.coalesce(F.col("i"), F.lit(0)))
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.expr(f"matches * 1000000 div {NUM_HASHES}").cast("long")
+         .alias("est_ppm"),
+        F.expr("__i * 1000000 div (na + nb - __i)").cast("long")
+         .alias("jaccard_ppm"),
+        F.expr(f"abs(matches * 1000000 div {NUM_HASHES}"
+               " - __i * 1000000 div (na + nb - __i))").cast("long")
+         .alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and rarity rankers
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_TOTALS_SQL.strip()},
+rtoks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+rt2 AS (SELECT * FROM rtoks WHERE tok <> ''),
+rcounts AS (SELECT tok, count(*) AS cnt FROM rt2 GROUP BY tok),
+rar AS (
+  SELECT doc_id,
+         CAST(floor(sum(floor(1000000 / cnt)) / count(*)) AS BIGINT)
+           AS rarity_mean
+  FROM rt2 JOIN rcounts USING (tok) GROUP BY doc_id),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk_bm25
+  FROM totals),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY rarity_mean DESC, doc_id) AS rnk_rarity
+  FROM rar),
+fused AS (
+  SELECT doc_id,
+         CAST(ra.rnk_bm25 AS INT) AS rnk_bm25,
+         CAST(rb.rnk_rarity AS INT) AS rnk_rarity,
+         CAST(coalesce(1000000 // (60 + ra.rnk_bm25), 0)
+              + coalesce(1000000 // (60 + rb.rnk_rarity), 0) AS BIGINT)
+           AS rrf_ppm
+  FROM (SELECT * FROM ra WHERE rnk_bm25 <= 1000) ra
+  FULL OUTER JOIN (SELECT * FROM rb WHERE rnk_rarity <= 1000) rb
+    USING (doc_id))
+SELECT doc_id, rnk_bm25, rnk_rarity, rrf_ppm,
+       CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rnk
+FROM fused
+ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+""",
+    doc="Hybrid retrieval: reciprocal-rank fusion (k=60, integer "
+        "1e6//(k+rank) so both engines agree exactly) of the BM25 "
+        "lexical ranker and the unigram-rarity ranker, each capped at "
+        "its top-1000 list (standard RRF practice — and what keeps the "
+        "rank window bounded at 100 TB: rank only the per-ranker top-k "
+        "survivors via 2-phase top-k, never a global sort of the "
+        "corpus). Full-outer join on doc_id, missing list membership "
+        "contributes 0.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from advanced_strapi_import_spark.operators import curation as CU
+
+    d = load(spark, sf_dir, "documents")
+    totals = _bm25_totals(spark, sf_dir)
+    rar = CU.doc_rarity(d).select("doc_id", "rarity_mean")
+    wa = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    wb = Window.orderBy(F.col("rarity_mean").desc(), F.col("doc_id"))
+    ra = (
+        totals.withColumn("rnk_bm25", F.row_number().over(wa).cast("int"))
+        .filter(F.col("rnk_bm25") <= 1000)
+        .select("doc_id", "rnk_bm25")
+    )
+    rb = (
+        rar.withColumn("rnk_rarity", F.row_number().over(wb).cast("int"))
+        .filter(F.col("rnk_rarity") <= 1000)
+        .select("doc_id", "rnk_rarity")
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id", "rnk_bm25", "rnk_rarity",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rnk_bm25)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rnk_rarity)"), F.lit(0))
+        ).cast("long").alias("rrf_ppm"),
+    )
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("rrf_ppm").desc(), "doc_id")
+        .limit(10)
+    )
