@@ -21,6 +21,7 @@ import advanced_strapi_import_spark.plans.parity_skew  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_tpch  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_curation  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_sketch  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_quality  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
@@ -63,6 +64,8 @@ _FIRST = [
     "events_transition_matrix", "events_median_mad",
     "vocab_zipf_coverage", "diversity_ngram_ratio",
     "retrieval_rrf_fusion", "minhash_est_error",
+    "table_column_stats", "fk_integrity_check", "snapshot_diff",
+    "events_ohlc_bars",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).
