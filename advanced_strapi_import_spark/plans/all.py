@@ -65,7 +65,7 @@ _FIRST = [
     "vocab_zipf_coverage", "diversity_ngram_ratio",
     "retrieval_rrf_fusion", "minhash_est_error",
     "table_column_stats", "fk_integrity_check", "snapshot_diff",
-    "events_ohlc_bars",
+    "events_ohlc_bars", "dedup_pagerank", "sample_weighted",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

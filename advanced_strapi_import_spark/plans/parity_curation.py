@@ -493,3 +493,50 @@ def diversity_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count(distinct gram) * 1000000 div count(*)")
          .cast("long").alias("diversity_ppm"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('ws:' || doc_id), 1, 8))::BIGINT % 1000000000
+           AS draw
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_chars, draw,
+         CAST(draw * 1000 // n_chars AS BIGINT) AS sample_key
+  FROM keyed)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, sample_key,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key, doc_id) AS rnk
+  FROM scored)
+WHERE rnk <= 50
+""",
+    doc="Weighted sampling without replacement (probability ~ doc "
+        "length): each doc gets the deterministic priority key "
+        "draw*1000//weight (draw = md5-hash in [0,1e9); the integer "
+        "twin of the Efraimidis-Spirakis exponential key) and the 50 "
+        "smallest keys win. Map-side key computation + one 2-phase "
+        "top-k (orderBy+limit) — no global sort materialized, no RNG, "
+        "re-runs and engines agree exactly.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from advanced_strapi_import_spark.operators.dedup import hash32
+
+    d = load(spark, sf_dir, "documents")
+    draw = hash32(F.concat(F.lit("ws:"), F.col("doc_id"))) % 1_000_000_000
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        draw.alias("__draw"),
+    ).select(
+        "doc_id", "weight",
+        F.expr("__draw * 1000 div weight").cast("long").alias("sample_key"),
+    )
+    top = scored.orderBy("sample_key", "doc_id").limit(50)
+    w = Window.orderBy("sample_key", "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -1433,3 +1433,82 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_ppm").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the LSH candidate-pair graph (iterative, integer-exact)
+# ---------------------------------------------------------------------------
+def _pagerank_iters_sql(n_iters: int) -> str:
+    its = ["it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)"]
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n.id,
+         CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(r.r // d.deg) AS s
+    FROM edges e
+    JOIN it{i - 1} r ON r.id = e.src
+    JOIN deg d ON d.id = e.src
+    GROUP BY e.dst) c ON c.id = n.id)""")
+    return ",\n".join(its)
+
+
+@query(
+    "dedup_pagerank",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT id FROM corpus),
+{_pagerank_iters_sql(3)}
+SELECT id, r AS rank_ppm FROM it3
+""",
+    doc="PageRank (3 iterations, damping 0.85) over the symmetrized "
+        "MinHash-LSH candidate graph — centrality inside near-dup "
+        "neighborhoods (high rank = hub of a template family). All "
+        "arithmetic is integer ppm with floor division, so every "
+        "iteration is bit-identical across engines (the oracle unrolls "
+        "the same three iterations). Spark side: edges+degrees built "
+        "once from the persisted band table and persisted; each "
+        "iteration is one join+groupBy (shuffle on dst) against the "
+        "full node list — the bounded-lineage loop shape of "
+        "connected_components, applied to ranking.",
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    edges = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = persist_tracked(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    src_deg = persist_tracked(
+        edges.join(deg, "src").select("src", "dst", "deg")
+    )
+    nodes = _corpus(spark, sf_dir).select("id")
+    ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            src_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("r div deg")).alias("s"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(150000)
+             + F.expr("(850 * coalesce(s, 0)) div 1000")).cast("long")
+            .alias("r"),
+        )
+    return ranks.select("id", F.col("r").alias("rank_ppm"))
