@@ -582,3 +582,183 @@ def events_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "events_watermark_drops",
+    oracle="""
+WITH a AS (
+  SELECT event_type, event_id, ts,
+         max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (hwm IS NOT NULL AND
+              epoch_us(ts) < epoch_us(hwm) - 1800000000) AS BIGINT) AS n_late,
+       CAST(count(*) FILTER (hwm IS NOT NULL AND
+              epoch_us(ts) < epoch_us(hwm) - 1800000000)
+            * 1000000 // count(*) AS BIGINT) AS late_ppm
+FROM a GROUP BY event_type
+""",
+    doc="Watermark-drop audit (batch twin of streaming late-data "
+        "semantics): arrival order is event_id within each event_type "
+        "'partition' (the per-Kafka-partition watermark model); an "
+        "event is LATE when its ts trails the partition's running-max "
+        "ts by over 30 minutes at arrival. Emits the per-partition "
+        "late census — the query you run before choosing a watermark "
+        "delay, because it prices exactly how much data each candidate "
+        "threshold would drop. One shuffle on the partition key; the "
+        "running max is a bounded window, no self-join.",
+)
+def events_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = e.select(
+        "event_type", "ts",
+        F.max("ts").over(w).alias("hwm"),
+    )
+    late = F.when(
+        F.col("hwm").isNotNull()
+        & (F.unix_micros("ts") < F.unix_micros("hwm") - 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        a.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(late).cast("long").alias("n_late"),
+        )
+        .select(
+            "event_type", "n_events", "n_late",
+            F.expr("n_late * 1000000 div n_events").cast("long")
+             .alias("late_ppm"),
+        )
+    )
+
+
+@query(
+    "user_rfm_segments",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+hi AS (SELECT max(ts) AS now_ts FROM p),
+base AS (
+  SELECT user_id,
+         CAST((epoch_us(hi.now_ts) - epoch_us(max(ts))) // 86400000000
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM p CROSS JOIN hi GROUP BY user_id, hi.now_ts),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m
+  FROM base)
+SELECT user_id, recency_days, frequency, monetary, r, f, m,
+       CAST(r * 100 + f * 10 + m AS INT) AS rfm
+FROM scored
+""",
+    doc="RFM segmentation over purchase events: per-user recency "
+        "(days since last purchase vs corpus max), frequency, monetary "
+        "sum, each quintiled with ntile(5) (deterministic total order "
+        "with user_id tie-break), combined into the classic 3-digit "
+        "RFM code. The ntile windows rank the per-user aggregate "
+        "(dim-sized, not event-sized); at 100 TB replace exact ntile "
+        "with approx_percentile quintile boundaries broadcast back — "
+        "same output contract.",
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase")
+    hi = p.agg(F.max("ts").alias("now_ts"))
+    base = (
+        p.join(F.broadcast(hi))
+        .groupBy("user_id", "now_ts")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_micros(now_ts) - unix_micros(last_ts)) div 86400000000"
+            ).cast("long").alias("recency_days"),
+            "frequency", "monetary",
+        )
+    )
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r"),
+        F.ntile(5).over(f_w).cast("int").alias("f"),
+        F.ntile(5).over(m_w).cast("int").alias("m"),
+    )
+    return scored.withColumn(
+        "rfm", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )
+
+
+@query(
+    "orders_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT sum(revenue) AS total FROM rev),
+deciled AS (
+  SELECT o_custkey, revenue,
+         CAST(ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS INT)
+           AS decile
+  FROM rev)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(revenue), 2) AS revenue,
+       CAST(floor(sum(revenue) / tot.total * 1000000) AS BIGINT) AS share_ppm
+FROM deciled CROSS JOIN tot
+GROUP BY decile, tot.total
+""",
+    doc="Pareto / concentration analysis: customers deciled by total "
+        "order revenue (ntile over the customer-dim aggregate, "
+        "deterministic tie-break), per-decile customer count, revenue "
+        "and ppm share of the whole book — the 80/20 query. The "
+        "decile window ranks the aggregated dim, never the fact "
+        "table; the total is a 1-row broadcast.",
+)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    deciled = rev.select(
+        "o_custkey", "revenue", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    return (
+        deciled.join(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .select(
+            "decile", "n_customers", "revenue",
+            F.floor(F.col("revenue") / F.col("total") * 1_000_000)
+             .cast("long").alias("share_ppm"),
+        )
+    )

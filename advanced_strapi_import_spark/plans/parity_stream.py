@@ -234,3 +234,41 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.format").alias("format"),
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         strftime(ts - to_microseconds(epoch_us(ts) % 300000000),
+                  '%Y-%m-%d %H:%M:%S') AS bar_start,
+         ts, event_id, value
+  FROM events),
+w AS (
+  SELECT event_type, bar_start, value,
+         first_value(value) OVER win AS open,
+         last_value(value) OVER
+           (PARTITION BY event_type, bar_start ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS close
+  FROM b
+  WINDOW win AS (PARTITION BY event_type, bar_start ORDER BY ts, event_id))
+SELECT event_type, bar_start,
+       round(max(open), 2) AS open,
+       round(max(close), 2) AS close,
+       round(min(value), 2) AS low,
+       round(max(value), 2) AS high,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY event_type, bar_start
+""",
+    doc="Streaming OHLC: the continuous-aggregate face of "
+        "events_ohlc_bars — watermarked 5-minute windows with "
+        "min_by/max_by((ts,event_id)) open/close (ordered window "
+        "functions are illegal on streams; the declarative arg-min/max "
+        "twin computes the identical value). Drained availableNow "
+        "result hash-equals the batch/DuckDB answer.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(ST.ohlc_agg(stream))

@@ -94,6 +94,33 @@ def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def ohlc_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 5-minute OHLC bars — the streaming face of
+    events_ohlc_bars. open/close are min_by/max_by over the
+    (ts, event_id) struct (deterministic, declarative — legal inside a
+    streaming aggregation, unlike ordered window functions), so the
+    drained stream equals the batch first/last-in-bar answer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.round(F.expr("min_by(value, struct(ts, event_id))"), 2)
+             .alias("open"),
+            F.round(F.expr("max_by(value, struct(ts, event_id))"), 2)
+             .alias("close"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+             .alias("bar_start"),
+            "open", "close", "low", "high", "n",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, *, output_mode: str = "complete",
     state_partitions: int | None = 4,
