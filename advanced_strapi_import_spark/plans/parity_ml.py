@@ -1497,7 +1497,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_deg = persist_tracked(
         edges.join(deg, "src").select("src", "dst", "deg")
     )
-    nodes = _corpus(spark, sf_dir).select("id")
+    nodes = persist_tracked(_corpus(spark, sf_dir).select("id"))
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         contrib = (
@@ -1511,4 +1511,9 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.expr("(850 * coalesce(s, 0)) div 1000")).cast("long")
             .alias("r"),
         )
+        # bound the iterative lineage (same pattern as
+        # dedup.connected_components): without this each iteration's
+        # plan re-embeds every previous one and the exchange count
+        # grows linearly with iterations
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.col("r").alias("rank_ppm"))
