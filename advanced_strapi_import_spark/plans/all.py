@@ -67,7 +67,7 @@ _FIRST = [
     "table_column_stats", "fk_integrity_check", "snapshot_diff",
     "events_ohlc_bars", "dedup_pagerank", "sample_weighted",
     "events_watermark_drops", "user_rfm_segments", "orders_pareto",
-    "stream_ohlc_bars",
+    "stream_ohlc_bars", "events_path_topk", "customer_order_gaps",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

@@ -762,3 +762,94 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("long").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "events_path_topk",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+paths AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+  FROM seq WHERE p2 IS NOT NULL
+  GROUP BY p2 || '>' || p1 || '>' || event_type)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk
+FROM paths
+ORDER BY n DESC, path LIMIT 10
+""",
+    doc="Sequential-pattern mining lite: top-10 3-step event-type "
+        "paths across user journeys — double lag() in the per-user "
+        "window, grouped path counts, 2-phase top-k. One shuffle on "
+        "user_id, one on the (|types|^3-bounded) path key.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.orderBy(F.col("n").desc(), "path").limit(10)
+        .withColumn("rnk", F.row_number().over(rw).cast("int"))
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         (epoch_us(o_orderdate)
+          - epoch_us(lag(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+         // 86400000000 AS gap_days
+  FROM orders)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap,
+       CAST(max(gap_days) AS BIGINT) AS max_gap,
+       CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+    doc="Inter-arrival analysis: per-customer order-gap stats "
+        "(min/max/floor-mean days between consecutive orders) — the "
+        "churn-risk feature. lag() in the per-customer window with "
+        "(date, key) tie-break, integer day arithmetic for exact "
+        "cross-engine hashes; one shuffle on the customer key.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    g = o.select(
+        "o_custkey",
+        F.expr(
+            "(unix_micros(o_orderdate)"
+            " - unix_micros(lag(o_orderdate) over"
+            "   (partition by o_custkey order by o_orderdate, o_orderkey)))"
+            " div 86400000000"
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        F.expr("sum(gap_days) div count(*)").cast("long")
+         .alias("mean_gap_days"),
+    )
