@@ -272,3 +272,24 @@ FROM w GROUP BY event_type, bar_start
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.read_events_stream(spark, sf_dir)
     return ST.run_available_now(ST.ohlc_agg(stream))
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running (count, total) in explicit GroupState, "
+        "emitted in update mode — the API for stateful logic the "
+        "built-in operators can't express. The availableNow drain's "
+        "final state equals the batch per-user aggregate, checked "
+        "against the DuckDB oracle.",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(
+        ST.stateful_user_totals(stream), output_mode="update"
+    )

@@ -301,6 +301,55 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stateful_user_totals(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState: per-user
+    running (count, total) kept in an explicit GroupState and re-emitted
+    every micro-batch — the escape hatch for stateful logic Spark's
+    built-in operators can't express (per-key accumulators, custom
+    eviction, decayed counters). State is one (bigint, double) pair per
+    user — O(|users|), bounded; NoTimeout because the drain harness
+    stops the query once input is exhausted (ProcessingTimeTimeout
+    would keep the query alive forever on an availableNow drain).
+    Arrow-batched: each group arrives as pandas chunks, no per-row
+    Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # raw total out; rounding happens JVM-side (F.round HALF_UP —
+        # python round() is banker's and could disagree with the oracle)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
 def purchase_after_view_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
     """Stream-stream inner join: purchases within 30 minutes after a
     view by the same user. Both sides carry watermarks so Spark can
