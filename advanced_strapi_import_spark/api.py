@@ -60,11 +60,19 @@ class Engine:
     def _path(self, ct_name: str) -> str:
         return os.path.join(self.storage_root, ct_name)
 
-    def table(self, ct_name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(ct_name))
+    def table(self, ct_name: str, *, fmt: str = "parquet") -> DataFrame:
+        """Read a stored table. ``fmt`` selects the storage format —
+        parquet (default), orc, or json (JSONL); all three are
+        splittable columnar/line formats Spark scans in parallel with
+        pushdown (parquet/orc) or schema inference capped by the
+        stored schema (json)."""
+        if fmt == "parquet":
+            return self.spark.read.parquet(self._path(ct_name))
+        return self.spark.read.format(fmt).load(self._path(ct_name))
 
     def write_table(
-        self, ct_name: str, df: DataFrame, *, batch_size: int | None = None
+        self, ct_name: str, df: DataFrame, *,
+        batch_size: int | None = None, fmt: str = "parquet",
     ) -> None:
         """Atomic swap-write: when the plan being written READS the same
         table (upsert merge), a direct overwrite would delete its own
@@ -75,18 +83,18 @@ class Engine:
         (csv-import.js:363, default 100 rows/insert batch) mapped to
         its Spark analog: maxRecordsPerFile caps rows per output file."""
         path = self._path(ct_name)
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").format(fmt)
         if batch_size:
             writer = writer.option("maxRecordsPerFile", batch_size)
         if os.path.exists(path):
             import shutil
 
             tmp = path + ".__tmp__"
-            writer.parquet(tmp)
+            writer.save(tmp)
             shutil.rmtree(path)
             os.rename(tmp, path)
         else:
-            writer.parquet(path)
+            writer.save(path)
 
     def has_table(self, ct_name: str) -> bool:
         return os.path.exists(self._path(ct_name))

@@ -242,3 +242,20 @@ def test_compact_table_rewrites_small_files(engine, tmp_path):
     files_after = [f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")]
     assert len(files_after) == n == 1  # tiny table -> one right-sized file
     assert sorted(r["name"] for r in engine.table("company").collect()) == before
+
+
+def test_table_format_roundtrip_orc_json(spark, tmp_path):
+    """ORC and JSONL storage round-trips preserve every row exactly
+    (format-generic Engine.table/write_table)."""
+    eng = Engine(spark=spark, registry=REGISTRY,
+                 storage_root=str(tmp_path / "fmt_store"))
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(tuple(str(x) for x in r) for r in src.collect())
+    for fmt in ("orc", "json"):
+        eng.write_table(f"docs_{fmt}", src, fmt=fmt)
+        back = eng.table(f"docs_{fmt}", fmt=fmt).select(*src.columns)
+        got = sorted(tuple(str(x) for x in r) for r in back.collect())
+        assert got == want, fmt
+        # overwrite path (atomic swap) works for non-parquet too
+        eng.write_table(f"docs_{fmt}", src.limit(10), fmt=fmt)
+        assert eng.table(f"docs_{fmt}", fmt=fmt).count() == 10
