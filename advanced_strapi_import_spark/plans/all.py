@@ -68,6 +68,7 @@ _FIRST = [
     "events_ohlc_bars", "dedup_pagerank", "sample_weighted",
     "events_watermark_drops", "user_rfm_segments", "orders_pareto",
     "stream_ohlc_bars", "events_path_topk", "customer_order_gaps",
+    "events_dow_hour_heatmap", "basket_part_pairs", "events_dau_wau",
 ]
 # Most expensive r01-green queries go last (already verified; keeps the
 # window cheap if the driver's cap turns out to be time-based).

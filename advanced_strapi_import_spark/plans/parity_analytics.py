@@ -853,3 +853,167 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(gap_days) div count(*)").cast("long")
          .alias("mean_gap_days"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Seasonality heatmap: day-of-week x hour-of-day activity "
+        "matrix. dow/hour derive from raw epoch arithmetic "
+        "((days+4)%7, 0=Sunday) instead of engine calendar functions — "
+        "Spark's dayofweek is 1-based-Sunday, DuckDB's dow 0-based, "
+        "and both depend on session calendars; integer epoch math is "
+        "identical everywhere. One shuffle to the 168-cell matrix.",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").cast("int")
+             .alias("dow"),
+            F.expr("(unix_micros(ts) % 86400000000) div 3600000000")
+             .cast("int").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+part_n AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_pair * n_ord.n * 1000000
+            // (pa.n_orders * pb.n_orders) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN part_n pa ON pa.l_partkey = part_a
+JOIN part_n pb ON pb.l_partkey = part_b
+CROSS JOIN n_ord
+WHERE n_pair >= 2
+ORDER BY n_pair DESC, part_a, part_b LIMIT 20
+""",
+    doc="Market-basket affinity: part pairs co-ordered in the same "
+        "order, with integer-ppm lift (observed co-rate over "
+        "independence). The pair generator is an equi-join on the "
+        "ORDER key (baskets are small — pairs per order is "
+        "O(lines^2) with lines~4, never a catalog cross join); a "
+        "support floor prunes before the lift join, and the output is "
+        "a 2-phase top-20. The association-rules shape for "
+        "recommender candidate generation.",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    li = persist_tracked(li)
+    n_ord = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    part_n = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    pa = part_n.select(F.col("l_partkey").alias("part_a"),
+                       F.col("n_orders").alias("na"))
+    pb = part_n.select(F.col("l_partkey").alias("part_b"),
+                       F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(pa, "part_a").join(pb, "part_b")
+        .join(F.broadcast(n_ord))
+        .select(
+            "part_a", "part_b", "n_pair",
+            F.expr("n_pair * n * 1000000 div (na * nb)").cast("long")
+             .alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+    doc="DAU / trailing-7-day WAU / stickiness per day: the "
+        "engagement time series. The fact table collapses to DISTINCT "
+        "(user, day) FIRST (the only event-sized pass); the trailing "
+        "window is then a day-spine range join over the tiny user-day "
+        "table. At 100 TB the user-day table is the materialized "
+        "daily-activity rollup every analytics store keeps anyway.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    e = load_events(spark, sf_dir)
+    ud = persist_tracked(
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        ).distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    u = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    wau = (
+        days.join(
+            u,
+            (F.col("uday") >= F.col("day") - 6) & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"), "dau", "wau",
+            F.expr("dau * 1000000 div wau").cast("long")
+             .alias("stickiness_ppm"),
+        )
+    )
