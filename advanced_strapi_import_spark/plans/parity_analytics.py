@@ -1017,3 +1017,80 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("stickiness_ppm"),
         )
     )
+
+
+@query(
+    "events_sliding_distinct",
+    oracle="""
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', ts) - INTERVAL 5 HOUR,
+                                date_trunc('hour', ts),
+                                INTERVAL 1 HOUR)) AS ws
+  FROM events)
+GROUP BY ws
+""",
+    doc="Sliding-window distinct users: 6-hour windows advancing "
+        "hourly via F.window(slide) — Spark expands each event into "
+        "its 6 covering windows map-side, then one shuffle on the "
+        "window key. At 100 TB the count-distinct swaps for "
+        "approx_count_distinct or the persisted-HLL rollup "
+        "(events_hll_weekly_merge) with identical plan shape; the "
+        "window expansion itself stays map-local.",
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "users",
+        )
+    )
+
+
+@query(
+    "customer_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey)
+SELECT strftime(f.cohort, '%Y-%m') AS cohort,
+       CAST(datediff('month', f.cohort,
+                     date_trunc('month', o.o_orderdate)) AS INT)
+         AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN first f USING (o_custkey)
+GROUP BY 1, 2
+""",
+    doc="Cohort lifetime-value matrix: customers grouped by month of "
+        "first order, revenue and active counts per month offset. The "
+        "first-order dimension is an aggregate of the fact itself; "
+        "AQE broadcasts it back (post-agg side is |customers|, far "
+        "smaller than the order fact), so the fact shuffles once on "
+        "the final (cohort, offset) key.",
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("__cohort")
+    )
+    j = o.join(first, "o_custkey")
+    return (
+        j.groupBy(
+            F.date_format("__cohort", "yyyy-MM").alias("cohort"),
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("__cohort")
+            ).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -540,3 +540,63 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy("sample_key", "doc_id").limit(50)
     w = Window.orderBy("sample_key", "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=r"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok)
+  ORDER BY cnt DESC, tok LIMIT 1000)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_toks,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_toks,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM t2 LEFT JOIN vocab v USING (tok)
+GROUP BY lang
+""",
+    doc="Tokenizer-coverage audit: per-language out-of-vocabulary rate "
+        "against the corpus's own top-1000 token vocabulary "
+        "(deterministic count-desc/token tie-break). The vocabulary is "
+        "an aggregate capped at 1000 rows, so the membership probe is "
+        "a broadcast-hash left join against the token stream — no "
+        "second shuffle of the corpus. The standard pre-training check "
+        "that a tokenizer/vocab choice doesn't starve a language "
+        "split; integer ppm keeps the hash exact.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), "tok")
+        .limit(1000)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_toks"),
+            F.sum(oov).cast("long").alias("oov_toks"),
+        )
+        .select(
+            "lang",
+            "total_toks",
+            "oov_toks",
+            F.expr("oov_toks * 1000000 div total_toks")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )

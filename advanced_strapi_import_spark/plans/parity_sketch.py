@@ -153,3 +153,50 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_corpus.alias("in_corpus"),
         (F.col("bloom_hit") | ~in_corpus).alias("fn_ok"),
     )
+
+
+@query(
+    "events_hll_weekly_merge",
+    oracle="""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_bound
+FROM events
+GROUP BY date_trunc('week', ts)
+""",
+    doc="Mergeable-sketch rollup: per-day HLL sketches of user_id "
+        "(hll_sketch_agg, DataSketches binary) are UNIONED into weekly "
+        "uniques (hll_union_agg) without re-touching the raw events — "
+        "the pattern that makes incremental distinct-count rollups "
+        "possible at 100 TB (daily sketches persist; weekly/monthly/"
+        "all-time reads merge kilobyte sketches, not re-scan). "
+        "within_bound asserts |est-exact|/exact <= 5%% (lgK=12 is "
+        "~1.6%% rsd); exact side is computed only for the audit.",
+)
+def events_hll_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    daily = e.groupBy(
+        week.alias("week"),
+        F.date_trunc("day", "ts").alias("__day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    weekly = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+    )
+    exact = e.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
