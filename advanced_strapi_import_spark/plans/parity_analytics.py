@@ -1094,3 +1094,124 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+      INTERVAL 1 HOUR)) AS h) g)
+SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n,
+       round(coalesce(hourly.v, 0), 2) AS v
+FROM grid g LEFT JOIN hourly USING (event_type, h)
+""",
+    doc="Time-series gap fill: the hourly rollup is densified to a "
+        "complete (event_type x hour) grid so downstream ML sees "
+        "explicit zeros, not missing rows. The grid is generated from "
+        "a 1-row min/max bound via sequence+explode and cross-joined "
+        "with the distinct-type dimension — both broadcast-sized "
+        "(|types| * |hours|), never the fact; the fact aggregates once "
+        "on (type, hour) and left-joins INTO the grid. At 100 TB the "
+        "grid stays tiny (time range x cardinality), so densification "
+        "is free relative to the rollup shuffle.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("value").alias("__v"),
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n"),
+        F.round(F.coalesce("__v", F.lit(0)), 2).alias("v"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
+         sum(o.o_totalprice) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate))
+SELECT nation, yr, round(rev, 2) AS revenue,
+       CASE WHEN lag(rev_c) OVER (PARTITION BY nation ORDER BY yr) IS NULL
+            THEN NULL
+            ELSE CAST((rev_c - lag(rev_c) OVER (PARTITION BY nation ORDER BY yr))
+                      * 10000 // lag(rev_c) OVER (PARTITION BY nation ORDER BY yr)
+                 AS BIGINT)
+       END AS growth_bps
+FROM (SELECT nation, yr, rev,
+             CAST(round(rev * 100) AS BIGINT) AS rev_c FROM yearly) y
+""",
+    doc="Year-over-year growth per nation: yearly revenue rollup, then "
+        "lag() within each nation's year series — the window runs over "
+        "the |nations| x |years| aggregate (tiny), never the fact. "
+        "Growth is integer basis points (floor division) so both "
+        "engines hash identically. Customer->nation dims broadcast "
+        "into the orders fact; one shuffle on the rollup key.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    # customer is fact-scaled (1/10 of orders) — no broadcast hint, AQE
+    # decides; nation is a true constant-size dim
+    yearly = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum("o_totalprice").alias("__rev"))
+    )
+    # growth in exact integer cents: double floor/'//' differ by 1 ulp
+    # at bucket boundaries across engines; (cents diff * 10000) div cents
+    # is pure BIGINT arithmetic (both engines truncate toward zero)
+    prev = F.lag("__rev_c").over(Window.partitionBy("nation").orderBy("yr"))
+    return yearly.select(
+        "nation", "yr", F.round("__rev", 2).alias("revenue"),
+        F.round(F.col("__rev") * 100).cast("long").alias("__rev_c"),
+    ).withColumn("__prev", prev).select(
+        "nation",
+        "yr",
+        "revenue",
+        F.when(F.col("__prev").isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("(__rev_c - __prev) * 10000 div __prev").cast("long")
+        )
+        .alias("growth_bps"),
+    )
