@@ -294,3 +294,96 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("high"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@query(
+    "table_expectations",
+    oracle="""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (o_orderkey IS NULL) AS key_nulls,
+         count(*) - count(DISTINCT o_orderkey) AS key_dupes,
+         count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+           AS nonpos_price,
+         count(*) FILTER (o_orderdate IS NULL
+                          OR o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01')
+           AS date_out_of_range,
+         count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+           AS bad_status,
+         count(*) FILTER (o_custkey IS NULL) AS custkey_nulls
+  FROM orders)
+SELECT e.check_name, e.violations,
+       e.violations = 0 AS passed,
+       CAST(a.n_rows AS BIGINT) AS n_rows
+FROM agg a CROSS JOIN (
+  SELECT 'orderkey_not_null' AS check_name,
+         CAST(key_nulls AS BIGINT) AS violations FROM agg
+  UNION ALL SELECT 'orderkey_unique', CAST(key_dupes AS BIGINT) FROM agg
+  UNION ALL SELECT 'totalprice_positive', CAST(nonpos_price AS BIGINT) FROM agg
+  UNION ALL SELECT 'orderdate_in_range', CAST(date_out_of_range AS BIGINT) FROM agg
+  UNION ALL SELECT 'status_accepted_values', CAST(bad_status AS BIGINT) FROM agg
+  UNION ALL SELECT 'custkey_not_null', CAST(custkey_nulls AS BIGINT) FROM agg
+) e
+""",
+    doc="Declarative data-expectations audit (dbt-test / "
+        "Great-Expectations shape) over orders: not-null, uniqueness, "
+        "value-range, accepted-values and FK-presence checks compiled "
+        "into ONE aggregation pass over the table (conditional "
+        "count_if per check + one count-distinct for uniqueness), then "
+        "unpivoted to a row per check. At 100 TB every additional "
+        "expectation is one more map-side counter on the same scan — "
+        "cost is O(checks) per row, never O(checks) scans; the "
+        "uniqueness check is the only shuffle (count-distinct on the "
+        "key) and swaps for approx_count_distinct drift gating when "
+        "exactness isn't required.",
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    lo = F.lit("1992-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("__c0"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+        ).alias("__c1"),
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("__c2"),
+        F.count_if(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < lo)
+            | (F.col("o_orderdate") >= hi)
+        ).alias("__c3"),
+        F.count_if(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("__c4"),
+        F.count_if(F.col("o_custkey").isNull()).alias("__c5"),
+    )
+    checks = [
+        ("orderkey_not_null", "__c0"),
+        ("orderkey_unique", "__c1"),
+        ("totalprice_positive", "__c2"),
+        ("orderdate_in_range", "__c3"),
+        ("status_accepted_values", "__c4"),
+        ("custkey_not_null", "__c5"),
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(c).cast("long").alias("violations"),
+            )
+            for name, c in checks
+        ]
+    )
+    return (
+        agg.select("n_rows", F.explode(pairs).alias("e"))
+        .select(
+            F.col("e.check_name").alias("check_name"),
+            F.col("e.violations").alias("violations"),
+            (F.col("e.violations") == 0).alias("passed"),
+            "n_rows",
+        )
+    )

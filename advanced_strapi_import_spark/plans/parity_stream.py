@@ -293,3 +293,37 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_available_now(
         ST.stateful_user_totals(stream), output_mode="update"
     )
+
+
+@query(
+    "stream_enrich_dim",
+    oracle="""
+SELECT n.n_name AS nation, e.event_type,
+       count(*) AS n, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, e.event_type
+""",
+    doc="Stream-static dimension enrichment: the events stream joins "
+        "the batch customer->nation dimension as a stateless broadcast "
+        "per micro-batch (no state store, no watermark, stream side "
+        "never shuffles), then rolls up per (nation, event_type). "
+        "Drained availableNow result equals the batch/DuckDB answer.",
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    enriched = ST.enrich_with_dim(stream, dim, "user_id")
+    agg = enriched.groupBy("nation", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return ST.run_available_now(agg, no_data_batch=False)
