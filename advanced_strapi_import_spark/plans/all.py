@@ -78,6 +78,7 @@ _LAST = [
     "dedup_minhash_pairs", "ngram_jaccard_pairs", "embedding_near_dup",
     "stream_events_hourly", "stream_dedup_events", "stream_stream_join",
     "stream_ohlc_bars", "stream_stateful_user_totals", "stream_enrich_dim",
+    "stream_hll_users",
 ]
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from advanced_strapi_import_spark.operators.multimodal import byte_histogram
 from advanced_strapi_import_spark.plans import parity_ml as ML
-from advanced_strapi_import_spark.plans.registry import load, query
+from advanced_strapi_import_spark.plans.registry import load, load_events, query
 from advanced_strapi_import_spark.streaming import ingest as ST
 
 
@@ -327,3 +327,40 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return ST.run_available_now(agg, no_data_batch=False)
+
+
+@query(
+    "stream_hll_users",
+    oracle="""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_bound
+FROM events
+GROUP BY date_trunc('week', ts)
+""",
+    doc="Streaming HLL sketch maintenance: per-micro-batch weekly "
+        "sketches append to a sketch store; the serving estimate "
+        "union-merges stored sketches without re-reading events "
+        "(streaming twin of events_hll_weekly_merge). within_bound "
+        "asserts the merged estimate lands within 5%% of exact.",
+)
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = ST.hll_rollup_stream(ST.read_events_stream(spark, sf_dir))
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+                "week"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "week").select(
+        "week",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )

@@ -460,3 +460,48 @@ def enrich_with_dim(
     planning should pick a shuffled join instead."""
     d = F.broadcast(dim) if broadcast else dim
     return events.join(d, on)
+
+
+def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming sketch maintenance: each micro-batch collapses to
+    per-week HLL sketches (DataSketches binaries, ~KB each) that
+    append to a sketch store; weekly unique-user estimates then come
+    from union-merging STORED sketches — raw events are touched
+    exactly once, on arrival. This is the streaming twin of
+    events_hll_weekly_merge and the 100 TB shape for "live distinct
+    counts": the store is a table append (|weeks| x |batches| rows of
+    kilobytes), the serving read is a sketch merge, and no state-store
+    operator holds per-user state. foreachBatch is the right tool —
+    sketch agg + store append is ordinary batch work per arriving
+    batch. Sketch rows are driver-small and collected per batch (at
+    scale: written to a sketch table instead)."""
+    rows: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        sk = batch_df.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+                "week"
+            )
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        rows.extend(sk.collect())
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("week", T.StringType()),
+            T.StructField("sk", T.BinaryType()),
+        ]
+    )
+    store = spark.createDataFrame(rows, schema)
+    return store.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
