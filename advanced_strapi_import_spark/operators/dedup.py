@@ -551,3 +551,68 @@ def incremental_band_candidates(
         .select("new_id", F.col("id").alias("dup_of"))
         .distinct()
     )
+
+
+def word_ngram_sets(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 2
+) -> DataFrame:
+    """(id, tok) distinct word n-gram sets over \\s+-normalized lowercase
+    tokens — the input relation for set-similarity operators (prefix
+    filtering, exact token Jaccard). n=2 bigrams carry word order, which
+    keeps templated same-vocabulary docs from colliding the way unigram
+    sets do. Docs with fewer than n words contribute no rows."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("tok"),
+    )
+
+
+def prefix_filter_candidates(toks: DataFrame, *, prefix_k: int = 3) -> DataFrame:
+    """PPJoin-style prefix-filter blocking over word token sets (the
+    third classic candidate-generation family next to MinHash-LSH and
+    sorted-neighborhood): two similar sets MUST share a token inside
+    their rarest-``prefix_k`` prefix, so only docs sharing a rare-token
+    prefix entry become candidates — an equi-join on the prefix token,
+    O(sum prefix sizes), never all-pairs. Rarity order = global
+    document frequency (ascending, token tie-break), which makes
+    prefix entries near-unique and candidate groups tiny by
+    construction: the prefix build is one shuffle on the token (the
+    dfreq join broadcasts back), the pair join shuffles only
+    ``prefix_k`` rows per doc. Returns distinct (id_a, id_b), id_a <
+    id_b, with each side's token-set size for downstream Jaccard.
+
+    Algorithm per SSJoin/PPJoin (public literature); behavior parity
+    target: dedup_minhash_pairs candidate generation."""
+    from pyspark.sql.window import Window
+
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__dfreq"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__dfreq", "tok")
+        ),
+    )
+    prefix = ranked.filter(F.col("__rn") <= prefix_k).select("id", "tok")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "tok")
+        .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return cand.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b")),
+        "id_b",
+    )

@@ -1215,3 +1215,79 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("growth_bps"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts FROM events e
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts FROM events e
+  JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_24h,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_24h,
+       CAST((SELECT coalesce(sum(epoch_us(c_ts) - epoch_us(v_ts)), 0)
+                    // 1000000 // greatest(count(*), 1) FROM c)
+            AS BIGINT) AS click_delay_s_mean,
+       CAST((SELECT coalesce(sum(epoch_us(p_ts) - epoch_us(c_ts)), 0)
+                    // 1000000 // greatest(count(*), 1) FROM p)
+            AS BIGINT) AS purchase_delay_s_mean
+""",
+    doc="Time-bounded conversion funnel: view -> click within 24h -> "
+        "purchase within 24h of the click, plus mean stage delays "
+        "(integer seconds, truncating div in a fixed order so both "
+        "engines agree). Same three per-user min-ts shuffles as the "
+        "unbounded funnel — the window bound is a filter on the "
+        "already-joined stage rows, not an extra join; delay sums ride "
+        "the same aggregates.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("c_ts").alias("c_ts"))
+    )
+
+    def mean_delay(df: DataFrame, a: str, b: str, out: str) -> DataFrame:
+        return df.agg(
+            F.expr(
+                f"CAST(coalesce(sum(unix_micros({a}) - unix_micros({b})), 0)"
+                f" div 1000000 div greatest(count(*), 1) AS BIGINT)"
+            ).alias(out)
+        )
+
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_24h")))
+        .crossJoin(mean_delay(c, "c_ts", "v_ts", "click_delay_s_mean"))
+        .crossJoin(mean_delay(p, "p_ts", "c_ts", "purchase_delay_s_mean"))
+    )
