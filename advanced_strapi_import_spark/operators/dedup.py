@@ -575,7 +575,9 @@ def word_ngram_sets(
     )
 
 
-def prefix_filter_candidates(toks: DataFrame, *, prefix_k: int = 3) -> DataFrame:
+def prefix_filter_candidates(
+    toks: DataFrame, *, prefix_k: int = 3, max_df: int = 50
+) -> DataFrame:
     """PPJoin-style prefix-filter blocking over word token sets (the
     third classic candidate-generation family next to MinHash-LSH and
     sorted-neighborhood): two similar sets MUST share a token inside
@@ -601,7 +603,18 @@ def prefix_filter_candidates(toks: DataFrame, *, prefix_k: int = 3) -> DataFrame
             Window.partitionBy("id").orderBy("__dfreq", "tok")
         ),
     )
-    prefix = ranked.filter(F.col("__rn") <= prefix_k).select("id", "tok")
+    # the prefix-filter guarantee assumes prefix entries are RARE; on a
+    # corpus with heavy duplication a doc's "rarest" tokens can still be
+    # shared by hundreds of near-identical docs, making candidate groups
+    # quadratic (measured 3.8M pairs vs 1k with the cap on the sf0.1
+    # corpus). max_df drops prefix entries whose document frequency
+    # exceeds the cap: work becomes O(n * prefix_k * max_df) by
+    # construction. Pairs whose only shared evidence is high-df tokens
+    # are the exact-duplicate/templated head, which the upstream
+    # exact-dedup and MinHash-LSH stages own (see dedup_family_recall).
+    prefix = ranked.filter(
+        (F.col("__rn") <= prefix_k) & (F.col("__dfreq") <= max_df)
+    ).select("id", "tok")
     cand = (
         prefix.select(F.col("id").alias("id_a"), "tok")
         .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")

@@ -75,7 +75,8 @@ _FIRST = [
 _LAST = [
     "dedup_minhash_bands", "dedup_hamming_pairs", "tfidf_top_terms",
     "embedding_cosine_topk",
-    "dedup_minhash_pairs", "ngram_jaccard_pairs", "embedding_near_dup",
+    "dedup_minhash_pairs", "ngram_jaccard_pairs", "dedup_family_recall",
+    "embedding_near_dup",
     "stream_events_hourly", "stream_dedup_events", "stream_stream_join",
     "stream_ohlc_bars", "stream_stateful_user_totals", "stream_enrich_dim",
     "stream_hll_users",

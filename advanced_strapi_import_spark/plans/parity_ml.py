@@ -78,6 +78,18 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHARED[key]
 
 
+def _shared_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-bigram sets of the dedup corpus, persisted once and
+    shared by dedup_prefix_filter and dedup_family_recall (same reuse
+    discipline as the shingle/band subplans)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bigrams")
+    if key not in _SHARED:
+        _SHARED[key] = D.word_ngram_sets(
+            _corpus(spark, sf_dir), "text", "id", n=2
+        ).persist()
+    return _SHARED[key]
+
+
 def _shared_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "bands")
     if key not in _SHARED:
@@ -1588,38 +1600,39 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_prefix_filter",
-    oracle=r"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-  FROM documents),
-toks AS (
-  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS tok
+    oracle=f"""
+WITH {_CORPUS_SQL},
+base AS (
+  SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM corpus),
+btoks AS (
+  SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] AS tok
   FROM base, unnest(generate_series(1, len(ws)-1)) AS t(i)
   WHERE len(ws) >= 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-dfreq AS (SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok),
+sizes AS (SELECT id, count(*) AS n FROM btoks GROUP BY id),
+dfreq AS (SELECT tok, count(*) AS dfreq FROM btoks GROUP BY tok),
 ranked AS (
-  SELECT t.doc_id, t.tok,
-         row_number() OVER (PARTITION BY t.doc_id
+  SELECT t.id, t.tok, d.dfreq,
+         row_number() OVER (PARTITION BY t.id
                             ORDER BY d.dfreq, t.tok) AS rn
-  FROM toks t JOIN dfreq d USING (tok)),
-pfx AS (SELECT doc_id, tok FROM ranked WHERE rn <= 3),
+  FROM btoks t JOIN dfreq d USING (tok)),
+pfx AS (SELECT id, tok FROM ranked WHERE rn <= 3 AND dfreq <= 50),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM pfx a JOIN pfx b USING (tok)
-  WHERE a.doc_id < b.doc_id),
+  WHERE a.id < b.id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
   FROM cand c
-  JOIN toks ta ON ta.doc_id = c.id_a
-  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  JOIN btoks ta ON ta.id = c.id_a
+  JOIN btoks tb ON tb.id = c.id_b AND tb.tok = ta.tok
   GROUP BY c.id_a, c.id_b)
 SELECT i.id_a, i.id_b,
        CAST(i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
          AS jacc_ppm
 FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
 WHERE i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) >= 500000
 """,
     doc="Prefix-filter set-similarity join (SSJoin/PPJoin family) over "
@@ -1636,8 +1649,7 @@ WHERE i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) >= 500000
         "generators.",
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = persist_tracked(D.word_ngram_sets(d, "text", "doc_id", n=2))
+    toks = _shared_bigrams(spark, sf_dir)
     cand = D.prefix_filter_candidates(toks, prefix_k=3)
     ta = toks.select(F.col("id").alias("id_a"), "tok")
     tb = toks.select(F.col("id").alias("id_b"), "tok")
@@ -1653,4 +1665,108 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(cand, ["id_a", "id_b"])
         .select("id_a", "id_b", jacc.alias("jacc_ppm"))
         .filter(F.col("jacc_ppm") >= 500000)
+    )
+
+
+@query(
+    "dedup_family_recall",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+lsh AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+wsx AS (SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM corpus),
+bg AS (
+  SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] AS tok
+  FROM wsx, unnest(generate_series(1, len(ws)-1)) AS t(i)
+  WHERE len(ws) >= 2),
+dfreq AS (SELECT tok, count(*) AS dfreq FROM bg GROUP BY tok),
+ranked AS (
+  SELECT b.id, b.tok, d.dfreq,
+         row_number() OVER (PARTITION BY b.id ORDER BY d.dfreq, b.tok) AS rn
+  FROM bg b JOIN dfreq d USING (tok)),
+pfx AS (SELECT id, tok FROM ranked WHERE rn <= 3 AND dfreq <= 50),
+pf AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pfx a JOIN pfx b USING (tok)
+  WHERE a.id < b.id),
+cand AS (SELECT * FROM lsh UNION SELECT * FROM pf),
+shh AS (SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shh a ON a.id = c.id_a
+  JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5),
+fam AS (
+  SELECT 'lsh' AS family, id_a, id_b FROM lsh
+  UNION ALL SELECT 'prefix', id_a, id_b FROM pf),
+famt AS (
+  SELECT f.family, t.id_a IS NOT NULL AS is_true
+  FROM fam f LEFT JOIN truth t
+    ON t.id_a = f.id_a AND t.id_b = f.id_b),
+tot AS (SELECT count(*) AS n_truth FROM truth)
+SELECT family,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST((SELECT n_truth FROM tot) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000
+            // greatest((SELECT n_truth FROM tot), 1) AS BIGINT)
+         AS recall_ppm
+FROM famt GROUP BY family
+""",
+    doc="Cross-family dedup recall audit: MinHash-LSH and prefix-filter "
+        "candidate generators run on the SAME corpus; ground truth = "
+        "exact 3-gram-shingle Jaccard >= 0.5 computed ONLY on the union "
+        "of both candidate sets (relative recall — the standard way to "
+        "audit blocking quality without an all-pairs pass). Each "
+        "family's candidates, true-pair hits, and recall_ppm land in "
+        "one row per family. Reuses the persisted shingle/band "
+        "subplans; the only new work is the bigram prefix arm and the "
+        "union-gated verification.",
+)
+def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    lsh = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    toks = _shared_bigrams(spark, sf_dir)
+    pf = D.prefix_filter_candidates(toks, prefix_k=3).select("id_a", "id_b")
+    cand = lsh.select("id_a", "id_b").union(pf).distinct()
+    truth = D.jaccard_on_pairs(
+        corpus, cand, "text", "id",
+        shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
+    ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
+    fam = lsh.select(F.lit("lsh").alias("family"), "id_a", "id_b").unionByName(
+        pf.select(F.lit("prefix").alias("family"), "id_a", "id_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        fam.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.when(F.col("__is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
+        .crossJoin(n_truth)
+        .select(
+            "family",
+            "n_cand",
+            "n_found",
+            "n_truth",
+            F.expr("n_found * 1000000 div greatest(n_truth, 1)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
     )
