@@ -595,13 +595,21 @@ def prefix_filter_candidates(
     target: dedup_minhash_pairs candidate generation."""
     from pyspark.sql.window import Window
 
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__dfreq"))
-    ranked = toks.join(dfreq, "tok").withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy("__dfreq", "tok")
-        ),
+    # the set size rides the SAME window exchange as the rank (count
+    # over the full frame of the ordered partition) — no separate sizes
+    # aggregate and no extra joins to attach n_a/n_b to the pairs
+    w = Window.partitionBy("id").orderBy("__dfreq", "tok")
+    ranked = toks.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        "__dfreq",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1))
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n_toks"),
     )
     # the prefix-filter guarantee assumes prefix entries are RARE; on a
     # corpus with heavy duplication a doc's "rarest" tokens can still be
@@ -614,18 +622,18 @@ def prefix_filter_candidates(
     # exact-dedup and MinHash-LSH stages own (see dedup_family_recall).
     prefix = ranked.filter(
         (F.col("__rn") <= prefix_k) & (F.col("__dfreq") <= max_df)
-    ).select("id", "tok")
-    cand = (
-        prefix.select(F.col("id").alias("id_a"), "tok")
-        .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
+    ).select("id", "tok", "n_toks")
+    return (
+        prefix.select(
+            F.col("id").alias("id_a"), "tok", F.col("n_toks").alias("n_a")
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), "tok", F.col("n_toks").alias("n_b")
+            ),
+            "tok",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
-    )
-    return cand.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a")),
-        "id_a",
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b")),
-        "id_b",
     )

@@ -1609,31 +1609,29 @@ btoks AS (
   SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] AS tok
   FROM base, unnest(generate_series(1, len(ws)-1)) AS t(i)
   WHERE len(ws) >= 2),
-sizes AS (SELECT id, count(*) AS n FROM btoks GROUP BY id),
 dfreq AS (SELECT tok, count(*) AS dfreq FROM btoks GROUP BY tok),
 ranked AS (
   SELECT t.id, t.tok, d.dfreq,
          row_number() OVER (PARTITION BY t.id
-                            ORDER BY d.dfreq, t.tok) AS rn
+                            ORDER BY d.dfreq, t.tok) AS rn,
+         count(*) OVER (PARTITION BY t.id) AS n
   FROM btoks t JOIN dfreq d USING (tok)),
-pfx AS (SELECT id, tok FROM ranked WHERE rn <= 3 AND dfreq <= 50),
+pfx AS (SELECT id, tok, n FROM ranked WHERE rn <= 3 AND dfreq <= 50),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b
   FROM pfx a JOIN pfx b USING (tok)
   WHERE a.id < b.id),
 inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS n_inter
   FROM cand c
   JOIN btoks ta ON ta.id = c.id_a
   JOIN btoks tb ON tb.id = c.id_b AND tb.tok = ta.tok
-  GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b,
-       CAST(i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
+  GROUP BY c.id_a, c.id_b, c.n_a, c.n_b)
+SELECT id_a, id_b,
+       CAST(n_inter * 1000000 // (n_a + n_b - n_inter) AS BIGINT)
          AS jacc_ppm
-FROM inter i
-JOIN sizes sa ON sa.id = i.id_a
-JOIN sizes sb ON sb.id = i.id_b
-WHERE i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) >= 500000
+FROM inter
+WHERE n_inter * 1000000 // (n_a + n_b - n_inter) >= 500000
 """,
     doc="Prefix-filter set-similarity join (SSJoin/PPJoin family) over "
         "word-BIGRAM sets: candidates must share a bigram in their "

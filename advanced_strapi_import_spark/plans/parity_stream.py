@@ -364,3 +364,21 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_bound"),
     )
+
+
+@query(
+    "stream_rollup_merge",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="Incremental materialized-rollup maintenance via foreachBatch: "
+        "per-micro-batch partial (hour, type) aggregates merge into a "
+        "stored rollup (decomposable count/sum merge — no raw-event "
+        "re-reads, the MERGE INTO summary-table pattern); the drained "
+        "store equals the batch/DuckDB rollup exactly.",
+)
+def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.rollup_merge_stream(ST.read_events_stream(spark, sf_dir))

@@ -505,3 +505,53 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
     return store.groupBy("week").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     )
+
+
+def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: each micro-batch
+    collapses to PARTIAL (hour, event_type) aggregates that merge into
+    a stored rollup table — counts/sums are decomposable, so merge =
+    re-aggregate of (stored partials + batch partials), touching
+    |rollup| + |batch groups| rows, never historical raw events. This
+    is the foreachBatch twin of a MERGE INTO-maintained summary table
+    (at scale the store is a catalog table and the merge is
+    upsert.merge_catalog_table keyed on the group columns); the serving
+    read is the rollup itself. Complete-mode streaming aggs hold the
+    same state inside the state store — this variant makes the state a
+    TABLE you can query, back up, and bootstrap from batch."""
+    partials: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        p = batch_df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        partials.extend(p.collect())
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("hour", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    store = spark.createDataFrame(partials, schema)
+    return store.groupBy("hour", "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+    )
