@@ -1291,3 +1291,141 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mean_delay(c, "c_ts", "v_ts", "click_delay_s_mean"))
         .crossJoin(mean_delay(p, "p_ts", "c_ts", "purchase_delay_s_mean"))
     )
+
+
+@query(
+    "orders_backlog_series",
+    oracle="""
+WITH close AS (
+  SELECT l_orderkey AS okey, max(l_shipdate) AS close_ts
+  FROM lineitem GROUP BY l_orderkey),
+deltas AS (
+  SELECT date_trunc('day', o.o_orderdate) AS day, 1 AS delta
+  FROM orders o
+  UNION ALL
+  SELECT date_trunc('day', c.close_ts), -1
+  FROM orders o JOIN close c ON c.okey = o.o_orderkey),
+daily AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day, net,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily
+""",
+    doc="Order-backlog time series (interval state accounting): each "
+        "order contributes +1 at placement and -1 at its last shipment "
+        "day; the daily net deltas cumulative-sum into the open-order "
+        "count. The +/-1 encoding turns interval overlap counting into "
+        "one groupBy(day) plus a window over the |days|-sized series — "
+        "the fact is touched twice map-side (order scan, per-order max "
+        "shipdate), never joined to a calendar. The global cumsum runs "
+        "over ~2,500 aggregated rows, not the fact.",
+)
+def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    close = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    opens = o.select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = (
+        o.join(close, close.okey == o.o_orderkey)
+        .select(
+            F.date_trunc("day", "close_ts").alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type),
+cum AS (
+  SELECT d.event_type, d.day, t.total, t.n_days,
+         CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+              AS BIGINT) AS k,
+         CAST(sum(d.cnt) OVER (PARTITION BY d.event_type ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS s
+  FROM daily d JOIN tot t USING (event_type)),
+stat AS (
+  SELECT event_type, day, abs(n_days * s - k * total) AS m,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_days * s - k * total) DESC, day)
+           AS rnk
+  FROM cum)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS change_day,
+       CAST(m AS BIGINT) AS max_stat
+FROM stat WHERE rnk = 1
+""",
+    doc="CUSUM changepoint detection over per-type daily event counts: "
+        "the scaled statistic M_k = |N*S_k - k*T| (exact BIGINT — no "
+        "float mean) peaks at the most likely level-shift day. One "
+        "shuffle for the daily rollup; the cumulative/argmax windows "
+        "run per type over |days| aggregated rows. Ties break to the "
+        "earliest day (min_by on (-m, day)).",
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("s"),
+    )
+    stat = cum.select(
+        "event_type",
+        "day",
+        F.abs(F.col("n_days") * F.col("s") - F.col("k") * F.col("total"))
+        .alias("m"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("m").desc(), "day")
+    return (
+        stat.withColumn("__rnk", F.row_number().over(wr))
+        .filter(F.col("__rnk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("m").cast("long").alias("max_stat"),
+        )
+    )
