@@ -22,6 +22,58 @@ from advanced_strapi_import_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30,
+          "TiB": 1 << 40}
+
+
+def _exec_count(spark) -> int:
+    """Number of SQL executions recorded so far (status-store cursor)."""
+    try:
+        return spark._jsparkSession.sharedState().statusStore() \
+            .executionsList().size()
+    except Exception:
+        return -1
+
+
+def _shuffle_bytes_since(spark, mark: int) -> int:
+    """Total 'shuffle bytes written' across SQL executions recorded
+    after ``mark`` — real runtime shuffle volume per query, deduped by
+    accumulator id (the same exchange metric appears in several plan
+    nodes under AQE). Returns -1 if the status store is unreadable;
+    never raises (bench must not die on a UI-store change)."""
+    if mark < 0:
+        return -1
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        total = 0
+        seen: set[int] = set()
+        for idx in range(mark, execs.size()):
+            ex = execs.apply(idx)
+            mv = store.executionMetrics(ex.executionId())
+            it = ex.metrics().iterator()
+            while it.hasNext():
+                m = it.next()
+                aid = m.accumulatorId()
+                if aid in seen or m.name() != "shuffle bytes written":
+                    continue
+                val = mv.get(aid)
+                if not val.isDefined():
+                    continue
+                seen.add(aid)
+                # format: 'total (min, med, max ...)\n82.6 KiB (...)'
+                text = val.get().split("\n")[-1].strip()
+                num = text.split(" ")[0].replace(",", "")
+                unit = text.split(" ")[1] if " " in text else "B"
+                try:
+                    total += int(float(num) * _UNITS.get(unit, 1))
+                except ValueError:
+                    pass
+        return total
+    except Exception:
+        return -1
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,12 +115,16 @@ def main() -> None:
         spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for i, (name, spec) in enumerate(QUERIES.items()):
+        mark = _exec_count(spark)
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 2)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        shuffles[name] = _shuffle_bytes_since(spark, mark)
+        print(f"# {name}: {timings[name]}s ({n} rows, "
+              f"{shuffles[name]} shuffle B)", file=sys.stderr)
         caching.release_tracked()  # per-query persists die with the query
         if (i + 1) % 24 == 0:
             # let the ContextCleaner reap orphaned localCheckpoint blocks
@@ -83,7 +139,9 @@ def main() -> None:
     # only a 2000-char tail of stdout, so the stdout line must fit that
     # window; the file carries what the line can't).
     full = {"metric": "suite_seconds", "value": total, "unit": "sec",
-            "queries": timings, "sf": sf_val, "n_queries": len(timings)}
+            "queries": timings, "sf": sf_val, "n_queries": len(timings),
+            "shuffle_bytes": shuffles,
+            "shuffle_bytes_total": sum(v for v in shuffles.values() if v >= 0)}
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
         json.dump(full, f, indent=1)
 
