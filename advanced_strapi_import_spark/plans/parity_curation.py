@@ -600,3 +600,81 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_ppm"),
         )
     )
+
+
+@query(
+    "seq_pack_efficiency",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM t),
+expl AS (
+  SELECT doc_id, toks, n_chunks, unnest(range(0, n_chunks)) AS ci
+  FROM sized),
+chunks AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_index,
+         CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+           AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM expl),
+packed AS (
+  SELECT doc_id, chunk_index, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_index
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS tok_offset
+  FROM chunks),
+seqs AS (
+  SELECT shard,
+         CAST(shard * 1099511627776 + floor(tok_offset / 256) AS BIGINT)
+           AS seq_id,
+         n_tokens
+  FROM packed)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS BIGINT)
+         AS min_seqs,
+       CAST((count(DISTINCT seq_id) * 256 - sum(n_tokens)) * 1000000
+            // (count(DISTINCT seq_id) * 256) AS BIGINT) AS waste_ppm
+FROM seqs GROUP BY shard
+""",
+    doc="Sequence-packing efficiency audit over the seq_pack_chunks "
+        "stream: per shard, packed-sequence count vs the "
+        "ceil(total/budget) lower bound and the padding waste in ppm — "
+        "the metric that decides whether a packing strategy is worth "
+        "its shuffle at pretraining scale. Same single cumsum window "
+        "as the packer; the audit itself is one groupBy(shard) over "
+        "the chunk stream.",
+)
+def seq_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
+    chunks = chunks.select(
+        F.col("id").alias("doc_id"), "chunk_index",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = CU.pack_sequences(chunks, budget=256, n_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+        )
+        .select(
+            "shard",
+            "n_chunks",
+            "total_tokens",
+            "n_seqs",
+            F.ceil(F.col("total_tokens") / 256.0).cast("long").alias("min_seqs"),
+            F.expr(
+                "(n_seqs * 256 - total_tokens) * 1000000 div (n_seqs * 256)"
+            ).cast("long").alias("waste_ppm"),
+        )
+    )

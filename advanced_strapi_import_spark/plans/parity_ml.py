@@ -1768,3 +1768,60 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "dedup_triangle_count",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM cand e1
+  JOIN cand e2 ON e2.id_a = e1.id_b
+  JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT a) + count(DISTINCT b) + count(DISTINCT c)
+            AS BIGINT) AS tri_node_degree_sum
+FROM tri
+""",
+    doc="Distributed triangle counting over the LSH candidate graph "
+        "(the clustering-coefficient primitive): with edges oriented "
+        "id_a < id_b every triangle a<b<c is generated exactly once by "
+        "two equi-joins (wedge build on the shared middle vertex, then "
+        "the closing-edge join) — the standard MR/Spark algorithm, no "
+        "enumeration of open wedges beyond the join. Cost is "
+        "O(wedges) shuffled on vertex ids; at 100 TB the wedge "
+        "explosion is bounded by orienting edges toward the "
+        "higher-degree endpoint (same join shape). Triangle density "
+        "over dup-candidate graphs separates clique-like boilerplate "
+        "families from chain-like near-dup drift.",
+)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = persist_tracked(
+        D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    )
+    e1 = cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = cand.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = cand.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_edges = cand.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles"),
+            (
+                F.countDistinct("a")
+                + F.countDistinct("b")
+                + F.countDistinct("c")
+            ).cast("long").alias("tri_node_degree_sum"),
+        )
+        .crossJoin(n_edges)
+        .select("n_triangles", "n_edges", "tri_node_degree_sum")
+    )
