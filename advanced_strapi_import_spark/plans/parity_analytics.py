@@ -1429,3 +1429,59 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("long").alias("max_stat"),
         )
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+pred AS (
+  SELECT event_type, day, cnt,
+         lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+  FROM daily)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(sum(abs(cnt - yhat)) AS BIGINT) AS abs_err_sum,
+       CAST(sum(abs(cnt - yhat)) * 1000000 // sum(cnt) AS BIGINT)
+         AS wape_ppm
+FROM pred WHERE yhat IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Seasonal-naive forecast backtest: predict each day's per-type "
+        "event count with the count 7 days earlier (the baseline every "
+        "real forecasting model must beat), then score WAPE in integer "
+        "ppm. One rollup shuffle; the lag window runs over |days| "
+        "aggregated rows per type. The eval harness shape for any "
+        "demand/traffic forecasting pipeline on the engine.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.withColumn("yhat", F.lag("cnt", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    return (
+        pred.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+            F.sum(F.abs(F.col("cnt") - F.col("yhat")))
+            .cast("long")
+            .alias("abs_err_sum"),
+            F.sum("cnt").alias("__tot"),
+        )
+        .select(
+            "event_type",
+            "n_days_scored",
+            "abs_err_sum",
+            F.expr("abs_err_sum * 1000000 div __tot")
+            .cast("long")
+            .alias("wape_ppm"),
+        )
+    )

@@ -678,3 +678,68 @@ def seq_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("waste_ppm"),
         )
     )
+
+
+@query(
+    "source_lang_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM cnt GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rn
+        FROM cnt) WHERE rn = 1)
+SELECT c.source,
+       t.total AS n_docs,
+       t.n_langs,
+       round(-sum((CAST(c.n AS DOUBLE) / t.total)
+                  * ln(CAST(c.n AS DOUBLE) / t.total)) / ln(2), 2)
+         AS entropy_bits,
+       max(p.top_lang) AS top_lang
+FROM cnt c JOIN tot t USING (source) JOIN top p USING (source)
+GROUP BY c.source, t.total, t.n_langs
+""",
+    doc="Corpus-composition audit: per-source language-mix Shannon "
+        "entropy (bits, rounded 2dp — cross-engine ln agrees far below "
+        "the rounding boundary on these magnitudes), language count "
+        "and dominant language. Two tiny aggregates over the "
+        "(source, lang) rollup; the mix-diversity dashboard that "
+        "catches a crawl source silently collapsing to one language. "
+        "Dominant language resolves count ties deterministically "
+        "(count desc, lang asc rank).",
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    top = (
+        cnt.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    p = F.col("n").cast("double") / F.col("n_docs")
+    return (
+        cnt.join(tot, "source")
+        .join(top, "source")
+        .groupBy("source", "n_docs", "n_langs")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 2).alias(
+                "entropy_bits"
+            ),
+            F.max("top_lang").alias("top_lang"),
+        )
+        .select("source", "n_docs", "n_langs", "entropy_bits", "top_lang")
+    )
