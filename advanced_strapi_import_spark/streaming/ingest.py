@@ -555,3 +555,41 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.round(F.sum("sum_value"), 2).alias("total_value"),
     )
+
+
+def idempotent_batch_sink(
+    result_stream: DataFrame, table_dir: str, *, checkpoint_dir: str
+) -> None:
+    """Exactly-once file sink via batch-id idempotence: each micro-batch
+    lands in ``table_dir/batch_id=N`` and a batch that already committed
+    is SKIPPED on replay — together with Spark's checkpointed offsets
+    this upgrades foreachBatch's at-least-once contract to exactly-once
+    for any sink that can key on the batch id (files, MERGE with a
+    batch-id audit column, JDBC upsert on (key, batch_id)).
+
+    Commit protocol per batch: write to ``_tmp_<id>``, then one atomic
+    directory rename to ``batch_id=<id>`` — readers never observe a
+    half-written batch, and a crash between write and rename leaves only
+    a ``_tmp`` dir that the retry overwrites. The partitioned layout
+    doubles as the audit trail (which batch produced which rows)."""
+    import os
+    import shutil
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(table_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):  # replayed batch: already committed
+            return
+        tmp = os.path.join(table_dir, f"_tmp_{batch_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    q = (
+        result_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -110,3 +110,34 @@ def test_incremental_dedup_stream_across_microbatches(spark, tmp_path):
     pairs = {(r.new_id, r.dup_of) for r in out.collect()}
     assert (100, 1) in pairs and (200, 1) in pairs  # corpus dups per batch
     assert (200, 100) in pairs                      # cross-micro-batch dup
+
+
+def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
+    """Replaying a committed batch must not duplicate rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.streaming import ingest as ST
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, k long")
+        .format("parquet")
+        .load(src)
+    )
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ST.idempotent_batch_sink(stream, out, checkpoint_dir=ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == 100
+    final = os.path.join(out, "batch_id=0")
+    assert os.path.exists(final)
+    mtime_before = os.path.getmtime(final)
+    # drain again with the SAME checkpoint (no new input): Spark replays
+    # nothing, and even a redelivered batch would hit the committed-dir
+    # guard — rows must not change
+    ST.idempotent_batch_sink(stream, out, checkpoint_dir=ckpt)
+    assert spark.read.parquet(out).count() == 100
+    assert os.path.getmtime(final) == mtime_before
