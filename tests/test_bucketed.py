@@ -103,3 +103,55 @@ def test_time_partitioned_layout_prunes_partitions(spark, tmp_path):
     # row equivalence with a timestamp-range filter on the raw table
     expected = e.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == days[0]).count()
     assert one_day.count() == expected
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order zone maps stay selective on BOTH columns; a one-column
+    sort layout is selective only on its sort key."""
+    from advanced_strapi_import_spark.sources.bucketed import (
+        file_zone_maps,
+        write_zordered,
+    )
+
+    df = spark.range(40000).selectExpr(
+        "id % 200 AS x", "CAST(id / 200 AS LONG) AS y", "id AS payload"
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "xsort")
+    write_zordered(df, zpath, "x", "y", n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def survivors(path, lo_x, hi_x, lo_y, hi_y):
+        zm = file_zone_maps(spark, path, "x", "y").collect()
+        total = len(zm)
+        hit = [
+            r for r in zm
+            if r.min_x <= hi_x and r.max_x >= lo_x
+            and r.min_y <= hi_y and r.max_y >= lo_y
+        ]
+        return len(hit), total
+
+    # box query selecting ~1/16 of each dimension
+    zh, zt = survivors(zpath, 0, 12, 0, 12)
+    sh, st = survivors(spath, 0, 12, 0, 12)
+    assert zt >= 8 and st >= 8
+    # z-order: only a corner of the curve overlaps the box
+    assert zh <= zt // 2
+    # x-sort prunes on x fine but every surviving file spans all of y,
+    # so its survivor count is never better than z-order's and the
+    # surviving x-sort files are y-useless:
+    szm = file_zone_maps(spark, spath, "x", "y").collect()
+    x_files = [r for r in szm if r.min_x <= 12 and r.max_x >= 0]
+    assert all(r.max_y - r.min_y > 150 for r in x_files)
+    # while z-order survivors keep y ranges tight
+    zzm = file_zone_maps(spark, zpath, "x", "y").collect()
+    z_files = [
+        r for r in zzm
+        if r.min_x <= 12 and r.max_x >= 0 and r.min_y <= 12 and r.max_y >= 0
+    ]
+    assert z_files and all(r.max_y - r.min_y < 150 for r in z_files)
