@@ -246,24 +246,7 @@ def ivf_topk(
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    sample = np.array(
-        [r[0] for r in corpus.select(dbl.alias("v")).limit(8192).collect()],
-        dtype=np.float64,
-    )
-    rng = np.random.RandomState(seed)
-    # k-means++ init: spread seeds proportionally to squared distance
-    centers = sample[[rng.randint(len(sample))]]
-    for _ in range(cells - 1):
-        d2min = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
-        probs = d2min / d2min.sum()
-        centers = np.vstack([sample[rng.choice(len(sample), p=probs)], *centers])
-    for _ in range(20):  # Lloyd iterations on the sample
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c_i in range(cells):
-            members = sample[assign == c_i]
-            if len(members):
-                centers[c_i] = members.mean(axis=0)
+    centers = _kmeans_centers(corpus, vec_col, cells, seed)
     centers_sq = (centers**2).sum(axis=1)  # for dist2 = |v|^2 - 2 v.C + |C|^2
 
     def _cells_fn(v, n_out):
@@ -484,5 +467,145 @@ def pq_topk(
         F.col("approx_d2").asc(), F.col("neighbor_id")
     )
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _kmeans_centers(corpus: DataFrame, vec_col: str, cells: int, seed: int):
+    """Seeded k-means++ / Lloyd centers on a bounded driver sample
+    (same trainer as ivf_topk; at 1e9 rows you sample ~1e6 vectors —
+    the CENTERS are what must be small, not the data)."""
+    import numpy as np
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sample = np.array(
+        [r[0] for r in corpus.select(dbl.alias("v")).limit(8192).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    centers = sample[[rng.randint(len(sample))]]
+    for _ in range(cells - 1):
+        d2min = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        probs = d2min / d2min.sum()
+        centers = np.vstack([sample[rng.choice(len(sample), p=probs)], *centers])
+    for _ in range(20):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c_i in range(cells):
+            members = sample[assign == c_i]
+            if len(members):
+                centers[c_i] = members.mean(axis=0)
+    return centers
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: ``path/centroids`` (tiny parquet of the
+    learned centers) + ``path/cells`` (the corpus partitioned BY CELL
+    on disk). Build once, serve many: the query path reads centroids
+    (KBs) and only the probed cells' partition directories — at 100 TB
+    an nprobe/cells fraction of the files, enforced by partition
+    pruning rather than trust."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    centers = _kmeans_centers(corpus, vec_col, cells, seed)
+    centers_sq = (centers**2).sum(axis=1)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _argmin(v):
+        mat = np.stack(v.to_numpy())
+        d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ centers.T) + centers_sq
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    _argmin.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    argmin_cell = F.pandas_udf(_argmin, "int")
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), argmin_cell(dbl).alias("cell")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = 64,
+) -> DataFrame:
+    """Serve ANN top-k from a stored IVF index: centroids load to the
+    driver (KBs), each query's nprobe nearest cells are computed there,
+    and the cell scan carries an explicit ``cell IN (...)`` predicate
+    so parquet PARTITION PRUNING skips every unprobed cell directory.
+    Queries are a serving-sized batch (the collect is |queries| probe
+    lists, bounded); candidates join broadcast queries on cell and
+    score JVM-side."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centers = np.array([r.center for r in cent], dtype=np.float64)
+    centers_sq = (centers**2).sum(axis=1)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    ).collect()
+    probes = []
+    for r in q:
+        v = np.asarray(r.__qv if hasattr(r, "__qv") else r["__qv"])
+        d2 = (v @ v) - 2.0 * (centers @ v) + centers_sq
+        for c in np.argsort(d2, kind="stable")[:nprobe]:
+            probes.append((r.query_id, list(map(float, v)), int(c)))
+    probe_df = spark.createDataFrame(
+        probes, f"query_id long, __qv array<double>, cell int"
+    )
+    wanted = sorted({p[2] for p in probes})
+    cand = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(wanted)
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(
+                    F.col("__qv"),
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    dims,
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
