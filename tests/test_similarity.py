@@ -72,3 +72,22 @@ def test_pq_topk_recall_and_determinism(spark):
     # seeded training: two runs give identical neighbor sets
     again = S.pq_topk(qs, emb, k=5).select("query_id", "neighbor_id")
     assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_index_build_and_serve(spark, tmp_path):
+    """Stored IVF index: build once, serve with partition-pruned cell
+    reads; recall vs brute force stays high on the clustered data."""
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(corpus, idx, cells=8)
+    queries = corpus.limit(5)
+    approx = S.ivf_query_index(spark, idx, queries, k=5, nprobe=3)
+    exact = S.cosine_topk(queries, corpus, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6  # nprobe=3/8 recall floor
+    # the serve plan must read only probed cell partitions
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
