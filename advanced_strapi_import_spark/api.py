@@ -273,3 +273,24 @@ class Engine:
         df = df.limit(limit)
         X.write_csv(df, out_path)
         return df
+
+    # -- SQL surface -----------------------------------------------------
+    def sql(self, query: str, *, fmt: str = "parquet") -> DataFrame:
+        """Run ANSI SQL over the engine's stored content types: every
+        table under ``storage_root`` registers as a temp view named
+        after its content type, then the query plans through Catalyst
+        exactly like the DataFrame API (same pushdown, same AQE). The
+        reference exposes filtered REST reads (`/content-types/.../
+        export` filters); this is the superset surface a warehouse
+        user expects — arbitrary joins/aggregates over the same
+        governed tables, no copies."""
+        import os as _os
+
+        for name in sorted(_os.listdir(self.storage_root)):
+            p = _os.path.join(self.storage_root, name)
+            if _os.path.isdir(p):
+                try:
+                    self.table(name, fmt=fmt).createOrReplaceTempView(name)
+                except Exception:
+                    continue  # non-table dirs (checkpoints, tmp) skip
+        return self.spark.sql(query)

@@ -259,3 +259,22 @@ def test_table_format_roundtrip_orc_json(spark, tmp_path):
         # overwrite path (atomic swap) works for non-parquet too
         eng.write_table(f"docs_{fmt}", src.limit(10), fmt=fmt)
         assert eng.table(f"docs_{fmt}", fmt=fmt).count() == 10
+
+
+def test_engine_sql_surface(engine, spark):
+    """Engine.sql: stored content types become queryable views."""
+    out = engine.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS ids FROM country"
+    ).collect()
+    assert out[0].n >= 1 and out[0].ids == out[0].n
+    companies = spark.createDataFrame(
+        [(1, "Acme", 1), (2, "Globex", 1), (3, "Initech", 2)],
+        "id long, name string, country long",
+    )
+    engine.write_table("company", companies)
+    rows = engine.sql(
+        """SELECT c.name AS country, count(*) AS n
+           FROM company co JOIN country c ON c.id = co.country
+           GROUP BY c.name ORDER BY n DESC, country"""
+    ).collect()
+    assert rows[0].n == 2
