@@ -382,3 +382,44 @@ GROUP BY date_trunc('hour', ts), event_type
 )
 def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.rollup_merge_stream(ST.read_events_stream(spark, sf_dir))
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v
+LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+  AND v.ts <= (SELECT m FROM mx) - INTERVAL 4 HOUR
+""",
+    doc="Stream-stream LEFT OUTER join: unmatched views emit null rows "
+        "only when the watermark proves no purchase can still arrive "
+        "(watermark-driven outer results, bounded state). Compared on "
+        "the watermark-complete region — views older than max(ts)-4h, "
+        "safely past the eviction boundary (2h delay + 30min range); "
+        "rows nearer the stream head are still held in state by "
+        "DESIGN, so both engines exclude them. Equals the batch left "
+        "join on that region.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ST.view_purchase_left_join(views, purchases)
+    drained = ST.run_available_now(
+        joined, output_mode="append", no_data_batch=True
+    )
+    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("__m"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .filter(F.col("view_ts") <= F.col("__m") - F.expr("INTERVAL 4 HOURS"))
+        .select("view_id", "purchase_id")
+    )

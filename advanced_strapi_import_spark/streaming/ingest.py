@@ -593,3 +593,30 @@ def idempotent_batch_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, matched to purchases
+    within 30 minutes — or emitted with nulls once the watermark proves
+    no purchase can still arrive. Outer results are watermark-DRIVEN:
+    the null row for an unmatched view only materializes when the
+    watermark passes view_ts + 30min, so state stays bounded AND the
+    "never converted" rows do eventually emit — the funnel-drop-off
+    shape computed inside the stream."""
+    v = views.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
