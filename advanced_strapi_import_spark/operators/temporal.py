@@ -105,3 +105,50 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("__bucket")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join via COGROUPED applyInPandas — the Arrow fallback shape
+    for operators whose per-group logic outgrows SQL (here it's
+    pandas.merge_asof per key group). Both inputs shuffle once on the
+    ``by`` key; matching groups arrive as two aligned pandas frames per
+    task and never cross group boundaries — O(group) memory, all keys
+    in parallel. Equivalent to the native union+window asof_join
+    (asserted in tests); the native form is preferred when semantics
+    fit SQL — this exists as the documented pattern for when they
+    don't (custom interpolation, model scoring per key, etc.)."""
+    import pandas as pd
+
+    lcols = list(left.columns)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in right.select(*value_cols).schema.fields
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=lcols + value_cols)
+        ls = l.sort_values(on, kind="mergesort")
+        rs = r.sort_values(on, kind="mergesort")[[on] + value_cols]
+        out = pd.merge_asof(
+            ls, rs, on=on, direction=direction,
+            allow_exact_matches=True,
+        )
+        return out[lcols + value_cols]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.select(by, on, *value_cols).groupBy(by))
+        .applyInPandas(merge, out_schema)
+    )

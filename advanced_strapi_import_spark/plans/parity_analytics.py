@@ -1485,3 +1485,35 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wape_ppm"),
         )
     )
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(count(*) FILTER (CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) >= 50) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+""",
+    doc="Semi-structured access via Spark 4 VARIANT: props parses ONCE "
+        "to the binary variant encoding (parse_json), then typed "
+        "variant_get paths extract without re-tokenizing JSON per "
+        "access — the modern lakehouse path for schema-on-read columns "
+        "at 100 TB (variant decode is columnar and ~an order cheaper "
+        "than repeated string JSON parsing when several paths are "
+        "read). Same answers as the get_json_object twin "
+        "(events_json_extract) — by construction, verified by the "
+        "shared oracle shape.",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v = e.withColumn("__v", F.parse_json("props"))
+    k = F.variant_get(F.col("__v"), "$.k", "long")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count_if(k >= 50).alias("n_high"),
+    )

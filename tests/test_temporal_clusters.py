@@ -78,3 +78,30 @@ def test_interval_join_bucket_boundaries(spark):
     )
     out = T.interval_join(points, ivals, point_ts="ts", start_ts="s", end_ts="e")
     assert [r["pid"] for r in out.collect()] == [1]
+
+
+def test_cogrouped_asof_equals_native(spark):
+    """The cogrouped-pandas as-of fallback matches the native
+    union+window implementation row for row, both directions."""
+    from advanced_strapi_import_spark.operators import temporal as TP
+
+    SF = "/root/testdata/sf0.001"
+    from advanced_strapi_import_spark.plans.registry import load_events
+
+    e = load_events(spark, SF)
+    left = e.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    right = e.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    for direction in ("backward", "forward"):
+        native = TP.asof_join(
+            left, right, on="ts", by="user_id",
+            value_cols=["value"], direction=direction,
+        )
+        cog = TP.asof_join_cogrouped(
+            left, right, on="ts", by="user_id",
+            value_cols=["value"], direction=direction,
+        )
+        n = {tuple(map(str, r)) for r in native.collect()}
+        c = {tuple(map(str, r)) for r in cog.collect()}
+        assert n == c, f"direction={direction}: {len(n ^ c)} differing rows"
