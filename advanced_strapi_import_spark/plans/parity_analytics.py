@@ -1517,3 +1517,168 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count_if(k >= 50).alias("n_high"),
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+WITH assign AS (
+  SELECT DISTINCT user_id, user_id % 2 AS grp FROM events),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 200),
+g AS (
+  SELECT a.grp,
+         count(*) AS n_users,
+         sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.grp),
+wide AS (
+  SELECT
+    max(CASE WHEN grp = 0 THEN n_users END) AS na,
+    max(CASE WHEN grp = 0 THEN n_conv END) AS ca,
+    max(CASE WHEN grp = 1 THEN n_users END) AS nb,
+    max(CASE WHEN grp = 1 THEN n_conv END) AS cb
+  FROM g)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       CAST(ca * 1000000 // na AS BIGINT) AS rate_a_ppm,
+       CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_ppm,
+       round((CAST(cb AS DOUBLE)/nb - CAST(ca AS DOUBLE)/na)
+             / sqrt((CAST(ca+cb AS DOUBLE)/(na+nb))
+                    * (1 - CAST(ca+cb AS DOUBLE)/(na+nb))
+                    * (1.0/na + 1.0/nb)), 2) AS z_score,
+       abs((CAST(cb AS DOUBLE)/nb - CAST(ca AS DOUBLE)/na)
+           / sqrt((CAST(ca+cb AS DOUBLE)/(na+nb))
+                  * (1 - CAST(ca+cb AS DOUBLE)/(na+nb))
+                  * (1.0/na + 1.0/nb))) > 1.96 AS significant
+FROM wide
+""",
+    doc="A/B experiment readout: deterministic hash assignment "
+        "(user_id parity — in production the md5 hash_split), per-arm "
+        "user-level conversion (a high-value purchase), and the pooled "
+        "two-proportion z-test (rounded 2dp; the +/-1.96 significance "
+        "gate computed on the unrounded value identically in both "
+        "engines). Two shuffles on user_id (assignment, conversion "
+        "semi-join), then a 2-row pivot — experiment analysis never "
+        "touches more than the per-user rollup.",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    assign = e.select("user_id").distinct().withColumn(
+        "grp", F.col("user_id") % 2
+    )
+    conv = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    g = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("__c", F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_conv"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pb - pa) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.expr("ca * 1000000 div na").cast("long").alias("rate_a_ppm"),
+        F.expr("cb * 1000000 div nb").cast("long").alias("rate_b_ppm"),
+        F.round(z, 2).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "events_value_psi",
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+         least(CAST(floor(value / 50.0) AS INT), 9) AS bucket,
+         epoch_us(ts) AS ts_us,
+         (SELECT min(epoch_us(ts))
+                 + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+          FROM events) AS mid_us
+  FROM events),
+halves AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (ts_us <= mid_us) AS n_ref,
+         count(*) FILTER (ts_us > mid_us) AS n_cur
+  FROM b GROUP BY event_type, bucket),
+tot AS (
+  SELECT event_type,
+         CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM halves GROUP BY event_type)
+SELECT h.event_type,
+       round(sum(
+         ((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+         * ln(((n_cur + 1.0) / (t_cur + 10))
+              / ((n_ref + 1.0) / (t_ref + 10)))), 4) AS psi,
+       round(sum(
+         ((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+         * ln(((n_cur + 1.0) / (t_cur + 10))
+              / ((n_ref + 1.0) / (t_ref + 10)))), 4) > 0.2 AS drifted
+FROM halves h JOIN tot USING (event_type)
+GROUP BY h.event_type
+""",
+    doc="Population-stability-index drift monitor: events split at the "
+        "time midpoint into reference/current halves, value bucketed "
+        "into 10 fixed-width bins, PSI with add-one smoothing "
+        "(Laplace over the 10 bins) so empty bins stay finite; "
+        "psi > 0.2 is the conventional drift alarm. One shuffle on "
+        "(type, bucket) — the model-monitoring primitive that gates "
+        "retraining at 100 TB, computed on aggregates only.",
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    mid = e.agg(
+        F.expr(
+            "min(unix_micros(ts)) + "
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 2"
+        ).alias("mid_us")
+    )
+    b = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+            "bucket"
+        ),
+        (us <= F.col("mid_us")).alias("__is_ref"),
+    )
+    halves = b.groupBy("event_type", "bucket").agg(
+        F.count_if(F.col("__is_ref")).alias("n_ref"),
+        F.count_if(~F.col("__is_ref")).alias("n_cur"),
+    )
+    tot = halves.groupBy("event_type").agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        halves.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 4).alias("psi"),
+            (F.round(F.sum(term), 4) > 0.2).alias("drifted"),
+        )
+    )
