@@ -620,3 +620,80 @@ def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter",
     )
+
+
+def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator on the MODERN API
+    (transformWithStateInPandas, Spark 4 arbitrary stateful v2): each
+    user's per-event-type counts live in a keyed MapState — the
+    composite-state shape the older applyInPandasWithState GroupState
+    can't express without serializing a whole dict per update. State is
+    per-key + per-map-entry in RocksDB, so a 100 TB keyspace pages
+    through the store instead of living on the heap; emits one
+    (user_id, event_type, n) row per touched entry per batch (Update
+    mode), which a downstream MERGE folds into a serving table.
+
+    Requires the ``protobuf`` package (the transformWithState Python
+    protocol speaks protobuf to the JVM); absent in this container, so
+    the operator is exercised by an import-gated test and the
+    equivalent GroupState operator (stateful_user_totals) carries the
+    oracle-checked query."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            out = []
+            for et, c in batch.items():
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + c
+                self._counts.updateValue((et,), (total,))
+                out.append((uid, et, total))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events_stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return (
+        events_stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

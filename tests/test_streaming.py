@@ -141,3 +141,32 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     ST.idempotent_batch_sink(stream, out, checkpoint_dir=ckpt)
     assert spark.read.parquet(out).count() == 100
     assert os.path.getmtime(final) == mtime_before
+
+
+def test_tws_user_type_counts_when_protobuf_present(spark):
+    """transformWithStateInPandas operator — runs only where protobuf
+    (the tWS python<->JVM protocol dependency) is installed."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed: tWS protocol unavailable")
+    from advanced_strapi_import_spark.plans.registry import load_events
+    from advanced_strapi_import_spark.streaming import ingest as ST
+
+    out = ST.run_available_now(
+        ST.tws_user_type_counts(
+            ST.read_events_stream(spark, "/root/testdata/sf0.001")
+        ),
+        output_mode="update",
+    )
+    final = out.groupBy("user_id", "event_type").agg(
+        {"n": "max"}
+    )
+    batch = (
+        load_events(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    assert final.count() == batch.count()
