@@ -88,6 +88,57 @@ def _ngram_strings(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def repeated_ngram_stats(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram statistics — the token-level form
+    of exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": memorized boilerplate
+    shows up as long spans shared verbatim across documents). An n-gram
+    is DUPLICATED when it occurs in >= ``min_docs`` distinct documents;
+    each document reports how many of its n-gram positions carry a
+    duplicated gram. Downstream filters drop or trim the high-fraction
+    docs.
+
+    Returns (id, n_ngrams, dup_ngrams) — one row per doc that has at
+    least one n-gram; callers left-join from the corpus to keep short
+    docs with zero grams.
+
+    Scale: grams collapse to a 63-bit hash BEFORE any shuffle (8-byte
+    keys, not 8-token strings), the duplicated-gram table is built from
+    a (id, gh)-distinct projection (positions within one doc never
+    inflate the document count), and the final join is gram-hash ->
+    small dup set — broadcastable when the duplicated-gram table is
+    selective, one hash shuffle otherwise. No pairwise comparison
+    anywhere, so cost stays O(total tokens) at 100 TB."""
+    from advanced_strapi_import_spark.operators.dedup import hash64
+
+    grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"),
+    ).select("id", hash64(F.col("gram")).alias("gh"))
+    dup = (
+        grams.distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh", "nd")
+    )
+    return (
+        grams.join(dup, "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("nd").alias("dup_ngrams"),
+        )
+    )
+
+
 def contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

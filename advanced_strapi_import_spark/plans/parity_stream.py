@@ -236,6 +236,63 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le_bytes(c, width: int):
+    """Little-endian byte string of an int column (width 4 or 2) —
+    codegen'd hex/substr swaps, no UDF."""
+    x = F.lpad(F.lower(F.hex(c)), width * 2, "0")
+    parts = [F.substring(x, 1 + 2 * i, 2) for i in range(width - 1, -1, -1)]
+    return F.unhex(F.concat(*parts))
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(n_chars % 1000 + 1 AS BIGINT) AS n_frames,
+       CAST((n_chars % 1000 + 1) * 1000
+            // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms,
+       'WAV' AS format
+FROM documents
+""",
+    doc="REAL audio-metadata decode (no codec library): a valid "
+        "RIFF/WAVE header is synthesized per doc (sample rate / "
+        "channels / frame count derived from doc fields, little-endian "
+        "bytes built by codegen'd hex swaps), pushed through the Arrow "
+        "mapInPandas decode stage, and audio_header_meta walks the "
+        "chunk list back out — the audio face of multimodal_image_meta."
+        " Duration is integer math (data_size*1000 // byte_rate) so "
+        "the arithmetic oracle matches bit-for-bit.",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import decode_audio_meta
+
+    d = load(spark, sf_dir, "documents")
+    sr = (F.lit(8000) * (F.col("doc_id") % 5 + 1)).cast("int")
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    block = (ch * 2).cast("int")
+    frames = (F.col("n_chars") % 1000 + 1).cast("int")
+    data_size = (frames * block).cast("int")
+    wav = F.concat(
+        F.lit(b"RIFF"), _le_bytes(data_size + 36, 4), F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(ch, 2),
+        _le_bytes(sr, 4), _le_bytes(sr * block, 4), _le_bytes(block, 2),
+        _le_bytes(F.lit(16), 2), F.lit(b"data"), _le_bytes(data_size, 4),
+    )
+    decoded = decode_audio_meta(d.select("doc_id", wav.alias("content")))
+    return decoded.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
+        F.col("audio_meta.n_frames").alias("n_frames"),
+        F.col("audio_meta.duration_ms").alias("duration_ms"),
+        F.col("audio_meta.format").alias("format"),
+    )
+
+
 @query(
     "stream_ohlc_bars",
     oracle="""

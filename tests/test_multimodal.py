@@ -135,3 +135,47 @@ def test_decode_image_meta_header_sniff_in_spark(spark):
     assert got[1]["width"] == 640 and got[1]["format"] == "PNG"  # real decode
     assert got[2] is None                                        # corrupt -> NULL
     assert got[3]["format"] == "fake"                            # unknown, no codec
+
+
+def test_audio_header_meta_real_decode():
+    import struct
+
+    import pytest
+
+    def wav(sr, ch, frames, bits=16):
+        block = ch * bits // 8
+        size = frames * block
+        return (b"RIFF" + struct.pack("<I", 36 + size) + b"WAVEfmt " +
+                struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * block, block, bits) +
+                b"data" + struct.pack("<I", size))
+
+    assert MM.audio_header_meta(wav(16000, 2, 777)) == (16000, 2, 16, 777, 48, "WAV")
+    # chunk walker copes with a LIST chunk before fmt
+    b = wav(44100, 2, 1000)
+    withlist = b[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + b[12:]
+    assert MM.audio_header_meta(withlist)[0] == 44100
+    with pytest.raises(MM.UnknownContainer):
+        MM.audio_header_meta(b"\x00" * 40)
+    # recognized RIFF/WAVE but no fmt chunk -> bad data, not fake
+    with pytest.raises(ValueError, match="missing"):
+        MM.audio_header_meta(b"RIFF\x10\x00\x00\x00WAVEdata\x00\x00\x00\x00")
+
+
+def test_decode_audio_meta_ladder(spark):
+    import struct
+
+    block = 2  # mono 16-bit
+    size = 5 * block
+    good = (b"RIFF" + struct.pack("<I", 36 + size) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * block, block, 16) +
+            b"data" + struct.pack("<I", size))
+    corrupt = b"RIFF\x10\x00\x00\x00WAVEjunk\x00\x00\x00\x00"
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, b"not audio at all!")],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r["audio_meta"] for r in MM.decode_audio_meta(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 5
+    assert got[1]["format"] == "WAV"
+    assert got[2] is None          # recognized container, corrupt -> NULL
+    assert got[3]["format"] == "fake"  # unknown container -> marked stub
