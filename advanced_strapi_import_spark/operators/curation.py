@@ -88,6 +88,39 @@ def _ngram_strings(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def quality_floor(
+    df: DataFrame,
+    *,
+    score_col: str,
+    by: str,
+    id_col: str = "doc_id",
+    num: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """Per-stratum quality floor: within each ``by`` stratum, rank docs
+    by ascending score and keep everything above the bottom num/den
+    fraction — the per-source percentile filter a mixture pipeline
+    applies so one noisy source can't flood the corpus while a clean
+    source is over-trimmed (per-domain thresholds, not one global one).
+
+    The cut is integer-exact: ``rank > n_docs * num // den`` — no float
+    percentile, so any engine agrees on exactly which rows survive.
+    Ties break by ``id_col`` for deterministic ranks.
+
+    Scale: one shuffle on the stratum key; both the rank and the
+    stratum size come from the same window partition, so the second
+    window reuses the first's exchange."""
+    w = Window.partitionBy(by).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    n = Window.partitionBy(by)
+    return (
+        df.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_docs", F.count(F.lit(1)).over(n).cast("long"))
+        .withColumn(
+            "kept", F.col("q_rank") > F.expr(f"n_docs * {num} div {den}")
+        )
+    )
+
+
 def repeated_ngram_stats(
     corpus: DataFrame,
     *,

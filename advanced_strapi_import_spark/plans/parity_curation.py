@@ -743,3 +743,108 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_docs", "n_langs", "entropy_bits", "top_lang")
     )
+
+
+@query(
+    "doc_repeated_ngrams",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+expl AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+  FROM t),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+  FROM expl),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
+  WHERE nd >= 2),
+per AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM dup)) AS dup_ngrams
+  FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       CAST(CASE WHEN coalesce(n_ngrams, 0) > 0
+                 THEN dup_ngrams * 1000000 // n_ngrams
+                 ELSE 0 END AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+    doc="Cross-doc repeated 8-gram fraction (token-level exact "
+        "substring dedup, Lee et al. 2022): an 8-gram present in >=2 "
+        "distinct docs is duplicated; each doc reports the ppm of its "
+        "8-gram positions carrying one. Grams hash to 63 bits before "
+        "any shuffle; no pairwise comparison — O(total tokens).",
+)
+def doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = CU.repeated_ngram_stats(d, n=8).withColumnRenamed("id", "doc_id")
+    out = d.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_ngrams > 0 THEN dup_ngrams * 1000000 div n_ngrams "
+            "ELSE 0 END"
+        ).cast("long").alias("dup_ppm"),
+    )
+
+
+@query(
+    "quality_floor_per_source",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop_hits
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+         round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mtl
+  FROM f),
+s AS (
+  SELECT doc_id, source,
+         round(greatest(least(
+           0.5 + least(stopword_ratio * 2, 0.3)
+               - least(punct_ratio * 2, 0.3)
+               - least(digit_ratio, 0.2)
+               + CASE WHEN mtl >= 3 AND mtl <= 10 THEN 0.2 ELSE 0 END,
+           1.0), 0.0), 4) AS quality
+  FROM r),
+rk AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS q_rank,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM s)
+SELECT doc_id, source, quality,
+       CAST(q_rank AS BIGINT) AS q_rank,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       q_rank > n_docs * 1 // 4 AS kept
+FROM rk
+""",
+    doc="Per-source quality floor: documents rank by the composite "
+        "quality score WITHIN their source and the bottom quartile is "
+        "cut per source (integer-exact rank > n*1//4 — no float "
+        "percentile), so a noisy source can't flood the corpus and a "
+        "clean one isn't over-trimmed. One shuffle on the source key; "
+        "rank and stratum size share the window exchange.",
+)
+def quality_floor_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return CU.quality_floor(scored, score_col="quality", by="source")

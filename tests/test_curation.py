@@ -285,3 +285,46 @@ def test_incremental_candidates_broadcast_plan(spark):
     # in production that table is precomputed and stored.
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_repeated_ngram_stats_cross_doc_only(spark):
+    seq = " ".join(f"w{i}" for i in range(8))          # one shared 8-gram
+    df = spark.createDataFrame(
+        [
+            (1, seq + " tail1 a b c"),
+            (2, "lead " + seq),                        # shares the 8-gram with doc 1
+            (3, "totally different words " + " ".join(f"x{i}" for i in range(8))),
+            (4, "short doc"),                          # < 8 tokens -> no grams
+            (5, seq + " " + seq),                      # within-doc repeat only counts
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in CU.repeated_ngram_stats(df, n=8).collect()}
+    # doc 4 emits no grams at all
+    assert 4 not in got
+    # doc 1: 12 tokens -> 5 gram positions, only position 0 ('w0..w7')
+    # is cross-doc
+    assert got[1]["n_ngrams"] == 5 and got[1]["dup_ngrams"] == 1
+    # doc 2: 'lead w0..w6' is unique, 'w0..w7' shared
+    assert got[2]["dup_ngrams"] == 1
+    # doc 3 shares nothing
+    assert got[3]["dup_ngrams"] == 0
+    # doc 5 shares 'w0..w7' (and rotations appear only within itself):
+    # every gram containing the full shared window counts only if some
+    # OTHER doc has it -> exactly the two 'w0..w7' positions
+    assert got[5]["dup_ngrams"] == 2
+
+
+def test_quality_floor_integer_cut_and_ties(spark):
+    rows = [(i, "s1", float(i % 5)) for i in range(10)]   # ties on score
+    rows += [(100 + i, "s2", float(i)) for i in range(3)]  # tiny stratum
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = CU.quality_floor(df, score_col="q", by="source").collect()
+    s1 = sorted([r for r in out if r["source"] == "s1"], key=lambda r: r["q_rank"])
+    # 10 docs -> bottom 10*1//4 = 2 cut
+    assert [r["kept"] for r in s1] == [False] * 2 + [True] * 8
+    # ties broke by doc_id: the two cut docs are the lowest (q, doc_id)
+    assert [r["doc_id"] for r in s1[:2]] == [0, 5]
+    s2 = [r for r in out if r["source"] == "s2"]
+    # 3 docs -> 3*1//4 = 0 cut: small strata are never over-trimmed
+    assert all(r["kept"] for r in s2)
