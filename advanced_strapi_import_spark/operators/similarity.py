@@ -294,6 +294,31 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pair_cosine_udf():
+    """Vectorized per-pair cosine (round 6) as an Arrow pandas UDF: one
+    einsum over the batch instead of a ~192-term inline expression per
+    pair — the flat codegen form of cosine() at 64 dims overflows
+    janino's 64 KB method limit in the pair-scoring stage (join +
+    cosine fused into one WholeStageCodegen method), which silently
+    drops the WHOLE stage to interpreted eval. Same fix the bucketing
+    stage uses in _multi_buckets."""
+    import numpy as np
+    import pandas as pd
+
+    def _cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(np.round(dots / (na * nb), 6))
+
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cos, "double")
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,
@@ -336,12 +361,13 @@ def embedding_near_dup(
     )
     va = vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+    pair_cos = _pair_cosine_udf()
     scored = (
         pair_ids.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb"), dims), 6).alias("cos"),
+            pair_cos(F.col("__va"), F.col("__vb")).alias("cos"),
         )
     )
     return scored.filter(F.col("cos") >= threshold)

