@@ -6,7 +6,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from advanced_strapi_import_spark.operators.dedup import hash64, shingles, tokens
 
@@ -334,3 +334,37 @@ def repetition_features(text: Column) -> dict[str, Column]:
         "dup_bigram_ratio": ngram_dup_ratio(2),
         "dup_trigram_ratio": ngram_dup_ratio(3),
     }
+
+
+def explode_tokens_udtf(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token expansion through a Python UDTF (Spark 4's user-defined
+    TABLE function surface): one input row fans out to (pos, token,
+    is_stop) rows via a LATERAL join, the per-row-to-many-rows shape
+    SQL can't express without a predefined generator.
+
+    The UDTF here is the INTEGRATION surface (Arrow-batched eval is
+    enabled by tune()); bulk tokenization itself stays on the native
+    split/posexplode path (text_token_counts) — a Python generator
+    per row is never the 100 TB hot path, but a custom tagger/
+    tokenizer that must run Python (spaCy, a BPE lib) plugs in exactly
+    here with the plan shape unchanged."""
+    from pyspark.sql.functions import udtf
+
+    stops = set(LANG_PROFILES["en"])
+
+    @udtf(returnType="pos int, token string, is_stop boolean")
+    class TokenExplode:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield i, t, t.lower() in stops
+
+    spark = df.sparkSession
+    spark.udtf.register("token_explode", TokenExplode)
+    return spark.sql(
+        f"SELECT d.{id_col}, t.pos, t.token, t.is_stop "
+        f"FROM {{d}} d, LATERAL token_explode(d.{text_col}) t",
+        d=df,
+    )

@@ -848,3 +848,28 @@ def quality_floor_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
     )
     return CU.quality_floor(scored, score_col="quality", by="source")
+
+
+@query(
+    "doc_tokens_udtf",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t)
+SELECT doc_id,
+       CAST(pos AS INT) AS pos,
+       toks[pos + 1] AS token,
+       list_contains(['the','a','of','and','to','in','is','that','it','for'],
+                     lower(toks[pos + 1])) AS is_stop
+FROM e
+""",
+    doc="Python UDTF surface (Spark 4 user-defined TABLE function): "
+        "one doc row fans out to (pos, token, is_stop) rows through a "
+        "LATERAL join against an Arrow-evaluated UDTF — the plug-in "
+        "point for Python-only taggers/tokenizers; bulk tokenization "
+        "itself stays native (text_token_counts).",
+)
+def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return TX.explode_tokens_udtf(d)

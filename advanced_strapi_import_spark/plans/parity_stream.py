@@ -480,3 +480,36 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("view_ts") <= F.col("__m") - F.expr("INTERVAL 4 HOURS"))
         .select("view_id", "purchase_id")
     )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""",
+    doc="STREAMING native session windows: watermarked "
+        "session_window(ts, 30 min) per user over the event stream, "
+        "drained with availableNow — Spark merges per-key windows "
+        "dynamically as micro-batches arrive, state bounded by open "
+        "sessions. The drained result equals the batch lag+cumsum "
+        "sessionization oracle (same SQL as events_session_window).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(ST.session_window_agg(stream))

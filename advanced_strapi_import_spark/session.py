@@ -48,6 +48,9 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs (token_explode) evaluate via Arrow batches, not
+        # pickled row-at-a-time
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local[32] puts all 32 executor threads inside the driver JVM:
         # 8g forced full-GC pauses mid-suite (2-3x per-query timing
@@ -108,6 +111,7 @@ def tune(spark: SparkSession) -> SparkSession:
         # owns runtime parallelism above this floor
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.pythonUDTF.arrow.enabled", "true"),
         ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
     ]:
         try:

@@ -94,6 +94,29 @@ def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def session_window_agg(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked NATIVE session windows on a stream — Spark merges
+    per-key windows dynamically as events arrive and emits a session
+    only once the watermark passes its close (append mode), so state
+    is bounded by open sessions per user, not history. The drained
+    stream equals the batch session_window answer
+    (events_session_window's lag+cumsum-equivalent oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
 def ohlc_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Watermarked 5-minute OHLC bars — the streaming face of
     events_ohlc_bars. open/close are min_by/max_by over the
