@@ -873,3 +873,73 @@ FROM e
 def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return TX.explode_tokens_udtf(d)
+
+
+@query(
+    "customer_record_linkage",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_acctbal AS bal, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+b AS (
+  SELECT c_custkey + 100000 AS id,
+         CASE WHEN c_custkey % 4 = 0 THEN c_name || ' jr' ELSE c_name END AS name,
+         c_nationkey AS nk,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 0.5 ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+         CAST(floor(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 0.5
+                         ELSE c_acctbal END / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(CASE WHEN a.name = b.name THEN 40 ELSE -12 END AS BIGINT) AS w_name,
+         CAST(CASE WHEN abs(a.bal - b.bal) <= 1.0 THEN 20 ELSE -8 END AS BIGINT) AS w_bal,
+         CAST(CASE WHEN a.seg = b.seg THEN 6 ELSE -3 END AS BIGINT) AS w_seg
+  FROM a JOIN b ON a.nk = b.nk AND a.bal_bucket = b.bal_bucket)
+SELECT id_a, id_b, w_name, w_bal, w_seg,
+       CAST(w_name + w_bal + w_seg AS BIGINT) AS score
+FROM scored
+WHERE w_name + w_bal + w_seg >= 40
+""",
+    doc="Probabilistic record linkage (Fellegi-Sunter): customers vs a "
+        "perturbed twin registry, blocked on (nation, acctbal-bucket) "
+        "— an equi-join, never a cross join — with integer centi-log-"
+        "odds per field (name exact, balance within 1.00, segment) "
+        "summed to an engine-exact match score; threshold 40 keeps "
+        "true twins and drops coincidental same-block pairs. The "
+        "weighted-evidence complement to the reference's deterministic "
+        "resolve cascade.",
+)
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.linkage import (
+        FieldComparison, linkage_matches, linkage_scores,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"), F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    pert_bal = F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 0.5) \
+        .otherwise(F.col("c_acctbal"))
+    b = c.select(
+        (F.col("c_custkey") + 100000).alias("id"),
+        F.when(F.col("c_custkey") % 4 == 0, F.concat("c_name", F.lit(" jr")))
+         .otherwise(F.col("c_name")).alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        pert_bal.alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED"))
+         .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.floor(pert_bal / 1000).cast("long").alias("bal_bucket"),
+    )
+    fields = [
+        FieldComparison("name", lambda: F.col("a.name") == F.col("b.name"), 40, -12),
+        FieldComparison("bal", lambda: F.abs(F.col("a.bal") - F.col("b.bal")) <= 1.0, 20, -8),
+        FieldComparison("seg", lambda: F.col("a.seg") == F.col("b.seg"), 6, -3),
+    ]
+    scores = linkage_scores(a, b, block_on=["nk", "bal_bucket"], fields=fields)
+    return linkage_matches(scores, threshold=40)

@@ -86,3 +86,22 @@ def test_redact_pii_patterns(spark):
     assert "<EMAIL>" in got and "<PHONE>" in got and "<IP>" in got
     assert "a.b+c@" not in got and "555" not in got and "10.0.3.7" not in got
     assert got.endswith("clean 42")  # short numbers untouched
+
+
+def test_explode_tokens_udtf_lateral(spark):
+    """Python UDTF fan-out through a LATERAL join: ordinal positions,
+    stopword flags, empty text yields no rows."""
+    from advanced_strapi_import_spark.operators.text import explode_tokens_udtf
+
+    df = spark.createDataFrame(
+        [(1, "The quick fox"), (2, ""), (3, None), (4, "a")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["token"], r["is_stop"])
+        for r in explode_tokens_udtf(df).collect()
+    )
+    assert rows == [
+        (1, 0, "The", True), (1, 1, "quick", False), (1, 2, "fox", False),
+        (4, 0, "a", True),
+    ]

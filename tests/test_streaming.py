@@ -170,3 +170,21 @@ def test_tws_user_type_counts_when_protobuf_present(spark):
         .count()
     )
     assert final.count() == batch.count()
+
+
+def test_stream_session_window_matches_batch(spark):
+    """Native session windows on the stream drain to the exact batch
+    session_window answer."""
+    stream = ST.read_events_stream(spark, SF_TEST)
+    got = ST.run_available_now(ST.session_window_agg(stream))
+    batch = (
+        load_events(spark, SF_TEST)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
