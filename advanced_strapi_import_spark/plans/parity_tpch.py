@@ -10,7 +10,7 @@ Adapted to the driver's column subset; each is Catalyst's job to plan —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from advanced_strapi_import_spark.plans.registry import load, query
@@ -570,8 +570,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") >= 30) & (F.col("p_type") == "SMALL")
     )
-    supply = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    # Push the (selective) part predicate BELOW the supply aggregation:
+    # the per-part minimum only depends on that part's own supply rows,
+    # so semi-joining lineitem to the filtered part keys first shrinks
+    # the big (partkey, suppkey) shuffle by the part filter's
+    # selectivity — the difference between aggregating all supply and
+    # ~1% of it at 100 TB.
+    supply = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     eur = (
         supply.join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"))
@@ -579,15 +588,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    best = eur.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.min("unit_cost").alias("__min_cost")
-    )
+    # min-cost row selection as a window over the same l_partkey
+    # partitioning (one shuffle) instead of agg + self-join, which
+    # executed the whole supply subtree twice
+    w = Window.partitionBy("l_partkey")
     return (
-        eur.join(
-            best,
-            (F.col("__pk") == F.col("l_partkey"))
-            & (F.col("unit_cost") == F.col("__min_cost")),
-        )
+        eur.withColumn("__min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__min_cost"))
         .join(F.broadcast(p), p["p_partkey"] == F.col("l_partkey"))
         .select(
             "s_name",
