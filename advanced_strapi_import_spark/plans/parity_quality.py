@@ -387,3 +387,90 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+g AS (
+  SELECT nk, seg, bal_bucket, count(*) AS n FROM q
+  GROUP BY nk, seg, bal_bucket)
+SELECT nk, seg, bal_bucket,
+       CAST(n AS BIGINT) AS n,
+       n >= 5 AS k_anonymous
+FROM g
+""",
+    doc="k-anonymity audit over quasi-identifiers (nation, segment, "
+        "balance bucket): equivalence-class sizes plus the k>=5 flag — "
+        "the privacy-release gate run before exporting user-derived "
+        "training data; small classes are the re-identification risk "
+        "and get suppressed/generalized downstream. One shuffle on the "
+        "QI tuple; classes, not rows, come back.",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return (
+        q.groupBy("nk", "seg", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("k_anonymous", F.col("n") >= 5)
+    )
+
+
+@query(
+    "events_decayed_topk",
+    oracle="""
+WITH mx AS (
+  SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS max_day FROM events),
+w AS (
+  SELECT event_type, user_id,
+         CAST(sum(1000000 >> least(
+           datediff('day', CAST(date_trunc('day', ts) AS DATE),
+                    (SELECT max_day FROM mx)), 40)) AS BIGINT) AS decayed
+  FROM events
+  GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, decayed,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY decayed DESC, user_id) AS rnk
+  FROM w)
+SELECT event_type, user_id, decayed, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 10
+""",
+    doc="Freshness-weighted engagement: per (type, user) activity "
+        "decayed by half per day of age — weight 1000000 >> age_days, "
+        "INTEGER bit-shift so every engine agrees exactly — then "
+        "top-10 users per type. The recency-biased popularity rollup "
+        "feeding samplers/dashboards; one (type,user) shuffle plus a "
+        "type-partitioned rank.",
+)
+def events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    mx = e.agg(F.max(F.to_date(F.date_trunc("day", "ts"))).alias("max_day"))
+    # SQL >> (unlike the python shiftright wrapper) takes a column shift
+    weight = F.expr(
+        "1000000 >> least(datediff(max_day, to_date(date_trunc('day', ts))), 40)"
+    )
+    w = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(weight).cast("long").alias("decayed"))
+    )
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("decayed").desc(), F.col("user_id")
+    )
+    return (
+        w.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
