@@ -142,19 +142,22 @@ def repeated_ngram_stats(
     least one n-gram; callers left-join from the corpus to keep short
     docs with zero grams.
 
-    Scale: grams collapse to a 63-bit hash BEFORE any shuffle (8-byte
+    Scale: grams collapse to a 64-bit hash BEFORE any shuffle (8-byte
     keys, not 8-token strings), the duplicated-gram table is built from
     a (id, gh)-distinct projection (positions within one doc never
     inflate the document count), and the final join is gram-hash ->
     small dup set — broadcastable when the duplicated-gram table is
     selective, one hash shuffle otherwise. No pairwise comparison
-    anywhere, so cost stays O(total tokens) at 100 TB."""
-    from advanced_strapi_import_spark.operators.dedup import hash64
+    anywhere, so cost stays O(total tokens) at 100 TB.
 
+    The gram hash never leaves the operator (output is per-doc counts),
+    so it uses native xxhash64 — JVM codegen, ~10x cheaper than the
+    md5-derived portable hash the dedup family needs for its
+    oracle-visible keys."""
     grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"),
-    ).select("id", hash64(F.col("gram")).alias("gh"))
+    ).select("id", F.xxhash64("gram").alias("gh"))
     dup = (
         grams.distinct()
         .groupBy("gh")

@@ -780,8 +780,12 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         "any shuffle; no pairwise comparison — O(total tokens).",
 )
 def doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
     d = load(spark, sf_dir, "documents")
-    stats = CU.repeated_ngram_stats(d, n=8).withColumnRenamed("id", "doc_id")
+    # fan_out: the gram explode+hash is the expensive stage; single-
+    # row-group test files would otherwise serialize it on one core
+    stats = CU.repeated_ngram_stats(fan_out(d), n=8)         .withColumnRenamed("id", "doc_id")
     out = d.select("doc_id").join(stats, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),

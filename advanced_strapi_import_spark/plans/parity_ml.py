@@ -699,7 +699,9 @@ FROM expl
         "tails keep their remainder tokens.",
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # fan_out before the window explode: single-row-group test files
+    # give a 1-split scan that would serialize the chunk generation
+    d = fan_out(load(spark, sf_dir, "documents"))
     out = TX.chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=16)
     return out.select(
         F.col("id").alias("doc_id"), "chunk_index", "n_chunks",

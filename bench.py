@@ -26,6 +26,17 @@ _UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30,
           "TiB": 1 << 40}
 
 
+def force(df) -> None:
+    """Fully materialize every output column via the no-op v2 sink.
+    ``count()`` is NOT a benchmark action: Catalyst prunes columns and
+    eliminates joins whose right side is provably unique when only the
+    row count is observed (a left join to a groupBy(id) aggregate
+    disappears entirely), so count-timings can measure a fraction of
+    the real query. The noop sink observes all columns, forcing the
+    full plan, and writes nothing."""
+    df.write.mode("overwrite").format("noop").save()
+
+
 def _exec_count(spark) -> int:
     """Number of SQL executions recorded so far (status-store cursor)."""
     try:
@@ -44,6 +55,13 @@ def _shuffle_bytes_since(spark, mark: int) -> int:
     if mark < 0:
         return -1
     try:
+        # metrics land via the async listener bus; a fast query can
+        # return from count() before its exchange metrics are in the
+        # status store — drain the bus first or small queries read ~0
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(2000)
+        except Exception:
+            pass
         store = spark._jsparkSession.sharedState().statusStore()
         execs = store.executionsList()
         total = 0
@@ -79,7 +97,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not session startup
-    QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).count()
+    force(QUERIES["q1_pricing_summary"].fn(spark, SF_DIR))
     # warm the Python/Arrow worker pool too: the first pandas-UDF query
     # otherwise absorbs several seconds of one-time worker spinup
     import pandas as pd
@@ -102,7 +120,7 @@ def main() -> None:
     if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(SF_DIR):
         for spec in QUERIES.values():
             try:
-                spec.fn(spark, warm_sf).count()
+                force(spec.fn(spark, warm_sf))
             except Exception as exc:  # a warm failure must not kill the bench
                 print(f"# warm {spec.name} failed: {exc}", file=sys.stderr)
             caching.release_tracked()
@@ -120,11 +138,11 @@ def main() -> None:
         mark = _exec_count(spark)
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
-        n = df.count()
+        force(df)
         timings[name] = round(time.perf_counter() - t0, 2)
         shuffles[name] = _shuffle_bytes_since(spark, mark)
-        print(f"# {name}: {timings[name]}s ({n} rows, "
-              f"{shuffles[name]} shuffle B)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s "
+              f"({shuffles[name]} shuffle B)", file=sys.stderr)
         caching.release_tracked()  # per-query persists die with the query
         if (i + 1) % 24 == 0:
             # let the ContextCleaner reap orphaned localCheckpoint blocks
