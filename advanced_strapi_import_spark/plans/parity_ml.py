@@ -569,7 +569,8 @@ def _lang_sql() -> str:
         "deterministic tie-break in profile order.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # fan_out: per-doc HOF/hash work would serialize on the 1-split scan
+    d = fan_out(load(spark, sf_dir, "documents"))
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -614,7 +615,8 @@ FROM t
         "(1-hash MinHash), 63-bit content hash.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # fan_out: per-doc HOF/hash work would serialize on the 1-split scan
+    d = fan_out(load(spark, sf_dir, "documents"))
     fps = TX.fingerprint(F.col("text"))
     return d.select("doc_id", *[v.alias(k) for k, v in fps.items()])
 
@@ -803,7 +805,8 @@ FROM g
         "expressions, no shuffle.",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # fan_out: per-doc HOF/hash work would serialize on the 1-split scan
+    d = fan_out(load(spark, sf_dir, "documents"))
     feats = TX.repetition_features(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 

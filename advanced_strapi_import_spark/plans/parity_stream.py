@@ -269,7 +269,11 @@ FROM documents
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_strapi_import_spark.operators.multimodal import decode_audio_meta
 
-    d = load(spark, sf_dir, "documents")
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    # fan_out: WAV synthesis (hex swaps) + Arrow decode would serialize
+    # on the single-split documents scan
+    d = fan_out(load(spark, sf_dir, "documents"))
     sr = (F.lit(8000) * (F.col("doc_id") % 5 + 1)).cast("int")
     ch = (F.col("doc_id") % 2 + 1).cast("int")
     block = (ch * 2).cast("int")
