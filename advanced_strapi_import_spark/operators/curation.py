@@ -189,30 +189,33 @@ def contamination(
 
     Benchmark n-grams are DISTINCT'd then broadcast — eval sets are
     tiny relative to the corpus, so the corpus side never shuffles and
-    the explode is map-side. Output: (doc_id, n_ngrams, n_overlap,
-    contaminated)."""
+    the explode is map-side. ONE corpus gram explode feeds both the
+    total and the overlap count (broadcast left join + count/count_if
+    in the same groupBy) — the earlier totals/hits two-branch shape
+    evaluated the n-gram build twice. Output: (doc_id, n_ngrams,
+    n_overlap, contaminated)."""
     bench_grams = (
         benchmark.select(F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     corpus_grams = corpus.select(
         F.col(id_col),
-        F.posexplode(_ngram_strings(F.col(text_col), n)).alias("pos", "gram"),
+        F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"),
     )
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+    per_doc = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    totals = corpus.select(
-        F.col(id_col),
-        F.size(_ngram_strings(F.col(text_col), n)).alias("n_ngrams"),
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_overlap"),
+        )
     )
     return (
-        totals.join(hits, id_col, "left")
+        corpus.select(id_col).join(per_doc, id_col, "left")
         .select(
             id_col,
-            "n_ngrams",
+            F.coalesce("n_ngrams", F.lit(0)).cast("int").alias("n_ngrams"),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )

@@ -116,8 +116,12 @@ def match_media(
 
     if strategy == "prefix-explode":
         # equi-join path: explode every prefix of the file name up to
-        # max_key_len -> (prefix, name, id); join on prefix == match value
-        pref = files.select(
+        # max_key_len -> (prefix, name, id); join on prefix == match
+        # value. The prefix fan-out is ~64 rows per file — rebalance
+        # the files scan first so a 1-split file table doesn't
+        # serialize the explode on one core.
+        par = files.sparkSession.sparkContext.defaultParallelism
+        pref = files.repartition(par).select(
             fname.alias("__fname"), fid.alias("__fid")
         ).withColumn(
             "__prefix",
@@ -130,7 +134,12 @@ def match_media(
         )
         matched = left.join(pref, F.col("__mv") == F.col("__prefix"), "inner")
     else:
-        matched = left.join(
+        # BNLJ cost is |left| x |files| predicate evaluations on the
+        # STREAM (left) side's partitions — a 1-split left scan would
+        # run them all on one core; rebalance to cluster parallelism
+        # first (cheap: left is (key, match-value) only)
+        par = left.sparkSession.sparkContext.defaultParallelism
+        matched = left.repartition(par).join(
             F.broadcast(files.select(fname.alias("__fname"), fid.alias("__fid"))),
             F.col("__fname").startswith(F.col("__mv")),
             "inner",

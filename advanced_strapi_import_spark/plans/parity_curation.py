@@ -88,9 +88,13 @@ FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
         "and broadcast so the corpus side never shuffles.",
 )
 def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
     d = load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    out = CU.contamination(d, bench, n=8)
+    # fan_out the corpus side only: the gram explode would serialize on
+    # the 1-split scan; the bench side stays tiny and broadcasts
+    out = CU.contamination(fan_out(d), bench, n=8)
     return out.select(
         "doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
         "n_overlap", "contaminated",

@@ -103,8 +103,12 @@ def export_flatten_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("items")
         )
     )
+    # NO broadcast hint: `nested` is a fact-sized aggregate (one row per
+    # order, each carrying an item array) — shipping it to every
+    # executor is the anti-pattern; both sides hash-shuffle on the
+    # order key and AQE picks the strategy
     fact = o.select(F.col("o_orderkey").alias("id")).join(
-        F.broadcast(nested), F.col("id") == nested["l_orderkey"], "left"
+        nested, F.col("id") == nested["l_orderkey"], "left"
     ).drop("l_orderkey")
     return X.flatten_repeatable_component(fact, "items", max_items=2)
 
