@@ -471,10 +471,14 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    ivf = S.ivf_topk(queries, emb, k=5, cells=16, nprobe=4).select(
+    # fan_out the CORPUS side: cell assignment (Arrow kernel) and the
+    # brute-force recall baseline both scan it row-heavy, and the
+    # 1-split test file would serialize them; queries stay tiny
+    corpus = fan_out(emb)
+    ivf = S.ivf_topk(queries, corpus, k=5, cells=16, nprobe=4).select(
         "query_id", "neighbor_id"
     )
-    brute = S.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    brute = S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
     hits = (
         ivf.join(brute, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -1191,8 +1195,10 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    pq = S.pq_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    brute = S.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    # fan_out the corpus (see embedding_ivf_topk)
+    corpus = fan_out(emb)
+    pq = S.pq_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
+    brute = S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
     hits = (
         pq.join(brute, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")

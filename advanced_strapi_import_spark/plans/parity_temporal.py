@@ -102,7 +102,11 @@ FROM src
         "across 4 input formats.",
 )
 def date_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    # fan_out: the 4-format regexp parse ladder per row would serialize
+    # on the 1-split orders scan
+    o = fan_out(load(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
     src = o.select(
         k.alias("k"),
