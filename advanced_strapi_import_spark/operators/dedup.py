@@ -456,21 +456,26 @@ def jaccard_on_pairs(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh_raw"),
         ).select("id", hash64(F.col("__sh_raw")).alias("sh"))
-        sh = persist_tracked(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
-    b = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("__idb")) & (F.col("__sha") == F.col("__shb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # ONE groupBy collapses the exploded shingles to a set-array per doc
+    # (PPJoin-style verification layout): the pair joins then move 1 row
+    # per doc instead of 1 row per shingle — same bytes, ~2 orders of
+    # magnitude fewer join rows than joining the exploded table twice,
+    # and the set intersection runs as a JVM array op per pair. Array
+    # size is bounded by document length, the same bound the exploded
+    # form's per-doc row count already had.
+    sets_df = sh.groupBy("id").agg(F.collect_list("sh").alias("__shs"))
+    a = sets_df.select(
+        F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
+        F.size("__shs").alias("na"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    b = sets_df.select(
+        F.col("id").alias("id_b"), F.col("__shs").alias("__sb"),
+        F.size("__shs").alias("nb"),
+    )
     j = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
