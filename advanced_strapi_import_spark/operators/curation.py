@@ -154,10 +154,17 @@ def repeated_ngram_stats(
     so it uses native xxhash64 — JVM codegen, ~10x cheaper than the
     md5-derived portable hash the dedup family needs for its
     oracle-visible keys."""
-    grams = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"),
-    ).select("id", F.xxhash64("gram").alias("gh"))
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    # persisted: BOTH the dup aggregate and the per-doc join read this
+    # frame, and Spark does not share subplans across join sides — an
+    # unpersisted explode would run the dominant map stage twice
+    grams = persist_tracked(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(_ngram_strings(F.col(text_col), n)).alias("gram"),
+        ).select("id", F.xxhash64("gram").alias("gh"))
+    )
     dup = (
         grams.distinct()
         .groupBy("gh")

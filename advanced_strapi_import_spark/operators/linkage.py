@@ -25,7 +25,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 @dataclass(frozen=True)
 class FieldComparison:
-    """One field's evidence: ``agree(a_col, b_col) -> BooleanColumn``
+    """One field's evidence: ``agree`` is a ZERO-ARGUMENT callable
+    returning a BooleanColumn built over the ``a.``/``b.`` dataframe
+    aliases (e.g. ``lambda: F.col("a.name") == F.col("b.name")``),
     plus integer agree/disagree weights (centi-log-odds; positive for
     agreement evidence, negative for disagreement)."""
 

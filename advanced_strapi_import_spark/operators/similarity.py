@@ -307,13 +307,26 @@ def _pair_cosine_udf():
 
     def _cos(a, b):
         if len(a) == 0:
-            return pd.Series([], dtype="float64")
+            return pd.Series([], dtype="Float64")
         ma = np.stack(a.to_numpy()).astype(np.float64)
         mb = np.stack(b.to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", ma, mb)
         na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(np.round(dots / (na * nb), 6))
+        denom = na * nb
+        ok = denom > 0.0
+        # round HALF-UP like Spark/DuckDB round() — np.round is
+        # half-to-even and could disagree at a 6th-decimal boundary.
+        # (valid for the non-negative survivors of the >= filter; a
+        # negative cosine can never clear a positive threshold)
+        vals = np.floor(dots / np.where(ok, denom, 1.0) * 1e6 + 0.5) / 1e6
+        # zero-norm vectors -> NULL, not NaN: NaN compares GREATER than
+        # any double in Spark, so it would pass `cos >= threshold` and
+        # report bogus matches; NULL is dropped by the filter and the
+        # bad vector surfaces in the (documented) unmatched set
+        out = pd.Series(vals, dtype="Float64")
+        out[~ok] = pd.NA
+        return out
 
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return F.pandas_udf(_cos, "double")

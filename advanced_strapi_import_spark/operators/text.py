@@ -356,8 +356,10 @@ def explode_tokens_udtf(df: DataFrame, *, text_col: str = "text",
     @udtf(returnType="pos int, token string, is_stop boolean")
     class TokenExplode:
         def eval(self, text: str):
-            if not text:
+            if text is None:
                 return
+            # '' flows through: split(' ') yields [''], matching the
+            # oracle's string_split behavior (one empty-token row)
             for i, t in enumerate(text.split(" ")):
                 yield i, t, t.lower() in stops
 

@@ -432,7 +432,7 @@ WITH mx AS (
   SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS max_day FROM events),
 w AS (
   SELECT event_type, user_id,
-         CAST(sum(1000000 >> least(
+         CAST(sum(CAST(1000000 AS BIGINT) >> least(
            datediff('day', CAST(date_trunc('day', ts) AS DATE),
                     (SELECT max_day FROM mx)), 40)) AS BIGINT) AS decayed
   FROM events
@@ -458,9 +458,14 @@ def events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     mx = e.agg(F.max(F.to_date(F.date_trunc("day", "ts"))).alias("max_day"))
-    # SQL >> (unlike the python shiftright wrapper) takes a column shift
+    # SQL >> (unlike the python shiftright wrapper) takes a column shift.
+    # The base MUST be BIGINT: Java int shifts mask the count to 5 bits,
+    # so an INT 1000000 >> 32 silently returns 1000000 — ages past 31
+    # days would get FULL weight instead of ~zero (long shifts mask to 6
+    # bits, correct through the 40-day cap; DuckDB agrees on bigint).
     weight = F.expr(
-        "1000000 >> least(datediff(max_day, to_date(date_trunc('day', ts))), 40)"
+        "CAST(1000000 AS BIGINT) >> "
+        "least(datediff(max_day, to_date(date_trunc('day', ts))), 40)"
     )
     w = (
         e.crossJoin(F.broadcast(mx))

@@ -101,7 +101,10 @@ def test_explode_tokens_udtf_lateral(spark):
         (r["doc_id"], r["pos"], r["token"], r["is_stop"])
         for r in explode_tokens_udtf(df).collect()
     )
+    # '' emits one empty-token row (string_split semantics, matching
+    # the DuckDB oracle); only NULL text drops the doc
     assert rows == [
         (1, 0, "The", True), (1, 1, "quick", False), (1, 2, "fox", False),
+        (2, 0, "", False),
         (4, 0, "a", True),
     ]

@@ -91,3 +91,20 @@ def test_ivf_index_build_and_serve(spark, tmp_path):
     # the serve plan must read only probed cell partitions
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_near_dup_zero_norm_vector_is_dropped_not_nan(spark):
+    """A zero-norm embedding must yield NULL cos (dropped by the
+    threshold filter), never NaN — NaN compares GREATER than any double
+    in Spark, so it would pass `cos >= t` and report bogus matches."""
+    from advanced_strapi_import_spark.operators.similarity import embedding_near_dup
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [0.0] * 8)],
+        "id long, embedding array<double>",
+    )
+    out = embedding_near_dup(
+        df, threshold=0.9, vec_col="embedding", id_col="id",
+        tables=4, planes=2, dims=8,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
