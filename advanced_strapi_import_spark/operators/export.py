@@ -29,13 +29,11 @@ METADATA_COLS = ["createdAt", "updatedAt", "publishedAt"]
 def first_column(target_ct: ContentType) -> str:
     """F19: the display column of a related row (controllers/csv-import.js
     :390-391,408-409)."""
+    # first non-id attribute, else id. (A name/title/displayName
+    # fallback chain would be dead code here: any such attribute is
+    # itself a non-id attribute and therefore already names[0]'s list.)
     names = [n for n in target_ct.attributes if n != "id"]
-    if names:
-        return names[0]
-    for cand in ("name", "title", "displayName"):
-        if cand in target_ct.attributes:
-            return cand
-    return "id"
+    return names[0] if names else "id"
 
 
 def flatten_scalar_relation(
@@ -76,7 +74,14 @@ def flatten_multi_relation(
     dim = F.broadcast(
         target.select(F.col(id_col).alias("__dim_id"), F.col(disp).cast("string").alias("__d"))
     )
-    exploded = df.select(row_key, F.posexplode_outer(field).alias("__pos", "__fk"))
+    # null/empty FK arrays must flatten to NULL, not '': the reference
+    # leaves the field unset, and the CSV writer serializes NULL as an
+    # empty cell but '' as a quoted "" — dropping the null explode rows
+    # here means such rows miss the aggregate and the final left join
+    # yields NULL
+    exploded = df.select(
+        row_key, F.posexplode_outer(field).alias("__pos", "__fk")
+    ).where(F.col("__fk").isNotNull())
     joined = (
         exploded.join(dim, F.col("__fk") == F.col("__dim_id"), "left")
         .groupBy(row_key)

@@ -132,7 +132,22 @@ def match_media(
                 )
             ),
         )
-        matched = left.join(pref, F.col("__mv") == F.col("__prefix"), "inner")
+        short = left.where(F.length("__mv") <= max_key_len)
+        matched = short.join(
+            pref, F.col("__mv") == F.col("__prefix"), "inner"
+        ).drop("__prefix")
+        # match values LONGER than max_key_len have no equi-join prefix
+        # row — without this arm they would silently never match,
+        # diverging from the theta strategy. They are rare (match keys
+        # are short identifiers), so the tiny residual goes through the
+        # same broadcast-theta join the other strategy uses.
+        long_vals = left.where(F.length("__mv") > max_key_len)
+        long_matched = long_vals.join(
+            F.broadcast(files.select(fname.alias("__fname"), fid.alias("__fid"))),
+            F.col("__fname").startswith(F.col("__mv")),
+            "inner",
+        )
+        matched = matched.unionByName(long_matched)
     else:
         # BNLJ cost is |left| x |files| predicate evaluations on the
         # STREAM (left) side's partitions — a 1-split left scan would
@@ -144,13 +159,6 @@ def match_media(
             F.col("__fname").startswith(F.col("__mv")),
             "inner",
         )
-
-    # pattern flags (reporting parity; all matched rows satisfy p3)
-    base = F.regexp_replace(F.col("__fname"), r"\.[^.]*$", "")
-    rest = F.substring(F.col("__fname"), F.length("__mv") + 1, 2_000_000)
-    matched = matched.withColumn("__p_exact", base == F.col("__mv")).withColumn(
-        "__p_numbered", F.regexp_extract(rest, r"^_(\d+)\.", 1) != ""
-    )
 
     agg = (
         matched.groupBy(row_key)

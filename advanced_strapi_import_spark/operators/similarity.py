@@ -13,7 +13,7 @@ double first so results are portable across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F  # noqa: F401 (SparkSession used in annotations)
 from pyspark.sql.window import Window
 
 from advanced_strapi_import_spark.caching import persist_tracked
@@ -63,12 +63,31 @@ def _norm_unrolled(a: Column, dims: int) -> Column:
 def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
     """Cosine similarity; pass ``dims`` (known, fixed embedding width)
     to use the codegen'd unrolled form — identical values, much faster.
-    Without dims the portable HOF fold handles any width."""
+    Without dims the portable HOF fold handles any width.
+
+    CONTRACT: with ``dims`` set, inputs must be exactly that wide —
+    a longer vector would silently score only its prefix and a shorter
+    one throws (ANSI) or nulls out. Operators enforce this by
+    pre-filtering rows through :func:`_width_ok` BEFORE scoring
+    (wrong-width rows surface as absent, not as wrong numbers); the
+    check cannot live inside this expression because wrapping the
+    ~192-term unrolled sum in a conditional pushes the generated
+    method past janino's 64 KB limit and drops the stage to
+    interpreted eval."""
     if dims is not None:
         return _dot_unrolled(a, b, dims) / (
             _norm_unrolled(a, dims) * _norm_unrolled(b, dims)
         )
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _width_ok(df: DataFrame, vec_col: str, dims: int | None) -> DataFrame:
+    """Drop rows whose vector width differs from ``dims`` (no-op when
+    dims is None) — the operator-boundary guard for cosine()'s
+    fixed-width contract."""
+    if dims is None:
+        return df
+    return df.filter(F.size(F.col(vec_col)) == dims)
 
 
 def cosine_topk(
@@ -87,11 +106,13 @@ def cosine_topk(
     on neighbor id. Scale: one pass over the corpus per batch of
     queries; the corpus is never shuffled."""
     q = F.broadcast(
-        queries.select(
+        _width_ok(queries, vec_col, dims).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = _width_ok(corpus, vec_col, dims).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
     pairs = q.crossJoin(c)
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -158,6 +179,8 @@ def _multi_buckets(
     ).T  # dims x (tables*planes)
 
     def _all_buckets(v):
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         mat = np.stack(v.to_numpy())  # n x dims
         bits = (mat @ weights) >= 0.0  # n x (tables*planes)
         chars = np.where(bits, "1", "0").reshape(len(mat), tables, planes)
@@ -194,11 +217,13 @@ def cosine_topk_lsh(
     cosines are moderate). Equi-join on (table, bucket): corpus shuffles
     once, queries broadcast — the 100 TB path."""
     q = _multi_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        _width_ok(queries, vec_col, dims)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         vec_col, "query_id", tables=tables, planes=planes, dims=dims,
     ).withColumnRenamed(vec_col, "__qv")
     c = _multi_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        _width_ok(corpus, vec_col, dims)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         vec_col, "neighbor_id", tables=tables, planes=planes, dims=dims,
     ).withColumnRenamed(vec_col, "__cv")
     cand = (
@@ -214,7 +239,10 @@ def cosine_topk_lsh(
         F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ivf_topk(
@@ -250,6 +278,8 @@ def ivf_topk(
     centers_sq = (centers**2).sum(axis=1)  # for dist2 = |v|^2 - 2 v.C + |C|^2
 
     def _cells_fn(v, n_out):
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32" if n_out == 1 else "object")
         mat = np.stack(v.to_numpy())
         d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ centers.T) + centers_sq
         if n_out == 1:
@@ -269,12 +299,12 @@ def ivf_topk(
     argmin_cell = F.pandas_udf(_argmin_cell, "int")
     probe_cells = F.pandas_udf(_probe_cells, "array<int>")
 
-    c_assigned = corpus.select(
+    c_assigned = _width_ok(corpus, vec_col, dims).select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("__cv"),
         argmin_cell(dbl).alias("cell"),
     )
-    q_probes = queries.select(
+    q_probes = _width_ok(queries, vec_col, dims).select(
         F.col(id_col).alias("query_id"),
         dbl.alias("__qv"),
         F.explode(probe_cells(dbl)).alias("cell"),
@@ -471,6 +501,8 @@ def pq_topk(
     b2 = (books * books).sum(2)  # (m, codebook)
 
     def _adc(v):
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         mat = _norm(np.stack(v.to_numpy()))
         sub = mat.reshape(len(mat), m, sub_d)
         # encode: per-subspace argmin via the matmul expansion (the x^2
@@ -572,6 +604,8 @@ def build_ivf_index(
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def _argmin(v):
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32")
         mat = np.stack(v.to_numpy())
         d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ centers.T) + centers_sq
         return pd.Series(d2.argmin(axis=1).astype("int32"))

@@ -94,10 +94,16 @@ def cms_estimate(
         ).alias("__q"),
     ).select("*", F.col("__q.d").alias("d"), F.col("__q.bucket").alias("bucket"))
     out_cols = [c for c in keys.columns]
+    # LEFT join + coalesce(0): cms_build stores only OBSERVED buckets,
+    # so a probe key hashing to any empty bucket has true count-min 0 —
+    # an inner join would drop such keys entirely (breaking the
+    # 'append cms_cnt to every key' contract) and a key with a mix of
+    # empty and collided buckets would min() over only the collided
+    # ones, inflating the estimate.
     return (
-        exploded.join(F.broadcast(sketch), ["d", "bucket"])
+        exploded.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(*out_cols)
-        .agg(F.min("cnt").alias("cms_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
     )
 
 

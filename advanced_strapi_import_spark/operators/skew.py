@@ -56,7 +56,18 @@ def salted_join(
     """Skew join without broadcast: the hot side gets a deterministic
     salt in [0, salts); the small side replicates once per salt; the
     join key becomes (on, salt), so a hot key's rows spread over
-    ``salts`` tasks instead of one straggler."""
+    ``salts`` tasks instead of one straggler.
+
+    Only ``inner`` and ``left`` are valid: the salting rewrite
+    preserves exactly the hot side's row multiplicity. A right/full/
+    semi/anti join would see each small-side row ``salts`` times and
+    emit duplicate null-extended (or phantom) rows for salts no hot
+    row hashed to — rejected loudly rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "the replicated small side breaks other join types"
+        )
     hot_s = hot.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salts))
     )

@@ -100,10 +100,18 @@ def interval_join(
             )
         ),
     )
-    pts = points.withColumn("__bucket", p_bucket)
-    joined = pts.join(ivals, "__bucket", how).filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    pts = points.withColumn("__bucket", p_bucket).alias("__p")
+    ivals = ivals.alias("__i")
+    # the exact range predicate is part of the JOIN CONDITION, not a
+    # post-filter: a post-filter on interval columns evaluates NULL for
+    # an outer join's unmatched rows and silently degrades how='left'
+    # back to inner (unmatched points would vanish)
+    cond = (
+        (F.col("__p.__bucket") == F.col("__i.__bucket"))
+        & (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
     )
+    joined = pts.join(ivals, cond, how)
     return joined.drop("__bucket")
 
 

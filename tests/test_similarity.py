@@ -108,3 +108,16 @@ def test_near_dup_zero_norm_vector_is_dropped_not_nan(spark):
         tables=4, planes=2, dims=8,
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_cosine_topk_wrong_width_vectors_absent_not_wrong(spark):
+    """A vector whose width differs from `dims` must be absent from
+    the ranking — never scored as a silently-truncated prefix cosine
+    (and never an ANSI element_at error)."""
+    from advanced_strapi_import_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [1.0] * 4), (4, [1.0] * 12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df, k=5, dims=8).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert ids == {1, 2}
