@@ -172,6 +172,12 @@ def lsh_bands(
     union re-evaluates the whole upstream signature subplan (shingle
     explode + md5 + groupBy) once per band, quadrupling the dominant
     map cost whenever the signature isn't already materialized."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signature columns would be silently "
+            "ignored, weakening the banding guarantee"
+        )
     rows = num_hashes // bands
     entries = []
     for b in range(bands):

@@ -52,6 +52,8 @@ def linkage_scores(
     Both inputs must carry ``id_col`` and the ``block_on`` columns with
     identical names; compared columns are referenced through the
     ``a.``/``b.`` aliases inside each comparator."""
+    if not fields:
+        raise ValueError("linkage_scores needs at least one FieldComparison")
     aa, bb = a.alias("a"), b.alias("b")
     cond = None
     for k in block_on:
