@@ -78,7 +78,7 @@ _LAST = [
     "dedup_minhash_pairs", "ngram_jaccard_pairs", "dedup_family_recall",
     "embedding_near_dup",
     "stream_events_hourly", "stream_dedup_events", "stream_stream_join",
-    "stream_ohlc_bars", "stream_stateful_user_totals", "stream_enrich_dim",
+    "stream_stateful_user_totals", "stream_enrich_dim",
     "stream_hll_users", "stream_rollup_merge", "stream_stream_left_join",
 ]
 

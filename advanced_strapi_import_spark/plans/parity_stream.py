@@ -185,9 +185,6 @@ WHERE a.id >= 500000
         "equals the batch answer.",
 )
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from advanced_strapi_import_spark.operators import dedup as D
-    from advanced_strapi_import_spark.plans.registry import load
-
     corpus_bands = ML._shared_plain_bands(spark, sf_dir)
     arriving = (
         ST.read_documents_stream(spark, sf_dir)
@@ -352,7 +349,8 @@ FROM events GROUP BY user_id
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.read_events_stream(spark, sf_dir)
     return ST.run_available_now(
-        ST.stateful_user_totals(stream), output_mode="update"
+        ST.stateful_user_totals(stream), output_mode="update",
+        update_key=["user_id"],
     )
 
 

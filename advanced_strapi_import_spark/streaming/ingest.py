@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 # footer-probe results per (directory, glob): the probe is a batch read
 # of parquet footers only, but repeated stream constructions (two sides
 # of a join, bench re-runs) shouldn't re-pay even that.
-_TS_TYPE_CACHE: dict[tuple[str, str], T.DataType] = {}
+_TS_TYPE_CACHE: dict[tuple[str, str, float], T.DataType] = {}
 
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -57,10 +57,18 @@ def read_events_stream(
     normalized to a session-tz TIMESTAMP whatever the file encoding
     (see _events_schema)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (directory, glob)
+    import os
+
+    path = f"{directory}/{glob}"
+    try:  # cache keyed by mtime: a regenerated file with the OTHER ts
+        # encoding must re-probe, or the declared schema corrupts reads
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (directory, glob, mtime)
     if key not in _TS_TYPE_CACHE:
         _TS_TYPE_CACHE[key] = (
-            spark.read.parquet(f"{directory}/{glob}").schema["ts"].dataType
+            spark.read.parquet(path).schema["ts"].dataType
         )
     probed = _TS_TYPE_CACHE[key]
     reader = (
@@ -148,6 +156,7 @@ def run_available_now(
     result: DataFrame, *, output_mode: str = "complete",
     state_partitions: int | None = 4,
     no_data_batch: bool = False,
+    update_key: list[str] | None = None,
 ) -> DataFrame:
     """Drain all available input through the streaming plan into a
     memory sink; return the materialized result (deterministic — equal
@@ -163,6 +172,14 @@ def run_available_now(
       join sides for a 20-row result). Pinned per-query at first
       checkpoint, so a long-lived production stream should size it to
       throughput instead (``None`` keeps the session setting).
+    - ``update_key``: REQUIRED for correct update-mode drains over
+      multi-batch sources. The memory sink APPENDS each micro-batch's
+      updated rows (it does not upsert), so without it a 2-batch drain
+      returns stale intermediate rows next to final ones. With
+      update_key the drain goes through foreachBatch and keeps each
+      key's row from the LATEST batch — the real final state. (A
+      single-batch source gives equal results either way; the keyed
+      path is the safe default for update mode.)
     - ``no_data_batch=False`` skips the trailing empty micro-batch
       (~0.9 s: the full stateful plan re-runs on zero rows to advance
       the watermark and evict state). Safe for a drain-and-stop run
@@ -183,6 +200,24 @@ def run_available_now(
         "true" if no_data_batch else "false",
     )
     try:
+        if output_mode == "update" and update_key:
+            batches: list[tuple[int, list]] = []
+
+            def _collect(bdf: DataFrame, bid: int) -> None:
+                batches.append((bid, bdf.collect()))
+
+            q = (
+                result.writeStream.foreachBatch(_collect)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best: dict = {}
+            for _, rows in sorted(batches, key=lambda t: t[0]):
+                for r in rows:
+                    best[tuple(r[k] for k in update_key)] = r
+            return spark.createDataFrame(list(best.values()), result.schema)
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -223,12 +258,16 @@ def stream_upsert(
     table via foreachBatch — the streaming face of the reference's
     batched import loop (csv-import.js:362-409), with the batch size
     controlled by the source trigger instead of a row counter."""
-    from advanced_strapi_import_spark.operators.upsert import merge
+    from advanced_strapi_import_spark.operators.upsert import dedupe_batch, merge
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        deduped = batch_df.dropDuplicates([key])
+        # deterministic pick per key (dropDuplicates keeps whichever
+        # row a partition sees first — rerunning the same drain could
+        # persist different values); dedupe_batch orders by __row when
+        # present, else a deterministic struct order
+        deduped = dedupe_batch(batch_df, key)
         if engine.has_table(ct_name):
             engine.write_table(ct_name, merge(engine.table(ct_name), deduped, key).merged)
         else:
@@ -276,7 +315,14 @@ def sessionize_stream(
         if state.hasTimedOut:
             if n:
                 rows.append((user_id, seq, start_ts, last_ts, n))
-            state.remove()
+            # keep a (tiny) tombstone carrying the seq counter instead
+            # of remove(): a removed state would restart session_seq at
+            # 0 for the user's next event, re-emitting an identifier an
+            # earlier, different session already used — a downstream
+            # MERGE keyed on (user_id, session_seq) would overwrite it
+            state.update((None, seq, None, 0))
+            if use_timeout:
+                state.setTimeoutDuration(600_000)
         else:
             ts_list = []
             for pdf in pdfs:
@@ -460,8 +506,6 @@ def incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    from pyspark.sql import types as T
-
     id_type = corpus_bands.schema["id"].dataType
     schema = T.StructType(
         [T.StructField("new_id", id_type), T.StructField("dup_of", id_type)]
@@ -645,6 +689,22 @@ def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame
     )
 
 
+_PREV_STATE_PROVIDER: str | None = None
+_DEFAULT_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def restore_state_store_provider(spark: SparkSession) -> None:
+    """Undo tws_user_type_counts' session-wide RocksDB provider switch
+    once its stream has been drained."""
+    prev = _PREV_STATE_PROVIDER
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        prev if prev else _DEFAULT_STATE_PROVIDER,
+    )
+
+
 def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator on the MODERN API
     (transformWithStateInPandas, Spark 4 arbitrary stateful v2): each
@@ -666,7 +726,6 @@ def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
@@ -706,6 +765,17 @@ def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
             pass
 
     spark = events_stream.sparkSession
+    # transformWithState REQUIRES the RocksDB provider at run time, so
+    # the conf must be live when the caller starts the stream — but it
+    # must not leak into every later stateful query in the session
+    # (HDFS-backed is the default elsewhere, and environments without
+    # the native RocksDB provider would break). Remember the prior
+    # value so restore_state_store_provider() can undo this after the
+    # drain; the in-repo caller (tests) does exactly that.
+    global _PREV_STATE_PROVIDER
+    _PREV_STATE_PROVIDER = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."

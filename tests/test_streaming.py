@@ -155,12 +155,17 @@ def test_tws_user_type_counts_when_protobuf_present(spark):
     from advanced_strapi_import_spark.plans.registry import load_events
     from advanced_strapi_import_spark.streaming import ingest as ST
 
-    out = ST.run_available_now(
-        ST.tws_user_type_counts(
-            ST.read_events_stream(spark, "/root/testdata/sf0.001")
-        ),
-        output_mode="update",
-    )
+    try:
+        out = ST.run_available_now(
+            ST.tws_user_type_counts(
+                ST.read_events_stream(spark, "/root/testdata/sf0.001")
+            ),
+            output_mode="update",
+        )
+    finally:
+        # tws switches the session to the RocksDB provider; undo it so
+        # later stateful tests run on the default store
+        ST.restore_state_store_provider(spark)
     final = out.groupBy("user_id", "event_type").agg(
         {"n": "max"}
     )
@@ -188,3 +193,34 @@ def test_stream_session_window_matches_batch(spark):
         .select("user_id", "session_start", "session_last", "n_events")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_update_mode_multibatch_drain_keeps_final_state(spark):
+    """With maxFilesPerTrigger the stateful update stream emits per-batch
+    intermediate totals; the keyed drain must return ONLY each user's
+    final row, not stale intermediates (the memory sink appends)."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="multibatch_")
+    try:
+        e = load_events(spark, SF_TEST).limit(200)
+        # two separate PLAIN FILES (not spark output dirs: pathGlobFilter
+        # matches file names) -> two micro-batches at 1 file/trigger
+        e.filter("event_id % 2 = 0").toPandas().to_parquet(f"{src}/events_a.parquet")
+        e.filter("event_id % 2 = 1").toPandas().to_parquet(f"{src}/events_b.parquet")
+        stream = ST.read_events_stream(
+            spark, src, glob="events_*.parquet", max_files_per_trigger=1
+        )
+        got = ST.run_available_now(
+            ST.stateful_user_totals(stream),
+            output_mode="update", update_key=["user_id"],
+        )
+        rows = got.collect()
+        # exactly one row per user, and it carries the FULL total
+        assert len(rows) == len({r["user_id"] for r in rows})
+        batch = e.groupBy("user_id").count().collect()
+        want = {r["user_id"]: r["count"] for r in batch}
+        assert {r["user_id"]: r["n_events"] for r in rows} == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
