@@ -83,10 +83,12 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events scan with timestamp normalization. The driver's events
-    parquet has shipped with two physical ts encodings; normalize both
-    to a session-tz TIMESTAMP so every downstream operator sees one type:
+def normalize_ts(df: DataFrame, ts_type) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz TIMESTAMP
+    whatever the physical parquet encoding — the ONE place both the
+    batch scan (load_events) and the file-source stream
+    (streaming.ingest.read_events_stream) share, so a new shipped
+    encoding is handled once for both faces:
 
     - TIMESTAMP(NANOS): Spark reads only as long (nanosAsLong conf);
       convert ns -> us (truncating division, same as DuckDB's cast).
@@ -95,11 +97,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       session tz, wall-clock preserved exactly)."""
     from pyspark.sql import functions as F, types as T
 
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan with ts normalization (see :func:`normalize_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return normalize_ts(df, df.schema["ts"].dataType)

@@ -77,11 +77,9 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.format("parquet").load(directory)
-    if isinstance(probed, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(probed, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    from advanced_strapi_import_spark.plans.registry import normalize_ts
+
+    return normalize_ts(df, probed)
 
 
 def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
