@@ -25,6 +25,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from advanced_strapi_import_spark.operators import components as C
 from advanced_strapi_import_spark.operators import export as X
 from advanced_strapi_import_spark.operators import media as M
 from advanced_strapi_import_spark.operators import resolve as R
@@ -146,20 +147,29 @@ class Engine:
         check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
-        invalid = res.invalid.select(V.ROW_COL, V.ERRORS_COL).collect()
-        return {
-            "errors": res.schema_errors
-            + [e for r in invalid for e in r[V.ERRORS_COL]],
-            "warnings": res.warnings,
-            "preview": [r.asDict() for r in res.valid.limit(5).collect()],
-            "totalRows": res.all.count(),
-            "validRows": res.valid.count(),
-            "invalidRows": len(invalid),
-        }
+        # four consumers (invalid collect, preview, two counts) would
+        # otherwise each re-run the CSV scan + validation projection
+        cached = res.all.persist()
+        try:
+            invalid = res.invalid.select(V.ROW_COL, V.ERRORS_COL).collect()
+            return {
+                "errors": res.schema_errors
+                + [e for r in invalid for e in r[V.ERRORS_COL]],
+                "warnings": res.warnings,
+                "preview": [r.asDict() for r in res.valid.limit(5).collect()],
+                "totalRows": cached.count(),
+                "validRows": res.valid.count(),
+                "invalidRows": len(invalid),
+            }
+        finally:
+            cached.unpersist()
 
     def ingest_zip(self, path: str, media_field: str) -> DataFrame:
         """POST /upload-zip (S8): flat unzip -> files table."""
         files = Z.hygiene_filter(Z.zip_entries(self.spark, path, skip_corrupt=True))
+        # corrupt-archive marker rows are a side signal, not media files:
+        # stored they would inflate counts and join as matchable names
+        files = files.filter(F.col("name") != "__CORRUPT__")
         files = files.dropDuplicates(["name", "entry_path"]).withColumn(
             "mime", M.mime_type(F.col("name"))
         )
@@ -167,10 +177,18 @@ class Engine:
         return files
 
     def ingest_media_zip(self, path: str, ct_name: str, match_field: str) -> DataFrame:
-        """POST /upload-media-zip (S9): foldered unzip -> routed files."""
+        """POST /upload-media-zip (S9): foldered unzip -> routed files.
+
+        Folder names route case-insensitively onto the content type's
+        media attributes (the zip router lowercases folder names, so a
+        camelCase attribute like ``coverImage`` would otherwise never
+        match import_csv's case-sensitive attribute check)."""
+        ct = self.registry.get(ct_name)
+        by_lower = {a.lower(): a for a in ct.attributes}
         routed = Z.media_files(self.spark, path)
         for row in routed.select("field").distinct().collect():
-            self._media[row["field"]] = routed.filter(F.col("field") == row["field"])
+            fld = by_lower.get(row["field"].lower(), row["field"])
+            self._media[fld] = routed.filter(F.col("field") == row["field"])
         return routed
 
     def import_csv(
@@ -188,6 +206,9 @@ class Engine:
         check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
+        # the scan+validate subtree feeds n_invalid, the error collect,
+        # the merge counters AND the table write — cache it once
+        res.all.persist()
         n_invalid = res.invalid.count()
         if res.schema_errors or (strict and n_invalid):
             return {
@@ -209,8 +230,31 @@ class Engine:
 
         for fld, files in self._media.items():
             if media_match_field and fld in ct.attributes:
+                if fld in df.columns:
+                    # a CSV header with the media field's name (e.g. a
+                    # round-tripped export) would otherwise collide with
+                    # match_media's out_col -> duplicate column at write
+                    df = df.drop(fld)
                 df = M.match_media(
                     df, files, media_match_field, row_key=V.ROW_COL, out_col=fld
+                )
+
+        # build component structs from their validated dot columns
+        # (csv-import.js:664-676 componentData): single components only —
+        # repeatable components have no CSV header convention in the
+        # reference either
+        for fld, attr in ct.attributes.items():
+            if attr.type != "component" or attr.repeatable:
+                continue
+            cols = {
+                m.component_field: V.dot_storage_col(m)
+                for m in res.mapping.values()
+                if m.is_component and m.field == fld and m.component_field
+                and V.dot_storage_col(m) in df.columns
+            }
+            if cols:
+                df = C.build_single_component(
+                    df, fld, self.registry.components[attr.component], cols
                 )
 
         # keep ROW_COL through the merge: it is the "last write wins" order
@@ -234,6 +278,7 @@ class Engine:
                 )
             else:
                 self.write_table(ct_name, df, batch_size=batch_size)
+        res.all.unpersist()
         return {"created": created, "updated": updated, "invalidRows": n_invalid}
 
     def export_csv(
@@ -250,6 +295,15 @@ class Engine:
         df = self.table(ct_name)
         for k, v in (filters or {}).items():
             df = df.filter(F.col(k) == F.lit(v))
+        # row_key must uniquely identify rows, NEVER the order_by sort
+        # column: grouping the exploded FKs by a non-unique value would
+        # merge different rows' display lists into each other. Tables
+        # without an id column get a synthetic unique key for the
+        # flatten joins, dropped before the write.
+        row_key = "id"
+        if row_key not in df.columns:
+            row_key = "__xid"
+            df = df.withColumn(row_key, F.monotonically_increasing_id())
         for fname, attr in ct.attributes.items():
             if attr.type != "relation" or fname not in df.columns:
                 continue
@@ -258,9 +312,25 @@ class Engine:
             tgt = self.table(attr.target)
             tct = self.registry.get(attr.target)
             if attr.is_multi_relation:
-                df = X.flatten_multi_relation(df, fname, tgt, tct, row_key=order_by or "id")
+                df = X.flatten_multi_relation(df, fname, tgt, tct, row_key=row_key)
             else:
                 df = X.flatten_scalar_relation(df, fname, tgt, tct)
+        if row_key == "__xid":
+            df = df.drop("__xid")
+        for fname, attr in ct.attributes.items():
+            # media columns are array<bigint> of file ids; the CSV writer
+            # rejects arrays, so export them the way multi-relations
+            # export: ', '-joined ids, NULL when unset
+            if attr.type == "media" and fname in df.columns:
+                df = df.withColumn(
+                    fname,
+                    F.when(
+                        F.col(fname).isNotNull() & (F.size(fname) > 0),
+                        F.array_join(
+                            F.transform(fname, lambda x: x.cast("string")), ", "
+                        ),
+                    ),
+                )
         for fname, attr in ct.attributes.items():
             if attr.type == "component" and fname in df.columns:
                 if attr.repeatable:

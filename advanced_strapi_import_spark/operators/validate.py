@@ -38,8 +38,10 @@ ERRORS_COL = "__errors"
 
 
 def qcol(name: str) -> Column:
-    """Column ref with backtick escaping (headers may contain dots)."""
-    return F.col("`" + name.replace("`", "") + "`")
+    """Column ref with backtick escaping (headers may contain dots).
+    Embedded backticks escape by doubling — stripping them would build
+    a reference to a column that does not exist."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def dot_storage_col(m: "HeaderMapping") -> str:
@@ -284,6 +286,14 @@ def validate_df(
                 m.is_valid and m.field == fname for m in mapping.values()
             ):
                 pass  # already reported as schema error
+            elif attr.default is not None and not any(
+                m.is_valid and m.field == fname for m in mapping.values()
+            ):
+                # a defaulted field wholly ABSENT from the CSV gets its
+                # default materialized, same as a present-but-empty cell
+                # — otherwise the stored row differs depending on
+                # whether the column existed with blanks or not at all
+                cast_cols[fname] = F.lit(attr.default)
             continue
         if attr.type == "component":
             continue  # components are built from dot-notation columns only

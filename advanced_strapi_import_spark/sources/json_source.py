@@ -70,8 +70,15 @@ def jsonl_scan_split(
         F.col("value"),
     )
     flag = F.col(f"__r.{CORRUPT_COL}")
-    good = parsed.filter(flag.isNull()).select("__r.*").drop(CORRUPT_COL)
-    bad = parsed.filter(flag.isNotNull()).select(F.col("value").alias(CORRUPT_COL))
+    # blank/whitespace-only lines parse to a null struct whose corrupt
+    # field is ALSO null — from_json('') raises nothing — so they would
+    # land on the good side as spurious all-null rows; route them to
+    # the quarantine channel with the genuinely corrupt lines
+    blank = F.trim(F.col("value")) == ""
+    good = parsed.filter(flag.isNull() & ~blank).select("__r.*").drop(CORRUPT_COL)
+    bad = parsed.filter(flag.isNotNull() | blank).select(
+        F.col("value").alias(CORRUPT_COL)
+    )
     return good, bad
 
 

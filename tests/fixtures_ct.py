@@ -28,6 +28,14 @@ REGISTRY = Registry.from_dict(
                     "active": {"type": "boolean", "default": True},
                 },
             },
+            "office": {
+                "uid": "api::office.office",
+                "attributes": {
+                    "id": {"type": "integer"},
+                    "name": {"type": "string", "required": True},
+                    "location": {"type": "component", "component": "address"},
+                },
+            },
             "users": {
                 "uid": "api::users.users",
                 "attributes": {

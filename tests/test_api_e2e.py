@@ -278,3 +278,50 @@ def test_engine_sql_surface(engine, spark):
            GROUP BY c.name ORDER BY n DESC, country"""
     ).collect()
     assert rows[0].n == 2
+
+
+def test_import_builds_single_component(engine, tmp_path):
+    """Dot-notation component columns must materialize as a struct on
+    the stored row — not be silently dropped (the docstring's
+    'components' pipeline stage)."""
+    csv = tmp_path / "offices.csv"
+    csv.write_text(
+        "id,name,location.street,location.city\n"
+        "1,HQ,1 Main St,Pune\n"
+        "2,Lab,2 Side Ave,Austin\n"
+    )
+    out = engine.import_csv(str(csv), "office")
+    assert out["created"] == 2
+    rows = {r["name"]: r for r in engine.table("office").collect()}
+    assert rows["HQ"]["location"]["street"] == "1 Main St"
+    assert rows["HQ"]["location"]["city"] == "Pune"
+    assert rows["Lab"]["location"]["city"] == "Austin"
+
+
+def test_export_multi_relation_rows_sharing_order_by_value(engine, tmp_path):
+    """Two rows sharing the order_by value must keep their OWN relation
+    lists — grouping by a non-unique sort column merged them."""
+    users = tmp_path / "u.csv"
+    users.write_text(
+        "name,email,tags\nsame,a@x.com,India\nsame,b@x.com,USA\n"
+    )
+    engine.import_csv(str(users), "users")
+    out = tmp_path / "exp"
+    df = engine.export_csv("users", str(out), order_by="name")
+    got = {r["email"]: r["tags.name"] for r in df.collect()}
+    assert got["a@x.com"] == "India"
+    assert got["b@x.com"] == "USA"
+
+
+def test_validate_absent_column_gets_default(spark):
+    """A defaulted field missing from the CSV entirely must still
+    materialize its default, same as a present-but-empty cell."""
+    from advanced_strapi_import_spark.operators.validate import validate_df
+
+    ct = REGISTRY.get("company")
+    df = spark.createDataFrame(
+        [("Acme", "2001")], "name string, established string"
+    )
+    res = validate_df(df, ct, REGISTRY)
+    row = res.valid.collect()[0]
+    assert row["active"] is True  # schema default, column absent from CSV
