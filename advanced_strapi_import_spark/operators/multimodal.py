@@ -337,6 +337,97 @@ def decode_audio_meta(
     return df.mapInPandas(stage, out_schema)
 
 
+VIDEO_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("total_frames", T.LongType()),
+        T.StructField("fps_millis", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def video_header_meta(data: bytes) -> tuple[int, int, int, int, int, str]:
+    """REAL video-metadata decode with no codec library: parse
+    width/height/frame count/frame rate out of a RIFF/AVI main header
+    (public spec: RIFF form 'AVI ', 'LIST hdrl' holds the 56-byte
+    'avih' MainAVIHeader — microseconds-per-frame, total frames, and
+    dimensions, all little-endian). Completes the real-header trio:
+    PNG/JPEG/GIF/BMP (image), RIFF/WAVE (audio), RIFF/AVI (video).
+
+    fps is returned in integer MILLI-frames-per-second
+    (1e9 // us_per_frame) and duration as
+    total_frames * us_per_frame // 1000 — exact integer math any
+    engine reproduces. Raises :class:`UnknownContainer` for non-AVI
+    bytes and ValueError for a recognized AVI with a corrupt or
+    missing header (NULL meta, never fake numbers)."""
+    import struct
+
+    if data is None or len(data) < 12:
+        raise UnknownContainer("too short")
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise UnknownContainer("not RIFF/AVI")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"LIST" and data[pos + 8:pos + 12] == b"hdrl":
+            inner = pos + 12
+            if data[inner:inner + 4] == b"avih":
+                (alen,) = struct.unpack("<I", data[inner + 4:inner + 8])
+                if alen < 40 or inner + 8 + 40 > len(data):
+                    raise ValueError("bad avih chunk")
+                h = struct.unpack("<10I", data[inner + 8:inner + 48])
+                us_per_frame, total_frames = h[0], h[4]
+                width, height = h[8], h[9]
+                if not us_per_frame:
+                    raise ValueError("zero frame interval")
+                fps_millis = 1_000_000_000 // us_per_frame
+                duration_ms = total_frames * us_per_frame // 1000
+                return (width, height, total_frames, fps_millis,
+                        duration_ms, "AVI")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("missing hdrl/avih header")
+
+
+def decode_video_meta(
+    df: DataFrame, binary_col: str = "content", opener=None
+) -> DataFrame:
+    """Attach a ``video_meta`` struct via an Arrow mapInPandas stage —
+    same decode ladder as the image/audio faces: real RIFF/AVI header
+    parse first, recognized-but-corrupt -> NULL, unknown container ->
+    the clearly-marked deterministic fake (no demuxer library exists
+    in this container; swap ``opener`` for pyav in production)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("video_meta", VIDEO_META)])
+
+    def default_decode(data):
+        try:
+            return video_header_meta(data)
+        except UnknownContainer:
+            n = len(data or b"")
+            return (320, 240, n // 256, 25_000, (n // 256) * 40, "fake")
+
+    real = opener if opener is not None else default_decode
+    keys = ("width", "height", "total_frames", "fps_millis",
+            "duration_ms", "format")
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            metas = []
+            for data in pdf[binary_col]:
+                try:
+                    metas.append(dict(zip(keys, real(data))))
+                except Exception:
+                    metas.append(None)
+            pdf = pdf.copy()
+            pdf["video_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(stage, out_schema)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

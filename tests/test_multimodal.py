@@ -179,3 +179,45 @@ def test_decode_audio_meta_ladder(spark):
     assert got[1]["format"] == "WAV"
     assert got[2] is None          # recognized container, corrupt -> NULL
     assert got[3]["format"] == "fake"  # unknown container -> marked stub
+
+
+def test_video_header_meta_real_decode():
+    import struct
+
+    import pytest
+
+    def avi(uspf, frames, w, h):
+        body = struct.pack("<10I", uspf, 0, 0, 0, frames, 0, 1, 0, w, h) \
+            + struct.pack("<4I", 0, 0, 0, 0)
+        return (b"RIFF" + struct.pack("<I", 4 + 12 + 64) + b"AVI " +
+                b"LIST" + struct.pack("<I", 4 + 8 + 56) + b"hdrl" +
+                b"avih" + struct.pack("<I", 56) + body)
+
+    # 24 fps NTSC-ish: 41666 us/frame, 2400 frames
+    assert MM.video_header_meta(avi(41666, 2400, 1920, 1080)) == (
+        1920, 1080, 2400, 24000, 99998, "AVI")
+    with pytest.raises(MM.UnknownContainer):
+        MM.video_header_meta(b"\x00" * 40)
+    # recognized AVI but no avih -> bad data, not fake
+    with pytest.raises(ValueError, match="missing"):
+        MM.video_header_meta(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_decode_video_meta_ladder(spark):
+    import struct
+
+    body = struct.pack("<10I", 40000, 0, 0, 0, 250, 0, 1, 0, 640, 480) \
+        + struct.pack("<4I", 0, 0, 0, 0)
+    good = (b"RIFF" + struct.pack("<I", 4 + 12 + 64) + b"AVI " +
+            b"LIST" + struct.pack("<I", 4 + 8 + 56) + b"hdrl" +
+            b"avih" + struct.pack("<I", 56) + body)
+    corrupt = b"RIFF\x08\x00\x00\x00AVI junk"
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, b"definitely not video")],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r["video_meta"] for r in MM.decode_video_meta(df).collect()}
+    assert got[1]["width"] == 640 and got[1]["total_frames"] == 250
+    assert got[1]["fps_millis"] == 25000 and got[1]["format"] == "AVI"
+    assert got[2] is None                # recognized, corrupt -> NULL
+    assert got[3]["format"] == "fake"    # unknown -> marked stub
