@@ -209,6 +209,28 @@ class Engine:
         # the scan+validate subtree feeds n_invalid, the error collect,
         # the merge counters AND the table write — cache it once
         res.all.persist()
+        try:
+            return self._import_csv_body(
+                res, ct, ct_name,
+                upsert=upsert, upsert_field=upsert_field,
+                media_match_field=media_match_field, strict=strict,
+                batch_size=batch_size,
+            )
+        finally:
+            res.all.unpersist()
+
+    def _import_csv_body(
+        self,
+        res: V.ValidationResult,
+        ct,
+        ct_name: str,
+        *,
+        upsert: bool,
+        upsert_field: str,
+        media_match_field: str | None,
+        strict: bool,
+        batch_size: int | None,
+    ) -> dict[str, Any]:
         n_invalid = res.invalid.count()
         if res.schema_errors or (strict and n_invalid):
             return {
@@ -278,7 +300,6 @@ class Engine:
                 )
             else:
                 self.write_table(ct_name, df, batch_size=batch_size)
-        res.all.unpersist()
         return {"created": created, "updated": updated, "invalidRows": n_invalid}
 
     def export_csv(

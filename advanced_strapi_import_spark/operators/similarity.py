@@ -345,11 +345,11 @@ def _pair_cosine_udf():
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
         denom = na * nb
         ok = denom > 0.0
-        # round HALF-UP like Spark/DuckDB round() — np.round is
-        # half-to-even and could disagree at a 6th-decimal boundary.
-        # (valid for the non-negative survivors of the >= filter; a
-        # negative cosine can never clear a positive threshold)
-        vals = np.floor(dots / np.where(ok, denom, 1.0) * 1e6 + 0.5) / 1e6
+        # round HALF-UP *away from zero* like Spark/DuckDB round() —
+        # np.round is half-to-even, and a bare floor(x*1e6+0.5) would be
+        # half-toward-+inf for negative cosines
+        raw = dots / np.where(ok, denom, 1.0)
+        vals = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         # zero-norm vectors -> NULL, not NaN: NaN compares GREATER than
         # any double in Spark, so it would pass `cos >= threshold` and
         # report bogus matches; NULL is dropped by the filter and the

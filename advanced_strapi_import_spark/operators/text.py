@@ -34,10 +34,15 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """Length/punctuation/stopword/digit ratios (rounded, portable)."""
+def quality_features(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Length/punctuation/stopword/digit ratios (rounded, portable).
+
+    Pass ``toks`` as a MATERIALIZED token-array column (see
+    ``with_quality``) to tokenize once per row; when None the split is
+    inlined into every consumer expression."""
     n_chars = F.length(text)
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     n_toks = F.size(toks)
     stop_hits = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(LANG_PROFILES["en"]))
@@ -115,11 +120,11 @@ def gopher_rules(
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite heuristic in [0,1]: rewards stopword presence and sane
     token lengths, penalizes punctuation/digit noise (C4/Gopher-style
     rule-of-thumb filters)."""
-    f = quality_features(text)
+    f = quality_features(text, toks)
     score = (
         F.lit(0.5)
         + F.least(f["stopword_ratio"] * 2, F.lit(0.3))
@@ -128,6 +133,23 @@ def quality_score(text: Column) -> Column:
         + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.2).otherwise(0.0)
     )
     return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def with_quality(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """Append ``quality_score`` with the token array STAGED in its own
+    projection, so split() runs once per row instead of being inlined
+    into each of the score's 3 token-consuming sub-expressions.
+    CollapseProject keeps a non-cheap alias referenced more than once
+    in a separate Project (verified on the optimized plan), so the
+    staging survives optimization without any barrier trick."""
+    tcol = "__q_toks"
+    return (
+        df.withColumn(tcol, tokens(F.col(text_col)))
+        .withColumn(out_col, quality_score(F.col(text_col), toks=F.col(tcol)))
+        .drop(tcol)
+    )
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -334,6 +356,47 @@ def repetition_features(text: Column) -> dict[str, Column]:
         "dup_bigram_ratio": ngram_dup_ratio(2),
         "dup_trigram_ratio": ngram_dup_ratio(3),
     }
+
+
+def repetition_features_df(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """Staged-projection form of ``repetition_features``: the token
+    array and each gram array are materialized in their own Projects,
+    so split() runs once per row and each gram array is built once
+    (instead of split re-evaluating inside every higher-order-function
+    lambda element — HOF lambdas sit outside codegen subexpression
+    elimination). Same output columns, ~half the per-row work."""
+    keep = list(keep or [])
+
+    def grams(toks: Column, n: Column, k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+
+    def dup_ratio(g: Column) -> Column:
+        total = F.size(g)
+        uniq = F.size(F.array_distinct(g))
+        return F.when(total > 0, F.round(1 - uniq / total, 4)).otherwise(F.lit(0.0))
+
+    t, n = F.col("__toks"), F.col("__n")
+    return (
+        df.select(*keep, tokens(F.col(text_col)).alias("__toks"))
+        .select(*keep, "__toks", F.size("__toks").alias("__n"))
+        .select(
+            *keep,
+            F.col("__n").cast("long").alias("n_tokens"),
+            grams(t, n, 2).alias("__bi"),
+            grams(t, n, 3).alias("__tri"),
+        )
+        .select(
+            *keep,
+            "n_tokens",
+            dup_ratio(F.col("__bi")).alias("dup_bigram_ratio"),
+            dup_ratio(F.col("__tri")).alias("dup_trigram_ratio"),
+        )
+    )
 
 
 def explode_tokens_udtf(df: DataFrame, *, text_col: str = "text",

@@ -28,59 +28,50 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 # Queries with no driver correctness row yet (absent from r01's first-50
 # snapshot) plus the two whose oracles were upgraded from rows-only this
 # round — these must land inside the driver's verification window.
+# Round-3 rotation: the 74 queries with NO driver correctness row in
+# r01 or r02 (union = 98 of 172 sampled).  The driver window is 50
+# queries, so the cheap batch 50 lead; the 24 heavier (streaming /
+# audit / pair-gen) never-sampled queries follow at positions 51-74
+# and rotate into the r04 window.
 _FIRST = [
-    "custkey_set_ops", "events_grouping_sets", "events_multi_distinct",
-    "events_asof_join", "events_interval_join", "date_parse_ladder",
-    "dedup_clusters", "events_asof_forward", "corpus_curation",
-    "export_flatten_repeat", "corpus_to_training_chunks",
-    "skew_salted_agg", "validate_errors_exploded", "skew_salted_join",
-    "validate_per_file_rows",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q20_excess_suppliers",
-    "doc_segment_dedup", "text_repetition", "events_funnel",
-    "events_retention", "events_value_distribution",
-    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q10_returned_items", "q12_priority_buckets",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "seq_pack_chunks", "contamination_8gram", "sample_stratified",
-    "doc_rarity", "corpus_mix_weights", "fuzzy_edit_pairs", "strip_markup",
-    # the two rows-only -> bound-check conversions (VERDICT item 3)
-    # must not fall off a 50-query window, so they precede this
-    # round's net-new queries
-    "embedding_ivf_topk", "events_approx_users",
-    "doc_gopher_quality", "dedup_incremental", "stream_dedup_incremental",
-    "dedup_keep_best", "events_anomaly_zscore", "embedding_quantize",
-    "multimodal_image_meta", "doc_bm25_topk", "events_scd2_history",
-    "bpe_merge_candidates", "lang_id_confusion", "corpus_epoch_plan",
-    "dedup_containment", "events_key_skew_stats", "embedding_pq_topk",
-    # round-2 net-new queries: behind the backlog above so the 50-query
-    # window r02 verifies stays the r01-unverified set; these rotate in
-    # next round
-    "events_cms_topk", "dedup_bloom_gate", "doc_domain_caps",
-    "corpus_hash_split", "doc_blocklist_filter", "embedding_semdedup",
-    "events_transition_matrix", "events_median_mad",
-    "vocab_zipf_coverage", "diversity_ngram_ratio",
-    "retrieval_rrf_fusion", "minhash_est_error",
+    "events_anomaly_zscore", "embedding_quantize", "multimodal_image_meta",
+    "doc_bm25_topk", "events_scd2_history", "bpe_merge_candidates",
+    "lang_id_confusion", "corpus_epoch_plan", "dedup_containment",
+    "events_key_skew_stats", "events_cms_topk", "dedup_bloom_gate",
+    "doc_domain_caps", "corpus_hash_split", "doc_blocklist_filter",
+    "events_transition_matrix", "events_median_mad", "vocab_zipf_coverage",
+    "diversity_ngram_ratio", "retrieval_rrf_fusion", "minhash_est_error",
     "table_column_stats", "fk_integrity_check", "snapshot_diff",
-    "events_ohlc_bars", "dedup_pagerank", "sample_weighted",
-    "events_watermark_drops", "user_rfm_segments", "orders_pareto",
-    "stream_ohlc_bars", "events_path_topk", "customer_order_gaps",
-    "events_dow_hour_heatmap", "basket_part_pairs", "events_dau_wau",
+    "events_ohlc_bars", "sample_weighted", "events_watermark_drops",
+    "user_rfm_segments", "orders_pareto", "events_path_topk",
+    "customer_order_gaps", "events_dow_hour_heatmap", "basket_part_pairs",
+    "events_dau_wau", "dedup_sorted_neighborhood", "dedup_prefix_filter",
+    "dedup_triangle_count", "multimodal_audio_meta",
+    "multimodal_video_meta", "events_sliding_distinct",
+    "customer_cohort_ltv", "events_gap_fill", "orders_yoy_growth",
+    "events_funnel_windowed", "orders_backlog_series",
+    "events_changepoint", "events_forecast_backtest",
+    "events_variant_extract", "events_ab_test", "events_value_psi",
+    # positions 51-74: heavier never-sampled, r04 window
+    "stream_dedup_incremental", "dedup_keep_best", "embedding_pq_topk",
+    "embedding_semdedup", "dedup_pagerank", "stream_ohlc_bars",
+    "stream_session_window", "vocab_oov_rate", "seq_pack_efficiency",
+    "source_lang_entropy", "doc_repeated_ngrams",
+    "quality_floor_per_source", "doc_tokens_udtf",
+    "customer_record_linkage", "events_hll_weekly_merge",
+    "table_expectations", "customer_k_anonymity", "events_decayed_topk",
+    "dedup_family_recall", "stream_stateful_user_totals",
+    "stream_enrich_dim", "stream_hll_users", "stream_rollup_merge",
+    "stream_stream_left_join",
 ]
-# Most expensive r01-green queries go last (already verified; keeps the
-# window cheap if the driver's cap turns out to be time-based).
+# Already driver-green expensive queries go last.
 _LAST = [
     "dedup_minhash_bands", "dedup_hamming_pairs", "tfidf_top_terms",
-    "embedding_cosine_topk",
-    "dedup_minhash_pairs", "ngram_jaccard_pairs", "dedup_family_recall",
-    "embedding_near_dup",
-    "stream_events_hourly", "stream_dedup_events", "stream_stream_join",
-    "stream_stateful_user_totals", "stream_enrich_dim",
-    "stream_hll_users", "stream_rollup_merge", "stream_stream_left_join",
+    "embedding_cosine_topk", "dedup_minhash_pairs", "ngram_jaccard_pairs",
+    "embedding_near_dup", "stream_events_hourly", "stream_dedup_events",
+    "stream_stream_join",
 ]
+
 
 
 def _reorder() -> None:

@@ -852,9 +852,7 @@ FROM rk
 )
 def quality_floor_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
-    )
+    scored = TX.with_quality(d).select("doc_id", "source", "quality")
     return CU.quality_floor(scored, score_col="quality", by="source")
 
 

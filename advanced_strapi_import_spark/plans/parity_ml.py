@@ -811,8 +811,8 @@ FROM g
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: per-doc HOF/hash work would serialize on the 1-split scan
     d = fan_out(load(spark, sf_dir, "documents"))
-    feats = TX.repetition_features(F.col("text"))
-    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    # staged form: tokenize once per row, each gram array built once
+    return TX.repetition_features_df(d, "text", keep=["doc_id"])
 
 
 # ---------------------------------------------------------------------------

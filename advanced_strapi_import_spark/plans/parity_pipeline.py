@@ -56,9 +56,11 @@ SELECT id, quality FROM scored WHERE quality >= 0.5
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     kept = D.exact_dedup(corpus, "text", "id")
-    return kept.select(
-        "id", TX.quality_score(F.col("text")).alias("quality")
-    ).filter(F.col("quality") >= 0.5)
+    return (
+        TX.with_quality(kept)
+        .select("id", "quality")
+        .filter(F.col("quality") >= 0.5)
+    )
 
 
 @query(
@@ -81,26 +83,37 @@ GROUP BY o.o_orderkey
         "array<struct> -> 1-based `field.{i}.key` columns.",
 )
 def export_flatten_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # rank + conditional-aggregate pivot: the old shape collect_list'd
+    # EVERY lineitem of an order into an array, sorted and transformed
+    # it, then sliced 2 elements — building ~4x the data it kept. Here
+    # rows past rank 2 are dropped before aggregation and the pivot is
+    # a pair of map-side max(when(rn=k)) partials; the groupBy reuses
+    # the window's hash partitioning on l_orderkey (no second exchange)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.round("l_quantity", 2).alias("qty"),
+    )
     nested = (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .groupBy("l_orderkey")
         .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("l_linenumber", "l_partkey", "l_quantity")
-                        )
-                    ),
-                    lambda s: F.struct(
-                        s["l_linenumber"].alias("ln"),
-                        F.round(s["l_quantity"], 2).alias("qty"),
-                    ),
-                ),
-                1,
-                2,
-            ).alias("items")
+            F.max(F.when(F.col("__rn") == 1, item)).alias("__i1"),
+            F.max(F.when(F.col("__rn") == 2, item)).alias("__i2"),
+        )
+        .select(
+            "l_orderkey",
+            F.filter(
+                F.array("__i1", "__i2"), lambda x: x.isNotNull()
+            ).alias("items"),
         )
     )
     # NO broadcast hint: `nested` is a fact-sized aggregate (one row per
@@ -150,9 +163,11 @@ FROM expl
 def corpus_to_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     kept = D.exact_dedup(corpus, "text", "id")
-    gated = kept.select(
-        "id", "text", TX.quality_score(F.col("text")).alias("quality")
-    ).filter(F.col("quality") >= 0.5)
+    gated = (
+        TX.with_quality(kept)
+        .select("id", "text", "quality")
+        .filter(F.col("quality") >= 0.5)
+    )
     seeded = gated.select(
         "id",
         F.concat(

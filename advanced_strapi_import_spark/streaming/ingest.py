@@ -59,12 +59,15 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
+    import glob as globmod
+
     path = f"{directory}/{glob}"
-    try:  # cache keyed by mtime: a regenerated file with the OTHER ts
-        # encoding must re-probe, or the declared schema corrupts reads
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
+    # cache keyed by max mtime over the files the pattern matches: a
+    # regenerated file with the OTHER ts encoding must re-probe, or the
+    # declared schema corrupts reads (getmtime on a wildcard path would
+    # raise and silently disable invalidation)
+    matches = globmod.glob(path)
+    mtime = max((os.path.getmtime(p) for p in matches), default=-1.0)
     key = (directory, glob, mtime)
     if key not in _TS_TYPE_CACHE:
         _TS_TYPE_CACHE[key] = (
@@ -263,9 +266,11 @@ def stream_upsert(
             return
         # deterministic pick per key (dropDuplicates keeps whichever
         # row a partition sees first — rerunning the same drain could
-        # persist different values); dedupe_batch orders by __row when
-        # present, else a deterministic struct order
-        deduped = dedupe_batch(batch_df, key)
+        # persist different values); last-write-wins by __row when the
+        # batch carries one, else a deterministic struct order
+        from advanced_strapi_import_spark.operators.validate import ROW_COL
+
+        deduped = dedupe_batch(batch_df, key, order_col=ROW_COL)
         if engine.has_table(ct_name):
             engine.write_table(ct_name, merge(engine.table(ct_name), deduped, key).merged)
         else:
@@ -479,13 +484,17 @@ def incremental_dedup_stream(
     At 100 TB the corpus band table is a stored table and the append is
     a table append (Delta/Iceberg or partitioned parquet); here the
     accumulated frame is localCheckpoint'ed per batch so lineage stays
-    flat. Candidate pairs are driver-small (duplicates of one batch);
-    they are collected per batch and returned as one DataFrame."""
+    flat. Candidate pairs are APPENDED to a parquet sink table per
+    batch — never collected to the driver — and the sink is read back
+    as the returned DataFrame, which is exactly the production shape
+    (pairs land in a table; downstream consumers scan it)."""
+    import tempfile
+
     from advanced_strapi_import_spark.operators import dedup as D
 
     spark = corpus_bands.sparkSession
-    state = {"bands": corpus_bands}
-    found: list = []
+    state = {"bands": corpus_bands, "wrote": False}
+    pairs_path = tempfile.mkdtemp(prefix="dedup_pairs_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -494,7 +503,8 @@ def incremental_dedup_stream(
             D.minhash_signature(batch_df, text_col, id_col)
         ).localCheckpoint(eager=True)
         pairs = D.incremental_band_candidates(state["bands"], bb)
-        found.extend(pairs.collect())
+        pairs.write.mode("append").parquet(pairs_path)
+        state["wrote"] = True
         state["bands"] = state["bands"].unionByName(bb)
 
     q = (
@@ -504,11 +514,13 @@ def incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+    if state["wrote"]:
+        return spark.read.parquet(pairs_path)
     id_type = corpus_bands.schema["id"].dataType
     schema = T.StructType(
         [T.StructField("new_id", id_type), T.StructField("dup_of", id_type)]
     )
-    return spark.createDataFrame(found, schema)
+    return spark.createDataFrame([], schema)
 
 
 def enrich_with_dim(
