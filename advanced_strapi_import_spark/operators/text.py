@@ -50,11 +50,19 @@ def quality_features(text: Column, toks: Column | None = None) -> dict[str, Colu
     n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
     n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
     mean_tok_len = (n_chars - (n_toks - 1)) / n_toks  # spaces removed
+    # n_chars = 0 (empty text) would divide-by-zero under ANSI mode —
+    # an empty doc scores 0 ratios, it must never kill the pipeline.
+    # n_toks needs no guard: split('') yields [''], size >= 1.
+    def per_char(num: Column) -> Column:
+        return F.when(n_chars > 0, F.round(num / n_chars, 4)).otherwise(
+            F.lit(0.0)
+        )
+
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_toks.cast("long"),
-        "punct_ratio": F.round(n_punct / n_chars, 4),
-        "digit_ratio": F.round(n_digit / n_chars, 4),
+        "punct_ratio": per_char(n_punct),
+        "digit_ratio": per_char(n_digit),
         "stopword_ratio": F.round(stop_hits / n_toks, 4),
         "mean_token_len": F.round(mean_tok_len, 4),
     }

@@ -326,13 +326,18 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
         "get wrong when stages interleave.",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.caching import persist_tracked
+
     ev = load_events(spark, sf_dir)
-    v = (
+    # each stage feeds BOTH its own count and the next stage's gate —
+    # persist the tiny per-user aggregates so the events scan + stage
+    # shuffle run once per stage, not once per consumer
+    v = persist_tracked(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    c = (
+    c = persist_tracked(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("v_ts"))

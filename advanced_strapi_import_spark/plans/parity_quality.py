@@ -69,7 +69,11 @@ def _stats_oracle() -> str:
         "per column like the oracle's UNION ALL.",
 )
 def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    # 9 exact countDistincts -> one Expand replicating every row ~10x;
+    # that map-heavy stage serializes on the single-split test scan
+    o = fan_out(load(spark, sf_dir, "orders"))
     aggs = []
     for name, kind in _STATS_COLS:
         c = F.col(name)

@@ -120,6 +120,17 @@ def test_import_strict_aborts_on_invalid(engine, tmp_path):
     assert not engine.has_table("company")
 
 
+def test_import_strict_abort_unpersists(engine, tmp_path, spark):
+    # the early strict-abort return must not leak the persisted
+    # scan+validate frame (previously only the happy path unpersisted)
+    spark.catalog.clearCache()
+    p = _csv(tmp_path, "c.csv",
+             "name,country,established,active\n"
+             "Acme,India,bad,true\n")
+    engine.import_csv(p, "company", strict=True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_import_batch_size_caps_rows_per_file(engine, tmp_path):
     import os
 
