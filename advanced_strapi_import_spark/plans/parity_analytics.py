@@ -1687,3 +1687,49 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(term), 4) > 0.2).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles with an exactness audit
+# ---------------------------------------------------------------------------
+@query(
+    "events_approx_quantiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2) AS p50,
+       round(quantile_cont(value, 0.9), 2) AS p90,
+       round(quantile_cont(value, 0.99), 2) AS p99,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+    doc="Per-type value quantiles, both arms in one pass: EXACT "
+        "interpolated percentiles (the verification arm — requires "
+        "per-group value materialization, fine at audit scale) and "
+        "approx_percentile over a quantile sketch (the 100 TB arm: "
+        "mergeable, bounded memory, map-side partials). approx_ok "
+        "asserts the sketch lands within 5% relative (or 1.0 "
+        "absolute) of exact for every quantile — the bound-check "
+        "pattern: the oracle emits literal TRUE, so a sketch "
+        "regression value-fails the gate.",
+)
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("__ex"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("__ap"),
+    )
+    within = F.forall(
+        F.zip_with(
+            "__ex", "__ap",
+            lambda ex, ap: F.abs(ex - ap)
+            <= F.greatest(F.abs(ex) * 0.05, F.lit(1.0)),
+        ),
+        lambda ok: ok,
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("__ex")[0], 2).alias("p50"),
+        F.round(F.col("__ex")[1], 2).alias("p90"),
+        F.round(F.col("__ex")[2], 2).alias("p99"),
+        within.alias("approx_ok"),
+    )

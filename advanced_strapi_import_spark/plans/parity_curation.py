@@ -949,3 +949,49 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     scores = linkage_scores(a, b, block_on=["nk", "bal_bucket"], fields=fields)
     return linkage_matches(scores, threshold=40)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility per (lang, source)
+# ---------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(
+           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS total_bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) /
+             sum(len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+           AS chars_per_token
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Tokenizer fertility (chars per BPE-ish token) per (lang, "
+        "source) stratum — the compression-rate signal that drives "
+        "per-language token budgets and mixture weights (a tokenizer "
+        "that spends 3x the tokens per char on one language silently "
+        "shrinks its effective epoch share). One regexp_count per doc "
+        "+ a low-cardinality groupBy; map-side partials carry three "
+        "longs per stratum, so the shuffle is a few KB at any corpus "
+        "size.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "lang", "source", "n_chars",
+        TX.token_count_bpe(F.col("text")).alias("__bpe"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("__bpe"), 4
+        ).alias("chars_per_token"),
+    )

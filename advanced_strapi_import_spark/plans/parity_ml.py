@@ -1841,3 +1841,53 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_edges)
         .select("n_triangles", "n_edges", "tri_node_degree_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs
+FROM pairs
+JOIN documents sa ON sa.doc_id = pairs.id_a
+JOIN documents sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+""",
+    doc="Cross-source duplication matrix — the 'how much does source A "
+        "overlap source B' curation staple (e.g. CommonCrawl vs "
+        "Wikipedia): MinHash/LSH candidate pairs over the RAW documents "
+        "table, each side joined back to its source label, counted per "
+        "unordered source pair. Candidates come from the band "
+        "equi-join (never all-pairs); the source lookup joins a "
+        "pairs-sized frame against an id->source projection, so at "
+        "100 TB the heavy side shuffles once on the band key and the "
+        "matrix aggregation is a low-cardinality groupBy.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    docs = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
+    pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signature(docs, "text", "id")))
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    )
