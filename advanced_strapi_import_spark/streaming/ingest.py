@@ -66,8 +66,14 @@ def read_events_stream(
     # regenerated file with the OTHER ts encoding must re-probe, or the
     # declared schema corrupts reads (getmtime on a wildcard path would
     # raise and silently disable invalidation)
+    def _mtime(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:  # deleted between glob and stat
+            return -1.0
+
     matches = globmod.glob(path)
-    mtime = max((os.path.getmtime(p) for p in matches), default=-1.0)
+    mtime = max((_mtime(p) for p in matches), default=-1.0)
     key = (directory, glob, mtime)
     if key not in _TS_TYPE_CACHE:
         _TS_TYPE_CACHE[key] = (

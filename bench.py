@@ -1,6 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement policy (what the numbers mean):
+- Every query is forced through the no-op v2 sink (never count(), which
+  lets Catalyst delete joins/columns from the timed path).
+- Session-scoped shared caches are released BETWEEN queries, so each
+  per-query number is that query's full standalone cost — a dedup-family
+  member pays its own shingle/band build even though a production
+  pipeline (and an earlier bench revision) would reuse a shared
+  signature table. The suite total is therefore an upper bound on the
+  pipelined cost.
+- Single-JVM variance: the suite total repeats within ~±10%, but
+  individual >3 s queries swing up to ~2x run-to-run with GC/JIT/page
+  cache state. Compare distributions or the total round-over-round, not
+  one heavy query's single sample.
 """
 
 from __future__ import annotations
