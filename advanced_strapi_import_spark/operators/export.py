@@ -139,5 +139,15 @@ def drop_metadata(df: DataFrame) -> DataFrame:
 
 def write_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
     """S7 CSV sink: RFC-4180 quoting (quote when needed, `\"`->`\"\"`)
-    is Spark's CSV writer default (controllers/csv-import.js:442-445)."""
-    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+    is Spark's CSV writer default (controllers/csv-import.js:442-445).
+
+    ignoreLeading/TrailingWhiteSpace default to TRUE on the writer
+    (unlike the reader) and would silently trim cell padding the
+    reference writes as-is — found by the round-trip property test."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )

@@ -78,3 +78,108 @@ def test_split_trim_matches_js(spark, batch):
     got = _eval(spark, batch, C.split_trim(F.col("v")))
     want = [[t.strip() for t in s.split(",")] for s in batch]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# text-operator robustness: arbitrary input must never throw (the
+# empty-text ANSI divide-by-zero class) and stays in documented bounds
+# ---------------------------------------------------------------------------
+ANYTXT = st.text(max_size=40)  # full unicode, incl. '', whitespace-only
+TXT_BATCH = st.lists(ANYTXT, min_size=1, max_size=50)
+
+
+@given(TXT_BATCH)
+@settings(**SETTINGS)
+def test_quality_score_total_and_bounded(spark, batch):
+    from advanced_strapi_import_spark.operators import text as TX
+
+    df = spark.createDataFrame([(v,) for v in batch], "text string")
+    vals = [
+        r["quality"]
+        for r in TX.with_quality(df).select("quality").collect()
+    ]
+    assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
+
+
+@given(TXT_BATCH)
+@settings(**SETTINGS)
+def test_repetition_ratios_bounded(spark, batch):
+    from advanced_strapi_import_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(batch)], "doc_id long, text string"
+    )
+    rows = TX.repetition_features_df(df, "text", keep=["doc_id"]).collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert 0.0 <= r["dup_bigram_ratio"] < 1.0
+        assert 0.0 <= r["dup_trigram_ratio"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# chunking invariants vs a Python reference
+# ---------------------------------------------------------------------------
+WORD = st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+               min_size=1, max_size=6)
+DOC = st.lists(WORD, min_size=0, max_size=200).map(" ".join)
+
+
+@given(st.lists(DOC, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_chunk_documents_matches_reference(spark, docs):
+    import math
+
+    from advanced_strapi_import_spark.operators import text as TX
+
+    chunk_tokens, overlap = 64, 16
+    stride = chunk_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["id"], r["chunk_index"]): (r["n_chunks"], r["chunk_text"], r["n_tokens"])
+        for r in TX.chunk_documents(
+            df, "text", "doc_id", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    }
+    want = {}
+    for i, d in enumerate(docs):
+        toks = d.strip().split() if d.strip() else [""]
+        # split(r"\s+") on '' yields [''] — mirror that
+        if d.strip() == "" and d != "":
+            toks = [""]
+        n = len(toks)
+        n_chunks = max(1, math.ceil((n - overlap) / stride))
+        for ci in range(n_chunks):
+            sl = toks[ci * stride: ci * stride + chunk_tokens]
+            want[(i, ci)] = (n_chunks, " ".join(sl), len(sl))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RFC-4180 round-trip: export sink -> scan source preserves cells
+# ---------------------------------------------------------------------------
+CELL = st.text(
+    alphabet=st.sampled_from(list('abc,";| \t0')), min_size=0, max_size=8
+)
+
+
+@given(st.lists(st.tuples(CELL, CELL), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_csv_round_trip(spark, tmp_path_factory, rows):
+    from advanced_strapi_import_spark.operators.export import write_csv
+    from advanced_strapi_import_spark.sources.csv_source import csv_scan
+
+    out = str(tmp_path_factory.mktemp("rt") / "t.csv")
+    df = spark.createDataFrame(rows, "a string, b string")
+    write_csv(df, out)
+    back = csv_scan(spark, out)
+    assert back.columns == ["a", "b"]
+    # Spark's writer emits empty string and the reader maps it to null —
+    # normalize both sides to None for the comparison
+    norm = lambda v: None if v in ("", None) else v  # noqa: E731
+    key = lambda t: tuple((v is None, v or "") for v in t)  # noqa: E731
+    got = sorted(((norm(r["a"]), norm(r["b"])) for r in back.collect()), key=key)
+    want = sorted(((norm(a), norm(b)) for a, b in rows), key=key)
+    assert got == want
