@@ -116,6 +116,12 @@ def header_dimensions(data: bytes) -> tuple[int, int, str]:
     if data[:2] == b"BM":
         if len(data) < 26:
             raise ValueError("bad BMP header")
+        # the i32-dims layout needs BITMAPINFOHEADER (size >= 40); the
+        # ancient BITMAPCOREHEADER (size 12) packs u16 dims at other
+        # offsets and would misparse as garbage -> corrupt, not fake
+        (hsz,) = struct.unpack("<I", data[14:18])
+        if hsz < 40:
+            raise ValueError("unsupported BMP header variant")
         w, h = struct.unpack("<ii", data[18:26])
         return w, abs(h), "BMP"
     raise UnknownContainer("unknown container")

@@ -100,8 +100,18 @@ def test_header_dimensions_real_decode():
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
     assert MM.header_dimensions(gif) == (320, 200, "GIF")
 
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    # 14-byte file header, then BITMAPINFOHEADER (size field = 40)
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 100, -50) + b"\x00" * 8)
     assert MM.header_dimensions(bmp) == (100, 50, "BMP")  # top-down abs()
+    # the ancient BITMAPCOREHEADER (size 12) packs u16 dims elsewhere —
+    # must refuse rather than misparse
+    import pytest as _pt
+
+    core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", 100, 50) + b"\x00" * 12)
+    with _pt.raises(ValueError):
+        MM.header_dimensions(core)
 
     # JPEG: SOI, APP0 segment, SOF0 with height=24 width=32
     jpeg = (b"\xff\xd8"
