@@ -693,3 +693,75 @@ def ivf_query_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration with an EXACT,
+    engine-portable result — the training step behind IVF cell
+    learning (build_ivf_index fits on a bounded sample; this is the
+    full-corpus refinement pass a 100 TB build runs).
+
+    Seeds are the k lowest-id corpus vectors (deterministic;
+    driver-bounded by k exactly like the IVF centroid read). The
+    assignment is IN-ROW: all k squared-L2 distances are evaluated as
+    one codegen expression over the broadcast-free literal seed array,
+    argmin by (round(d2,6), seed_id) — the corpus never shuffles for
+    assignment. The update emits integer-exact fixed-point component
+    sums (half-up away-from-zero at ``scale``) per (cluster, dim):
+    BIGINT sums are order-independent, so any engine reproduces them
+    bit-for-bit — the float centroid is sum_ppm / n / scale
+    downstream. One tiny shuffle (k x dims groups) after map-side
+    partials."""
+    seeds = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    ]
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def d2_to(seed_vec: list) -> Column:
+        lit = F.array(*[F.lit(x) for x in seed_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(dbl, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    cand = F.array(
+        *[
+            F.struct(d2_to(vec).alias("d"), F.lit(sid).alias("sid"))
+            for sid, vec in seeds
+        ]
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(cand)["sid"].cast("long").alias("cluster"),
+    )
+    x = F.col("__x").cast("double") * scale
+    xf = F.when(
+        F.col("__x") >= 0, F.floor(x + F.lit(0.5))
+    ).otherwise(-F.floor(-x + F.lit(0.5))).cast("long")
+    return (
+        assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("dim", "__x")
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(xf).alias("sum_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        )
+    )

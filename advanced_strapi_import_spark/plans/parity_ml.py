@@ -1891,3 +1891,57 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means iteration (IVF training step)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_kmeans_step",
+    oracle="""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+expl AS (
+  SELECT e.vec_id, s.seed_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(s.seed)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN seeds s),
+dists AS (
+  SELECT vec_id, seed_id, round(sum((x - y) * (x - y)), 6) AS d2
+  FROM expl GROUP BY vec_id, seed_id),
+assign AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, seed_id) AS rn
+    FROM dists) WHERE rn = 1),
+comp AS (
+  SELECT a.seed_id AS cluster,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(range(0, len(e.embedding))) AS dim
+  FROM assign a JOIN embeddings e USING (vec_id))
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(dim AS INT) AS dim,
+       CAST(sum(CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
+                     ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT))
+            AS BIGINT) AS sum_ppm,
+       CAST(count(*) AS BIGINT) AS n_assigned
+FROM comp GROUP BY cluster, dim
+""",
+    doc="One distributed Lloyd (k-means) iteration — the full-corpus "
+        "IVF-cell refinement step (build_ivf_index fits centers on a "
+        "bounded sample; this is the pass that re-fits them over "
+        "everything). Seeds = the 8 lowest-id vectors; assignment is "
+        "IN-ROW (all 8 squared-L2 distances as one codegen expression "
+        "over literal seed arrays, argmin by (round(d2,6), seed_id)) "
+        "so the corpus never shuffles for assignment; the update emits "
+        "integer-exact fixed-point component sums per (cluster, dim) "
+        "— BIGINT sums are order-independent, hence bit-identical in "
+        "any engine. One tiny shuffle (k x dims groups) after "
+        "map-side partials.",
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    return S.kmeans_step(emb, k=8)
