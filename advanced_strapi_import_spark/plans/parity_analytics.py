@@ -1706,23 +1706,34 @@ FROM events GROUP BY event_type
         "interpolated percentiles (the verification arm — requires "
         "per-group value materialization, fine at audit scale) and "
         "approx_percentile over a quantile sketch (the 100 TB arm: "
-        "mergeable, bounded memory, map-side partials). approx_ok "
-        "asserts the sketch lands within 5% relative (or 1.0 "
-        "absolute) of exact for every quantile — the bound-check "
-        "pattern: the oracle emits literal TRUE, so a sketch "
-        "regression value-fails the gate.",
+        "mergeable, bounded memory, map-side partials). approx_ok is "
+        "a RANK-window bound: each sketch value must land between the "
+        "exact q±0.02 percentiles — valid at any N (a value-relative "
+        "tolerance breaks at tiny N, where the sketch returns an "
+        "actual order statistic but exact interpolates between two). "
+        "The oracle emits literal TRUE, so a sketch regression "
+        "value-fails the gate.",
 )
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
+    qs = [0.5, 0.9, 0.99]
+    los = [max(0.0, q - 0.02) for q in qs]
+    his = [min(1.0, q + 0.02) for q in qs]
+
+    def arr(vals: list) -> str:
+        return "array(" + ", ".join(str(v) for v in vals) + ")"
+
     agg = e.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("__ex"),
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("__ap"),
+        F.expr(f"percentile(value, {arr(qs)})").alias("__ex"),
+        F.expr(f"percentile(value, {arr(los)})").alias("__lo"),
+        F.expr(f"percentile(value, {arr(his)})").alias("__hi"),
+        F.expr(f"approx_percentile(value, {arr(qs)}, 10000)").alias("__ap"),
     )
     within = F.forall(
         F.zip_with(
-            "__ex", "__ap",
-            lambda ex, ap: F.abs(ex - ap)
-            <= F.greatest(F.abs(ex) * 0.05, F.lit(1.0)),
+            F.zip_with("__lo", "__ap", lambda lo, ap: ap >= lo),
+            F.zip_with("__hi", "__ap", lambda hi, ap: ap <= hi),
+            lambda a, b: a & b,
         ),
         lambda ok: ok,
     )
