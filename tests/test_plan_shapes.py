@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the plan SHAPES that make headline
+queries scale are asserted, not just eyeballed in PLANS.md — a future
+edit that adds a shuffle, drops a broadcast, or breaks parquet filter
+pushdown fails here before it ships.
+
+Counts come from the executed plan string at sf0.001 (shapes, not AQE
+runtime size decisions). Assertions are UPPER bounds on the expensive
+features (an extra exchange is a regression; one fewer is fine) and
+presence checks for the cheap ones (broadcast, pushdown)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import advanced_strapi_import_spark.plans.all  # noqa: F401
+from advanced_strapi_import_spark.plans.registry import QUERIES
+
+from conftest import SF_TEST
+
+
+def _features(spark, name: str) -> dict:
+    plan = (
+        QUERIES[name]
+        .fn(spark, SF_TEST)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    return {
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "plan": plan,
+    }
+
+
+# (query, max_exchanges, requirements) — bounds chosen one notch above
+# the current measured shape only where AQE legitimately varies.
+CASES = [
+    # scan + one hash agg: partial/final pair needs exactly one exchange
+    ("q1_pricing_summary", 1, {}),
+    # dimension joins must broadcast, never sort-merge
+    ("q3_shipping_priority", 4, {"smj": 0, "bhj_min": 1, "pushed": True}),
+    # rank<=2 pivot: window + reused-partitioning groupBy = one exchange
+    ("export_flatten_repeat", 2, {"pushed": True}),
+    # pure per-row expressions: NO shuffle at all
+    ("text_repetition", 1, {}),
+    ("text_quality", 0, {}),
+    # in-row k-means assignment: the ONLY exchange is the k x dims
+    # centroid-sum aggregation (fan_out repartition adds one RR)
+    ("embedding_kmeans_step", 2, {"smj": 0}),
+    # per-type quantiles: one aggregation exchange
+    ("events_approx_quantiles", 1, {}),
+    # broadcast bench grams; corpus side never sort-merges
+    ("contamination_8gram", 4, {"smj": 0}),
+]
+
+
+@pytest.mark.parametrize("name,max_exch,req", [
+    pytest.param(*c, id=c[0]) for c in CASES
+])
+def test_plan_shape(spark, name, max_exch, req):
+    f = _features(spark, name)
+    assert f["exchanges"] <= max_exch, (
+        f"{name}: {f['exchanges']} exchanges > {max_exch}\n{f['plan'][:4000]}"
+    )
+    if "smj" in req:
+        assert f["smj"] <= req["smj"], f"{name}: unexpected SortMergeJoin"
+    if "bhj_min" in req:
+        assert f["bhj"] >= req["bhj_min"], f"{name}: expected broadcast join"
+    if req.get("pushed"):
+        assert f["pushed"], f"{name}: parquet filter pushdown missing"
+
+
+def test_staged_tokenize_survives_optimizer(spark):
+    # the staged split() must stay single-evaluation end to end in the
+    # REGISTERED query (not just the operator unit test)
+    plan = (
+        QUERIES["text_repetition"]
+        .fn(spark, SF_TEST)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
