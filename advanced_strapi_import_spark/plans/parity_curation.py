@@ -995,3 +995,68 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("__bpe"), 4
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (classifier-filter pattern)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_model_quality_score",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop_hits
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+         round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
+  FROM f),
+z AS (
+  SELECT doc_id,
+         -1.2 + 6.0 * stopword_ratio - 4.0 * punct_ratio
+              - 2.0 * digit_ratio
+              - 0.15 * abs(mean_token_len - 6.0) AS logit
+  FROM r)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS model_score,
+       (round(1.0 / (1.0 + exp(-logit)), 4) >= 0.5) AS kept
+FROM z
+""",
+    doc="Model-based quality filtering (the FineWeb-Edu/DCLM classifier "
+        "pattern, linearized): a fixed-weight logistic model scored "
+        "IN-ROW over the staged quality features — sigmoid(-1.2 + "
+        "6*stopword - 4*punct - 2*digit - 0.15*|mean_len-6|), kept at "
+        "0.5. The weights are literals baked into the plan exactly the "
+        "way a distilled linear head ships to a 100 TB scoring job: "
+        "zero shuffle, whole-stage codegen, no model server in the "
+        "loop. Feature ratios are rounded to 4 before the dot product "
+        "so both engines feed the sigmoid identical doubles.",
+)
+def doc_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).withColumn(
+        "__toks", TX.tokens(F.col("text"))
+    )
+    f = TX.quality_features(F.col("text"), toks=F.col("__toks"))
+    logit = (
+        F.lit(-1.2)
+        + F.lit(6.0) * f["stopword_ratio"]
+        - F.lit(4.0) * f["punct_ratio"]
+        - F.lit(2.0) * f["digit_ratio"]
+        - F.lit(0.15) * F.abs(f["mean_token_len"] - F.lit(6.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4)
+    return d.select(
+        "doc_id",
+        score.alias("model_score"),
+        (score >= 0.5).alias("kept"),
+    )
