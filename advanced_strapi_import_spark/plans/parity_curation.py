@@ -963,10 +963,12 @@ SELECT lang, source,
        CAST(sum(len(regexp_extract_all(
            text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
            AS total_bpe_tokens,
-       round(CAST(sum(n_chars) AS DOUBLE) /
-             sum(len(regexp_extract_all(
-                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
-           AS chars_per_token
+       CASE WHEN sum(len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) > 0
+            THEN round(CAST(sum(n_chars) AS DOUBLE) /
+                       sum(len(regexp_extract_all(
+                           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+            END AS chars_per_token
 FROM documents
 GROUP BY lang, source
 """,
@@ -991,8 +993,11 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.sum("__bpe"), 4
+        # an all-empty stratum has zero BPE tokens; NULL fertility,
+        # never an ANSI divide-by-zero
+        F.when(
+            F.sum("__bpe") > 0,
+            F.round(F.sum("n_chars").cast("double") / F.sum("__bpe"), 4),
         ).alias("chars_per_token"),
     )
 
