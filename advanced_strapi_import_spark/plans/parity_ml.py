@@ -1945,3 +1945,100 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     return S.kmeans_step(emb, k=8)
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplet mining
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_triplets",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_vec FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, embedding AS av FROM embeddings
+      WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+expl AS (SELECT anchor_id, cand_id,
+                unnest(av)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+         FROM a, c WHERE anchor_id <> cand_id),
+dots AS (SELECT anchor_id, cand_id,
+                sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM expl GROUP BY anchor_id, cand_id),
+scored AS (SELECT anchor_id, cand_id,
+                  round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+           FROM dots),
+pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+          FROM scored) WHERE rn = 1),
+neg0 AS (
+  SELECT p.anchor_id, p.pos_id, p.pos_cos,
+         (p.anchor_id * 2654435761 + 12345) % n.n_vec AS h
+  FROM pos p, n),
+neg AS (
+  SELECT anchor_id, pos_id, pos_cos,
+         CASE WHEN h2 IN (anchor_id, pos_id)
+              THEN (h2 + 1) % (SELECT n_vec FROM n) ELSE h2 END AS neg_id
+  FROM (SELECT *, CASE WHEN h IN (anchor_id, pos_id)
+                       THEN (h + 1) % (SELECT n_vec FROM n) ELSE h END AS h2
+        FROM neg0)),
+nexpl AS (
+  SELECT g.anchor_id, g.pos_id, g.pos_cos, g.neg_id,
+         unnest(a.av)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+  FROM neg g
+  JOIN a ON a.anchor_id = g.anchor_id
+  JOIN embeddings e ON e.vec_id = g.neg_id)
+SELECT anchor_id, pos_id, pos_cos, neg_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS neg_cos
+FROM nexpl GROUP BY anchor_id, pos_id, pos_cos, neg_id
+""",
+    doc="Contrastive triplet mining for embedding-model training: per "
+        "anchor (vec_id %% 97), the hardest POSITIVE is its top-1 "
+        "cosine neighbor (broadcast anchors x corpus, the corpus never "
+        "shuffles) and the NEGATIVE is a deterministic pseudo-random "
+        "pick — Knuth-hash (anchor*2654435761+12345) mod N with a "
+        "collision-bump past anchor/positive, identical integer math "
+        "in both engines — fetched by one equi-join. Output "
+        "(anchor, pos, pos_cos, neg, neg_cos) is the (a,p,n) batch a "
+        "contrastive trainer consumes; at 100 TB the positive arm is "
+        "the documented brute-force baseline, swappable for the LSH/"
+        "IVF candidate path.",
+)
+def embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 97 == 0)
+    pos = (
+        S.cosine_topk(anchors, emb, k=1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).alias("__n"))
+    h = (F.col("anchor_id") * F.lit(2654435761) + F.lit(12345)) % F.col("__n")
+    bump = lambda c: F.when(  # noqa: E731
+        c.isin(F.col("anchor_id"), F.col("pos_id")),
+        (c + 1) % F.col("__n"),
+    ).otherwise(c)
+    neg = (
+        pos.crossJoin(F.broadcast(n_vec))
+        .withColumn("__h", h)
+        .withColumn("__h2", bump(F.col("__h")))
+        .withColumn("neg_id", bump(F.col("__h2")))
+        .drop("__h", "__h2", "__n")
+    )
+    av = F.broadcast(
+        anchors.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("__av"))
+    )
+    nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("__nv"))
+    return (
+        neg.join(av, "anchor_id")
+        .join(nv, "neg_id")
+        .select(
+            "anchor_id", "pos_id", "pos_cos", "neg_id",
+            F.round(S.cosine(F.col("__av"), F.col("__nv"), 64), 6).alias("neg_cos"),
+        )
+    )
