@@ -266,3 +266,40 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "cluster", "n_chars",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=_clusters_oracle().rstrip().rsplit("SELECT v AS id", 1)[0] + """
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_dropped
+FROM (
+  SELECT cluster, count(*) AS cluster_size FROM (
+    SELECT v AS id, min(u) AS cluster FROM reach GROUP BY v)
+  GROUP BY cluster)
+GROUP BY cluster_size
+""",
+    doc="Duplicate-cluster size distribution — the dedup observability "
+        "readout (how much boilerplate, how big the worst family): "
+        "connected components over the LSH candidate graph rolled up to "
+        "(cluster_size, n_clusters, n_docs, n_dropped) where n_dropped "
+        "is the keep-one-per-cluster deletion count. Two tiny "
+        "aggregations after CC; a size histogram is what a 100 TB "
+        "dedup job actually reports, not the raw pair list.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.parity_ml import _shared_bands
+
+    pairs = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("long").alias("n_dropped"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters", "n_docs", "n_dropped",
+    )
