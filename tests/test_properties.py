@@ -183,3 +183,43 @@ def test_csv_round_trip(spark, tmp_path_factory, rows):
     got = sorted(((norm(r["a"]), norm(r["b"])) for r in back.collect()), key=key)
     want = sorted(((norm(a), norm(b)) for a, b in rows), key=key)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# lenient date-parse ladder vs a Python reference over arbitrary dates
+# ---------------------------------------------------------------------------
+import datetime as _dt
+
+DATES = st.datetimes(
+    min_value=_dt.datetime(1971, 1, 1),
+    max_value=_dt.datetime(2099, 12, 28),
+).map(lambda d: d.replace(microsecond=0))
+FMT = st.sampled_from(["iso_dt", "iso_dt_ms_z", "us", "iso_date", "sql_dt"])
+
+
+def _render(d: _dt.datetime, fmt: str) -> tuple[str, _dt.datetime]:
+    """(raw string, expected parsed UTC timestamp) per ladder format."""
+    if fmt == "iso_dt":
+        return d.strftime("%Y-%m-%dT%H:%M:%S"), d
+    if fmt == "iso_dt_ms_z":
+        return d.strftime("%Y-%m-%dT%H:%M:%S.000Z"), d
+    if fmt == "us":
+        day0 = d.replace(hour=0, minute=0, second=0)
+        return f"{d.month}/{d.day}/{d.year}", day0
+    if fmt == "iso_date":
+        day0 = d.replace(hour=0, minute=0, second=0)
+        return d.strftime("%Y-%m-%d"), day0
+    return d.strftime("%Y-%m-%d %H:%M:%S"), d
+
+
+@given(st.lists(st.tuples(DATES, FMT), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_date_ladder_matches_reference(spark, cases):
+    rendered = [_render(d, f) for d, f in cases]
+    got = _eval(
+        spark,
+        [raw for raw, _ in rendered],
+        C.to_iso_string(C.parse_date_lenient(F.col("v"))),
+    )
+    want = [exp.strftime("%Y-%m-%dT%H:%M:%S.000Z") for _, exp in rendered]
+    assert got == want
