@@ -571,3 +571,48 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_meta.duration_ms").alias("duration_ms"),
         F.col("video_meta.format").alias("format"),
     )
+
+
+@query(
+    "stream_quality_gate",
+    oracle=r"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop_hits
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         round(greatest(least(
+           0.5
+           + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) * 2, 0.3)
+           - least(round(CAST(n_punct AS DOUBLE) / n_chars, 4) * 2, 0.3)
+           - least(round(CAST(n_digit AS DOUBLE) / n_chars, 4), 0.2)
+           + CASE WHEN round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+                       BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
+           1.0), 0.0), 4) AS quality
+  FROM feat)
+SELECT doc_id, quality FROM scored WHERE quality >= 0.5
+""",
+    doc="Streaming quality gate — the curation filter as a STATELESS "
+        "streaming stage: arriving documents are scored with the staged "
+        "quality expression and sub-threshold docs dropped inside the "
+        "stream (no state store, no watermark — per-row codegen, which "
+        "is why this filter is essentially free on a firehose). The "
+        "availableNow drain equals the batch filter over the same "
+        "table.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import text as TX
+
+    s = ST.read_documents_stream(spark, sf_dir)
+    kept = (
+        TX.with_quality(s)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "quality")
+    )
+    return ST.run_available_now(kept, output_mode="append")
