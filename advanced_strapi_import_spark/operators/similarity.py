@@ -726,6 +726,13 @@ def kmeans_step(
         .limit(k)
         .collect()
     ]
+    if not seeds:
+        # empty corpus (or k <= 0): F.array() of zero seed structs would
+        # make array_min(...)["sid"] unresolvable at analysis time —
+        # return the natural empty result instead of crashing
+        return corpus.sparkSession.createDataFrame(
+            [], "cluster long, dim int, sum_ppm long, n_assigned long"
+        )
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -389,8 +389,11 @@ def repetition_features_df(
         return F.when(total > 0, F.round(1 - uniq / total, 4)).otherwise(F.lit(0.0))
 
     t, n = F.col("__toks"), F.col("__n")
+    # trim + \s+ split, NOT dedup.tokens (single-space, no trim): the
+    # inline repetition_features and the text_repetition oracle both
+    # trim, so leading/trailing/multi whitespace must not mint tokens
     return (
-        df.select(*keep, tokens(F.col(text_col)).alias("__toks"))
+        df.select(*keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
         .select(*keep, "__toks", F.size("__toks").alias("__n"))
         .select(
             *keep,

@@ -818,8 +818,8 @@ WITH f AS (
   FROM documents),
 r AS (
   SELECT doc_id, source,
-         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-         round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+         (CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS punct_ratio,
+         (CASE WHEN n_chars > 0 THEN round(CAST(n_digit AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS digit_ratio,
          round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
          round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mtl
   FROM f),
@@ -1019,8 +1019,8 @@ WITH f AS (
   FROM documents),
 r AS (
   SELECT doc_id,
-         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-         round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+         (CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS punct_ratio,
+         (CASE WHEN n_chars > 0 THEN round(CAST(n_digit AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS digit_ratio,
          round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
          round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
   FROM f),

@@ -531,8 +531,8 @@ WITH f AS (
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-       round(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+       (CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS punct_ratio,
+       (CASE WHEN n_chars > 0 THEN round(CAST(n_digit AS DOUBLE) / n_chars, 4) ELSE 0.0 END) AS digit_ratio,
        round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
        round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len
 FROM f
@@ -1877,8 +1877,10 @@ GROUP BY 1, 2
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    docs = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
-    pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signature(docs, "text", "id")))
+    # the plain-documents band table is the same one the incremental
+    # queries join against — reuse the session-scoped helper instead of
+    # rebuilding (one NUM_HASHES/BANDS source of truth)
+    pairs = D.lsh_candidate_pairs(_shared_plain_bands(spark, sf_dir))
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))

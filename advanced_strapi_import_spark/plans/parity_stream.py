@@ -590,8 +590,8 @@ scored AS (
          round(greatest(least(
            0.5
            + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) * 2, 0.3)
-           - least(round(CAST(n_punct AS DOUBLE) / n_chars, 4) * 2, 0.3)
-           - least(round(CAST(n_digit AS DOUBLE) / n_chars, 4), 0.2)
+           - least((CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END) * 2, 0.3)
+           - least((CASE WHEN n_chars > 0 THEN round(CAST(n_digit AS DOUBLE) / n_chars, 4) ELSE 0.0 END), 0.2)
            + CASE WHEN round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
                        BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
            1.0), 0.0), 4) AS quality

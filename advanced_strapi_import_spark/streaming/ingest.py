@@ -72,9 +72,12 @@ def read_events_stream(
         except OSError:  # deleted between glob and stat
             return -1.0
 
-    matches = globmod.glob(path)
+    matches = sorted(globmod.glob(path))
     mtime = max((_mtime(p) for p in matches), default=-1.0)
-    key = (directory, glob, mtime)
+    # the FILESET is part of the key too: regeneration that preserves
+    # timestamps (cp -p / rsync -a) or removes the newest file would
+    # leave max-mtime unchanged and serve a stale declared schema
+    key = (directory, glob, tuple(matches), mtime)
     if key not in _TS_TYPE_CACHE:
         _TS_TYPE_CACHE[key] = (
             spark.read.parquet(path).schema["ts"].dataType
@@ -494,13 +497,19 @@ def incremental_dedup_stream(
     batch — never collected to the driver — and the sink is read back
     as the returned DataFrame, which is exactly the production shape
     (pairs land in a table; downstream consumers scan it)."""
+    import atexit
+    import shutil
     import tempfile
 
     from advanced_strapi_import_spark.operators import dedup as D
 
     spark = corpus_bands.sparkSession
     state = {"bands": corpus_bands, "wrote": False}
+    # the returned DataFrame reads this path lazily, so it cannot be
+    # deleted here — reap it at interpreter exit instead of leaking one
+    # directory per invocation
     pairs_path = tempfile.mkdtemp(prefix="dedup_pairs_")
+    atexit.register(shutil.rmtree, pairs_path, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

@@ -10,6 +10,7 @@ from advanced_strapi_import_spark.operators import text as TX
 
 DOCS = [
     ("a", "the cat sat on the mat the cat sat"),
+    ("ws", "  padded   doc\twith  messy   whitespace "),
     ("b", "one two three four five"),
     ("c", ""),
     ("d", "x"),
