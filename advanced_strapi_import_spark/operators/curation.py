@@ -51,6 +51,16 @@ def pack_sequences(
 
     Output: one row per chunk with its (seq_id, tok_offset) placement.
     """
+    id_type = chunks.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # pmod on a non-numeric id implicitly casts to double and
+        # yields NULL (ANSI off): every row lands in one NULL shard —
+        # the exact serialization sharding exists to avoid — with NULL
+        # seq ids. Fail loudly instead.
+        raise TypeError(
+            f"pack_sequences needs an integral {id_col!r}, got {id_type}; "
+            "hash string ids to a bigint first (e.g. xxhash64)"
+        )
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -278,10 +288,16 @@ def doc_rarity(
     doc. The count table is corpus-vocabulary sized — joined broadcast
     when small, shuffle-hash otherwise (Catalyst/AQE picks).
     Output: (doc_id, n_tokens, rarity_sum, rarity_mean)."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    # the exploded frame feeds BOTH the vocab count and the contrib
+    # join — without persist the tokenize+explode map stage runs twice
+    toks = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     contrib = toks.join(counts, "tok").select(
         id_col, F.floor(F.lit(1000000) / F.col("cnt")).alias("c")
@@ -317,10 +333,15 @@ def mix_weights(
     if target is None:
         tgt = F.lit(1.0) / F.col("__k")
     else:
+        if not target:
+            raise ValueError(
+                "target must be a non-empty {stratum: share} dict; "
+                "pass None for the uniform default"
+            )
         tgt = None
         for k, v in target.items():
-            cond = F.when(F.col(strata_col) == k, F.lit(float(v)))
-            tgt = cond if tgt is None else tgt.when(F.col(strata_col) == k, F.lit(float(v)))
+            branch = (F.col(strata_col) == k, F.lit(float(v)))
+            tgt = F.when(*branch) if tgt is None else tgt.when(*branch)
         tgt = tgt.otherwise(F.lit(0.0))
     share = F.col("n_docs") / F.col("__total")
     return (
@@ -344,6 +365,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     prefix_len: int = 48,
     max_dist: int = 12,
+    max_block: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by edit distance, gated by a cheap blocking
     key so the quadratic levenshtein only runs inside buckets.
@@ -352,8 +374,14 @@ def edit_distance_pairs(
     (documents sharing an opening bigram are candidate near-dups; an
     O(n^2)-over-corpus levenshtein would never survive 100 TB). The
     self-join is an equi-join on the block key — one shuffle, pair
-    expansion bounded by bucket size. Distance runs on a fixed-length
-    prefix so cost per pair is O(prefix_len^2) regardless of doc size.
+    expansion bounded by bucket size. Buckets larger than ``max_block``
+    are DROPPED before the join: a block of m docs yields ~m^2/2
+    levenshtein pairs, so one ubiquitous opening bigram (license
+    boilerplate, '<!doctype') would otherwise make the stage quadratic
+    in corpus size — mega-blocks are boilerplate families that the
+    MinHash/exact-dedup paths handle, not edit-distance material.
+    Distance runs on a fixed-length prefix so cost per pair is
+    O(prefix_len^2) regardless of doc size.
     Output: (id_a, id_b, edit_dist) for pairs with dist <= max_dist."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     base = df.select(
@@ -361,6 +389,10 @@ def edit_distance_pairs(
         F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("block"),
         F.substring(norm, 1, prefix_len).alias("prefix"),
     ).filter(F.col("block") != "")
+    wb = Window.partitionBy("block")
+    base = base.withColumn("__bn", F.count(F.lit(1)).over(wb)).filter(
+        F.col("__bn") <= max_block
+    ).drop("__bn")
     a = base.select(
         F.col("id").alias("id_a"), F.col("block"), F.col("prefix").alias("pa")
     )
@@ -383,12 +415,15 @@ def edit_distance_pairs(
 # markup stripping (boilerplate removal)
 # ---------------------------------------------------------------------------
 _TAG_RE = r"<[^>]*>"
+# &amp; must decode LAST: decoding it first turns the doubly-escaped
+# '&amp;lt;' (the literal text '&lt;') into '&lt;', which the next
+# replacement then corrupts into '<'
 _ENTITIES: list[tuple[str, str]] = [
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 
@@ -444,7 +479,9 @@ def hash_split(
     Bucket = first 8 md5 hex chars mod 100."""
     from advanced_strapi_import_spark.operators.dedup import hash32
 
-    bucket = hash32(id_col) % 100
+    # md5 requires a string input and Spark will not implicitly cast
+    # numerics — cast here so bigint ids work without caller ceremony
+    bucket = hash32(id_col.cast("string")) % 100
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -458,7 +495,12 @@ def hash_split(
 def blocklist_hits(text: Column, blocked: list[str]) -> Column:
     """Count of tokens in ``blocked`` (exact whitespace-token match,
     case-sensitive — the predictable form; callers lower() both sides
-    for the insensitive variant). Single pass over the token array."""
+    for the insensitive variant). Single pass over the token array.
+    Splits on \\s+ like every other tokenizer in this module — a
+    single-space split would let 'foo\\nbadword' smuggle banned
+    tokens past the gate."""
     return F.size(
-        F.filter(F.split(text, " "), lambda t: t.isin([*blocked]))
+        F.filter(
+            F.split(F.trim(text), r"\s+"), lambda t: t.isin([*blocked])
+        )
     )

@@ -34,24 +34,33 @@ def asof_join(
     right.on <= left.on (backward; 'forward' flips), matching on ``by``.
 
     Implementation: tag and union the two streams, sort within each
-    ``by`` partition by (time, tag) and carry the last non-null right
-    value forward. Left columns pass through unchanged."""
+    ``by`` partition by (time, tag) and carry the last right ROW
+    forward as one struct. The struct (non-null for every right row,
+    even one whose value columns are all NULL) is what merge_asof /
+    DuckDB ASOF attach — carrying each value column independently with
+    ignorenulls would skip genuinely-NULL right values and could
+    stitch one output row from DIFFERENT right rows. Left columns pass
+    through unchanged."""
     lcols = left.columns
+    clash = [c for c in value_cols if c in lcols]
+    if clash:
+        raise ValueError(
+            f"value_cols {clash} already exist in left — the output "
+            "would carry duplicate column names; rename before joining"
+        )
     # right rows (__tag=0) must sort BEFORE left rows at equal timestamps
     # in BOTH directions, so exact matches are included (same semantics
     # as pandas merge_asof allow_exact_matches=True / DuckDB ASOF)
     tag_order = F.col("__tag").asc()
-    l = left.withColumn("__tag", F.lit(1))
     r = right.select(
-        F.col(by), F.col(on), *[F.col(c) for c in value_cols]
+        F.col(by),
+        F.col(on),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     ).withColumn("__tag", F.lit(0))
-    for c in lcols:
-        if c not in (by, on) and c not in r.columns:
-            r = r.withColumn(c, F.lit(None))
-    for c in value_cols:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None))
-    u = l.unionByName(r.select(l.columns))
+    l = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__rrow", F.lit(None).cast(r.schema["__rrow"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
 
     if direction == "backward":
         w = Window.partitionBy(by).orderBy(F.col(on).asc(), tag_order).rowsBetween(
@@ -61,16 +70,13 @@ def asof_join(
         w = Window.partitionBy(by).orderBy(F.col(on).desc(), tag_order).rowsBetween(
             Window.unboundedPreceding, 0
         )
-    out = u
-    for c in value_cols:
-        out = out.withColumn(
-            f"__asof_{c}",
-            F.last(F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True).over(w),
-        )
-    out = out.filter(F.col("__tag") == 1)
+    out = (
+        u.withColumn("__asof", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
     return out.select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        *[F.col("__asof").getField(c).alias(c) for c in value_cols],
     )
 
 
@@ -88,6 +94,14 @@ def interval_join(
     equi-join + exact predicate. Intervals explode into their covered
     buckets; points compute one bucket — the join is equi on the bucket,
     then the exact range filter runs on the (bounded) candidates."""
+    if how not in ("inner", "left"):
+        # intervals are EXPLODED into ceil(len/bucket)+1 bucket rows: a
+        # right/full outer join would emit one null-padded output row
+        # PER BUCKET for an unmatched interval instead of one — reject
+        # rather than silently multiply rows
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r}"
+        )
     p_bucket = (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
     i_start = F.unix_timestamp(F.col(start_ts))
     i_end = F.unix_timestamp(F.col(end_ts))
@@ -136,6 +150,15 @@ def asof_join_cogrouped(
     import pandas as pd
 
     lcols = list(left.columns)
+    clash = [c for c in value_cols if c in lcols]
+    if clash:
+        # merge_asof would suffix the collision to c_x/c_y and the
+        # final column selection would KeyError inside the UDF at
+        # runtime — fail at plan time with the same contract as
+        # asof_join
+        raise ValueError(
+            f"value_cols {clash} already exist in left — rename before joining"
+        )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in left.schema.fields

@@ -179,7 +179,8 @@ b2 AS (
          array_to_string(list_slice(string_split(norm, ' '), 1, 2), ' ') AS block,
          substring(norm, 1, 48) AS prefix
   FROM base
-  WHERE norm <> '')
+  WHERE norm <> ''
+  QUALIFY count(*) OVER (PARTITION BY block) <= 1000)
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
 FROM b2 a JOIN b2 b ON a.block = b.block AND a.id < b.id
@@ -206,8 +207,8 @@ SELECT doc_id,
        trim(regexp_replace(
          replace(replace(replace(replace(replace(
            regexp_replace(raw, '<[^>]*>', ' ', 'g'),
-           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-           '&nbsp;', ' '),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&nbsp;', ' '), '&amp;', '&'),
          '\\s+', ' ', 'g')) AS clean
 FROM seeded
 """,
@@ -375,9 +376,9 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_blocklist_filter",
     oracle="""
 SELECT doc_id,
-       CAST(len(list_filter(string_split(text, ' '),
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                             t -> t IN ('slow', 'dup'))) AS INT) AS n_blocked,
-       len(list_filter(string_split(text, ' '),
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
                        t -> t IN ('slow', 'dup'))) > 0 AS blocked
 FROM documents
 """,

@@ -65,6 +65,37 @@ def test_asof_join_semantics(spark):
     assert got[4] is None   # no prior right row
 
 
+def test_asof_join_null_values_row_level(spark):
+    """merge_asof attaches the most recent right ROW — a genuinely-NULL
+    value on that row must come through as NULL, not be skipped for an
+    older non-null one; and multiple value_cols must come from the SAME
+    right row (never stitched across rows)."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 300)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0, None), (1, 200, None, 7.0)],
+        "user_id long, ts long, rate double, fee double",
+    )
+    out = T.asof_join(
+        left, right, on="ts", by="user_id", value_cols=["rate", "fee"]
+    ).collect()[0]
+    # most recent row is ts=200: rate NULL (not 5.0 from ts=100), fee 7.0
+    assert out["rate"] is None and out["fee"] == 7.0
+
+    # a value_col colliding with a left column fails at plan time
+    with pytest.raises(ValueError):
+        T.asof_join(left, right, on="ts", by="user_id", value_cols=["event_id"])
+
+
+def test_interval_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        T.interval_join(df, df, point_ts="x", start_ts="x", end_ts="x", how="full")
+
+
 def test_interval_join_bucket_boundaries(spark):
     points = spark.createDataFrame(
         [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00")],
