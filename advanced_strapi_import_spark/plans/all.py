@@ -22,6 +22,7 @@ import advanced_strapi_import_spark.plans.parity_tpch  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_curation  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_sketch  # noqa: F401
 import advanced_strapi_import_spark.plans.parity_quality  # noqa: F401
+import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 

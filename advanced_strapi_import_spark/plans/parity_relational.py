@@ -1,0 +1,483 @@
+"""Relational-surface and statistical-audit queries.
+
+Covers engine surfaces the rest of the catalog exercises only
+implicitly: native ``RelationalGroupedDataset.pivot`` with an explicit
+value list, native ``DataFrame.unpivot`` (melt), SQL correlated
+``LATERAL`` subqueries with per-group LIMIT, plus statistics a data
+platform audits with: Benford first-digit fraud screening, a
+two-sample Kolmogorov-Smirnov distribution drift test, winsorized
+robust moments, l-diversity (the privacy audit that complements
+customer_k_anonymity), stratified systematic sampling, and lag-k
+autocorrelation of event arrival series.
+
+Every oracle follows the registry conventions: identical aliases,
+round() on double outputs, BIGINT casts over DuckDB HUGEINT sums,
+deterministic ORDER BY under every LIMIT.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from advanced_strapi_import_spark.plans.registry import (
+    load,
+    load_events,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# native pivot (explicit value list)
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["O", "F", "P"]
+
+
+@query(
+    "orders_pivot_year_status",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS n_o,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0), 2) AS rev_o,
+       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS n_f,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 2) AS rev_f,
+       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS n_p,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0.0), 2) AS rev_p
+FROM orders GROUP BY year(o_orderdate)
+""",
+    doc="Native pivot with an EXPLICIT value list (.pivot(col, values)): "
+        "order count + revenue per year x order-status. The explicit "
+        "list matters at scale — without it Spark runs an extra "
+        "collect-distinct job over the full table just to discover the "
+        "columns; with it the pivot is a single map-side-combinable "
+        "aggregate. Absent (year, status) cells surface as NULL from "
+        "the pivot and are coalesced to 0 to match the FILTER oracle.",
+)
+def orders_pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    cols = [F.col("yr")]
+    for s in _STATUSES:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("long").alias(f"n_{s.lower()}"))
+        cols.append(F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"rev_{s.lower()}"))
+    return pv.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# native unpivot (melt)
+# ---------------------------------------------------------------------------
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_unpivot_measures",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{m}' AS measure, CAST(count({m}) AS BIGINT) AS n,
+       round(sum({m}), 2) AS total, round(avg({m}), 4) AS mean,
+       round(min({m}), 2) AS mn, round(max({m}), 2) AS mx FROM lineitem"""
+        for m in _MEASURES
+    ),
+    doc="Native DataFrame.unpivot (melt): four numeric lineitem measures "
+        "go long-form (measure, val) in one scan — the shape that feeds "
+        "generic per-metric profiling without N separate aggregates. "
+        "The unpivot itself is zero-shuffle (a row-local generate); the "
+        "only exchange is the 4-key aggregate that follows. Oracle is "
+        "the engine-portable UNION ALL expansion.",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot([], _MEASURES, "measure", "val")
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("val").cast("long").alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+            F.round(F.avg("val"), 4).alias("mean"),
+            F.round(F.min("val"), 2).alias("mn"),
+            F.round(F.max("val"), 2).alias("mx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL correlated LATERAL subquery with per-group LIMIT
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT b.p_brand, t.p_partkey, t.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (
+  SELECT p_partkey, p_retailprice FROM part p
+  WHERE p.p_brand = b.p_brand
+  ORDER BY p_retailprice DESC, p_partkey
+  LIMIT 3
+) t
+"""
+
+
+@query(
+    "part_lateral_topk",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL subquery with per-group ORDER BY + LIMIT "
+        "(top-3 priciest parts per brand) — the SQL-standard spelling "
+        "of grouped top-k. Spark's DecorrelateInnerQuery rewrites it to "
+        "a partitioned rank filter, so the physical plan is the same "
+        "scale-safe shape as the window-function variant "
+        "(topk_orders_per_cust): no per-brand re-scan, no driver loop. "
+        "Identical SQL runs on DuckDB as the oracle.",
+)
+def part_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screening
+# ---------------------------------------------------------------------------
+
+# Expected Benford shares embedded as identical literals on both sides so
+# the comparison arithmetic starts from bit-equal operands.
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+@query(
+    "orders_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+obs AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM obs),
+exp AS (
+  SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share
+  FROM (VALUES {", ".join(f"('{d}', {v})" for d, v in _BENFORD.items())})
+  AS t(digit, exp_share))
+SELECT e.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       round(coalesce(o.n, 0) * 1.0 / t.total, 6) AS obs_share,
+       e.exp_share,
+       round(abs(coalesce(o.n, 0) * 1.0 / t.total - e.exp_share), 6) AS abs_dev,
+       round(pow(coalesce(o.n, 0) * 1.0 / t.total - e.exp_share, 2) / e.exp_share, 8)
+         AS chi2_term
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+""",
+    doc="Benford's-law first-digit screen over order totals — the "
+        "classic financial-data fraud/quality audit. First digit is "
+        "extracted in exact integer/string domain (floor -> BIGINT -> "
+        "first char) rather than floor(log10) so no cross-engine libm "
+        "boundary can flip a digit. Expected shares are plan literals "
+        "(same bits both sides). One map-side-combinable 9-group "
+        "aggregate + a 9x1 broadcast join: scan-bound at 100 TB.",
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = spark.createDataFrame(
+        [(str(d), v) for d, v in _BENFORD.items()], "digit string, exp_share double"
+    )
+    total = obs.agg(F.sum("n").alias("total"))
+    n = F.coalesce("n", F.lit(0))
+    share = n * F.lit(1.0) / F.col("total")
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            n.cast("long").alias("n"),
+            F.round(share, 6).alias("obs_share"),
+            "exp_share",
+            F.round(F.abs(share - F.col("exp_share")), 6).alias("abs_dev"),
+            F.round(
+                F.pow(share - F.col("exp_share"), 2) / F.col("exp_share"), 8
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ks_test",
+    oracle="""
+WITH pts AS (
+  SELECT value,
+         count(*) FILTER (WHERE event_type = 'click') AS c1,
+         count(*) FILTER (WHERE event_type = 'view') AS c2
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY value),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY value) AS s1,
+         sum(c2) OVER (ORDER BY value) AS s2
+  FROM pts)
+SELECT round(max(abs(s1 * 1.0 / t.n1 - s2 * 1.0 / t.n2)), 6) AS ks_stat,
+       round(sqrt(t.n1 * t.n2 * 1.0 / (t.n1 + t.n2))
+             * max(abs(s1 * 1.0 / t.n1 - s2 * 1.0 / t.n2)), 4) AS ks_scaled,
+       CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2
+FROM cum CROSS JOIN tot t GROUP BY t.n1, t.n2
+""",
+    doc="Two-sample Kolmogorov-Smirnov statistic between the value "
+        "distributions of two event types — the standard drift test "
+        "between a reference and a candidate data slice. ECDFs are "
+        "built from exact integer cumulative counts over the grouped "
+        "value domain (RANGE window frames give identical tie handling "
+        "in both engines), so the max|F1-F2| arithmetic starts from "
+        "bit-equal operands. The value-domain groupBy collapses 100 TB "
+        "of rows to the distinct-value set before any window runs; the "
+        "single-partition ordered window is over that collapsed set "
+        "(same caveat class as events_median_mad, documented there).",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    pts = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+        )
+    )
+    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("value")
+    cum = pts.select(
+        F.sum("c1").over(w).alias("s1"), F.sum("c2").over(w).alias("s2")
+    )
+    d = F.abs(
+        F.col("s1") * F.lit(1.0) / F.col("n1")
+        - F.col("s2") * F.lit(1.0) / F.col("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.max(d), 6).alias("ks_stat"),
+            F.round(
+                F.sqrt(
+                    F.col("n1") * F.col("n2") * F.lit(1.0)
+                    / (F.col("n1") + F.col("n2"))
+                )
+                * F.max(d),
+                4,
+            ).alias("ks_scaled"),
+        )
+        .select(
+            "ks_stat",
+            "ks_scaled",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, c.lo), c.hi) AS wval
+  FROM events e JOIN cuts c ON c.event_type = e.event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 2) AS raw_mean,
+       round(avg(wval), 2) AS win_mean,
+       round(stddev_samp(wval), 2) AS win_std
+FROM w GROUP BY event_type
+""",
+    doc="Winsorized moments per event type: clamp values to the exact "
+        "[p05, p95] band (Spark `percentile` == DuckDB `quantile_cont`, "
+        "both linear interpolation over identical sorted doubles), then "
+        "re-aggregate. The robust-statistics complement to "
+        "events_median_mad: winsorizing keeps the n of every row while "
+        "bounding outlier leverage. Plan shape: a 5-row percentile "
+        "aggregate broadcast back onto the fact scan — two map-side "
+        "combinable aggregates, no wide shuffle of raw rows.",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    cuts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    wval = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .select("event_type", "value", wval.alias("wval"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 2).alias("raw_mean"),
+            F.round(F.avg("wval"), 2).alias("win_mean"),
+            F.round(F.stddev_samp("wval"), 2).alias("win_std"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_l_diversity",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l,
+       count(*) >= 10 AS k_ok,
+       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 5 AS l_ok
+FROM customer GROUP BY c_nationkey, c_mktsegment
+""",
+    doc="l-diversity audit over the (nation, segment) quasi-identifier: "
+        "k-anonymity (customer_k_anonymity) bounds re-identification by "
+        "group size alone, but a group where every member shares the "
+        "same sensitive value still leaks it — l-diversity additionally "
+        "requires >= l distinct sensitive values (here: account-balance "
+        "kilobuckets) per QI group. One map-side-combinable aggregate "
+        "with a distinct-count expansion on the QI keys; at 100 TB the "
+        "distinct is bounded by the bucket domain, not row count.",
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.countDistinct(bucket).cast("long").alias("l"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l",
+            (F.col("k") >= 10).alias("k_ok"),
+            (F.col("l") >= 5).alias("l_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified systematic sampling
+# ---------------------------------------------------------------------------
+
+_SYS_K = 50
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS hk
+  FROM orders),
+r AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY hk, o_orderkey) AS rn
+  FROM h)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM r WHERE rn % {_SYS_K} = 1
+""",
+    doc="Stratified systematic sampling: within each order-status "
+        "stratum, rows are ordered by a portable md5 hash (decorrelates "
+        "the walk from insertion order) and every {k}-th row is kept — "
+        "exact ceil(n_s/{k}) sample size per stratum, unlike Bernoulli "
+        "sampling's binomial jitter (sample_stratified) or hash-mod "
+        "splits (corpus_hash_split). The rank window is PARTITIONED by "
+        "stratum — the scale-safe per-group form, never a global "
+        "single-partition row_number.".replace("{k}", str(_SYS_K)),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.dedup import hash32
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("hk", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            hash32(F.col("o_orderkey").cast("string")).alias("hk"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % _SYS_K == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation of arrival series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorr",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY hr) AS n_lag1,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS n_lag24
+  FROM hourly)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(corr(n, n_lag1), 4) AS acf_lag1,
+       round(corr(n, n_lag24), 4) AS acf_lag24
+FROM lagged GROUP BY event_type
+""",
+    doc="Lag-1 / lag-24 autocorrelation of per-type hourly arrival "
+        "counts — the seasonality screen run before picking a forecast "
+        "model (complements events_forecast_backtest). Counts are exact "
+        "integers, so the Pearson inputs are bit-equal across engines; "
+        "corr() is rounded to 4. The lag windows are partitioned by "
+        "event type over the ALREADY-aggregated hourly series (rows = "
+        "hours x types, not raw events), so the window state is tiny "
+        "at any corpus scale.",
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n_lag1"),
+        F.lag("n", 24).over(w).alias("n_lag24"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.corr("n", "n_lag1"), 4).alias("acf_lag1"),
+        F.round(F.corr("n", "n_lag24"), 4).alias("acf_lag24"),
+    )
