@@ -1066,3 +1066,102 @@ def doc_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("model_score"),
         (score >= 0.5).alias("kept"),
     )
+
+
+@query(
+    "source_top_p_docs",
+    oracle="""
+WITH w AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS cum,
+         sum(n_chars) OVER (PARTITION BY source) AS total
+  FROM documents)
+SELECT source,
+       CAST(count(*) FILTER (WHERE cum <= 0.9 * total) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(coalesce(sum(n_chars) FILTER (WHERE cum <= 0.9 * total), 0)
+             * 1.0 / max(total), 6) AS kept_mass_share,
+       CAST(coalesce(min(n_chars) FILTER (WHERE cum <= 0.9 * total), 0)
+            AS BIGINT) AS threshold_len
+FROM w GROUP BY source
+""",
+    doc="Top-p (nucleus) selection per source: docs are ranked by length "
+        "within their source and kept while the running mass stays "
+        "under 90% of the source's total — the data-side analog of "
+        "nucleus sampling, and a sharper truncation than doc_domain_caps "
+        "(which caps COUNT; this caps token MASS, so one source's "
+        "few huge docs can't dominate the mixture). The cumulative-sum "
+        "window is partitioned by source (scale-safe); ordering ties "
+        "are broken by doc_id so both engines walk the same sequence.",
+)
+def source_top_p_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wt = Window.partitionBy("source")
+    w = d.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(ws).alias("cum"),
+        F.sum("n_chars").over(wt).alias("total"),
+    )
+    kept = F.col("cum") <= 0.9 * F.col("total")
+    return w.groupBy("source").agg(
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.round(
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            * F.lit(1.0) / F.max("total"),
+            6,
+        ).alias("kept_mass_share"),
+        F.coalesce(F.min(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("threshold_len"),
+    )
+
+
+@query(
+    "source_jackknife_influence",
+    oracle="""
+WITH per_src AS (
+  SELECT source, count(*) AS n_s, sum(n_chars) AS sum_s
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT sum(n_s) AS n, sum(sum_s) AS total FROM per_src)
+SELECT p.source, CAST(p.n_s AS BIGINT) AS n_docs,
+       round(t.total * 1.0 / t.n, 4) AS mean_all,
+       round((t.total - p.sum_s) * 1.0 / (t.n - p.n_s), 4) AS mean_excl,
+       round(t.total * 1.0 / t.n
+             - (t.total - p.sum_s) * 1.0 / (t.n - p.n_s), 6) AS influence
+FROM per_src p CROSS JOIN tot t
+""",
+    doc="Jackknife (leave-one-source-out) influence of each source on "
+        "the corpus mean document length: one map-side-combinable "
+        "per-source aggregate plus a 1-row total broadcast — the "
+        "delete-one-group jackknife that screens for a source skewing "
+        "a corpus statistic before it is mixed in. All sums are exact "
+        "BIGINT, so the per-engine division operands are bit-equal.",
+)
+def source_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("n_chars").alias("sum_s")
+    )
+    tot = per.agg(F.sum("n_s").alias("n"), F.sum("sum_s").alias("total"))
+    mean_all = F.col("total") * F.lit(1.0) / F.col("n")
+    mean_excl = (
+        (F.col("total") - F.col("sum_s"))
+        * F.lit(1.0)
+        / (F.col("n") - F.col("n_s"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").cast("long").alias("n_docs"),
+        F.round(mean_all, 4).alias("mean_all"),
+        F.round(mean_excl, 4).alias("mean_excl"),
+        F.round(mean_all - mean_excl, 6).alias("influence"),
+    )

@@ -1843,6 +1843,86 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_iter_sql(prev: str, step: int) -> str:
+    """One synchronous label-propagation round (majority neighbor label,
+    ties to the smallest label) — mirrors the Spark loop body."""
+    return f"""
+n{step} AS (
+  SELECT e.node, l.label FROM edges e JOIN {prev} l ON l.node = e.nbr),
+c{step} AS (
+  SELECT node, label, count(*) AS c FROM n{step} GROUP BY node, label),
+l{step} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{step}) WHERE rn = 1)"""
+
+
+@query(
+    "dedup_label_propagation",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT node, node AS label FROM edges),
+{_lpa_iter_sql("l0", 1)},
+{_lpa_iter_sql("l1", 2)}
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM l2 GROUP BY label
+""",
+    doc="Synchronous label propagation (2 rounds) over the LSH "
+        "candidate graph — community detection distinct from connected "
+        "components (dedup_clusters finds reachability; LPA finds "
+        "densely-linked groups and can SPLIT a chain that CC merges). "
+        "Updates are deterministic: each node adopts its majority "
+        "neighbor label, ties broken toward the smallest label, all "
+        "nodes updating simultaneously from the previous round's "
+        "labels. Each round is one equi-join (edges x labels, both "
+        "hash-partitioned on node id) + a count + a partitioned rank "
+        "filter — O(E) shuffle per round with NO driver-side state, "
+        "the standard scalable LPA shape. The oracle unrolls the same "
+        "two rounds as CTEs.",
+)
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = persist_tracked(
+        D.lsh_candidate_pairs(_shared_plain_bands(spark, sf_dir)).select(
+            "id_a", "id_b"
+        )
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b"), F.col("id_a"))
+    ).toDF("node", "nbr")
+    labels = (
+        edges.select("node").distinct().withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(2):
+        nbr_labels = edges.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-source duplication matrix
 # ---------------------------------------------------------------------------

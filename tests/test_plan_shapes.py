@@ -57,6 +57,27 @@ CASES = [
     ("events_approx_quantiles", 1, {}),
     # broadcast bench grams; corpus side never sort-merges
     ("contamination_8gram", 4, {"smj": 0}),
+    # native pivot with explicit values: one partial/final agg pair
+    ("orders_pivot_year_status", 2, {"smj": 0}),
+    # unpivot is a row-local generate: only the 4-key agg shuffles
+    ("lineitem_unpivot_measures", 1, {}),
+    # correlated LATERAL must decorrelate to a rank filter + broadcast
+    # join — never a per-brand BroadcastNestedLoop re-scan
+    ("part_lateral_topk", 3, {"bnlj": 0, "pushed": True}),
+    # 9-group agg + broadcast dims; the only BNLJ is the 1-row total
+    ("orders_benford", 3, {"smj": 0, "bhj_min": 1, "pushed": True}),
+    # value-domain collapse before the single-partition ECDF window
+    ("events_ks_test", 4, {"smj": 0, "pushed": True}),
+    # percentile cuts broadcast back onto the fact scan
+    ("events_winsorized_stats", 3, {"smj": 0, "bhj_min": 1}),
+    # stratified systematic sampling: ONE partitioned rank window
+    ("sample_systematic", 1, {}),
+    # lag windows run over the pre-aggregated hourly series
+    ("events_autocorr", 3, {}),
+    ("customer_l_diversity", 2, {}),
+    # both windows + final agg reuse the same source partitioning
+    ("source_top_p_docs", 2, {}),
+    ("source_jackknife_influence", 3, {"smj": 0}),
 ]
 
 
@@ -70,6 +91,10 @@ def test_plan_shape(spark, name, max_exch, req):
     )
     if "smj" in req:
         assert f["smj"] <= req["smj"], f"{name}: unexpected SortMergeJoin"
+    if "bnlj" in req:
+        assert f["bnlj"] <= req["bnlj"], (
+            f"{name}: unexpected BroadcastNestedLoopJoin"
+        )
     if "bhj_min" in req:
         assert f["bhj"] >= req["bhj_min"], f"{name}: expected broadcast join"
     if req.get("pushed"):
