@@ -481,3 +481,42 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("n", "n_lag1"), 4).alias("acf_lag1"),
         F.round(F.corr("n", "n_lag24"), 4).alias("acf_lag24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE hierarchy traversal
+# ---------------------------------------------------------------------------
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE anc(node, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT a.node, CAST(floor(a.anc / 2) AS BIGINT), a.depth + 1
+  FROM anc a WHERE a.anc > 1
+),
+chain AS (
+  SELECT node, max(depth) AS depth FROM anc GROUP BY node)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(node) AS BIGINT) AS min_key,
+       CAST(max(node) AS BIGINT) AS max_key
+FROM chain GROUP BY depth
+"""
+
+
+@query(
+    "customer_hierarchy_depth",
+    oracle=_HIERARCHY_SQL,
+    doc="Recursive CTE hierarchy walk (WITH RECURSIVE, new engine "
+        "surface in Spark 4): every customer climbs a synthetic "
+        "binary-tree org chart (parent = key / 2, root = 1) to the "
+        "root, and the chain lengths are aggregated into a depth "
+        "histogram — the org-chart / bill-of-materials traversal no "
+        "single join can express. Each recursion level is one "
+        "self-join whose frontier SHRINKS (rows retire when they hit "
+        "the root), so total work is O(n log n) rows across ~log2(max "
+        "key) bounded iterations — no unbounded fixpoint risk. DuckDB "
+        "executes the identical recursive SQL as the oracle.",
+)
+def customer_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIERARCHY_SQL)
