@@ -64,6 +64,16 @@ _FIRST = [
     "dedup_family_recall", "stream_stateful_user_totals",
     "stream_enrich_dim", "stream_hll_users", "stream_rollup_merge",
     "stream_stream_left_join",
+    # round-3 additions (no driver correctness row yet): cheap
+    # relational/statistical queries queued behind the heavier batch
+    # above — they rotate into the driver window with the r04/r05
+    # snapshots
+    "orders_pivot_year_status", "lineitem_unpivot_measures",
+    "part_lateral_topk", "orders_benford", "events_ks_test",
+    "events_winsorized_stats", "customer_l_diversity",
+    "sample_systematic", "events_autocorr", "dedup_label_propagation",
+    "source_top_p_docs", "source_jackknife_influence",
+    "customer_hierarchy_depth",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -1144,7 +1144,9 @@ FROM per_src p CROSS JOIN tot t
         "per-source aggregate plus a 1-row total broadcast — the "
         "delete-one-group jackknife that screens for a source skewing "
         "a corpus statistic before it is mixed in. All sums are exact "
-        "BIGINT, so the per-engine division operands are bit-equal.",
+        "BIGINT, so the per-engine division operands are bit-equal; "
+        "mean_excl goes through try_divide so a single-source corpus "
+        "yields NULL (DuckDB's x/0) instead of an ANSI-mode error.",
 )
 def source_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1153,10 +1155,9 @@ def source_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per.agg(F.sum("n_s").alias("n"), F.sum("sum_s").alias("total"))
     mean_all = F.col("total") * F.lit(1.0) / F.col("n")
-    mean_excl = (
-        (F.col("total") - F.col("sum_s"))
-        * F.lit(1.0)
-        / (F.col("n") - F.col("n_s"))
+    mean_excl = F.try_divide(
+        (F.col("total") - F.col("sum_s")) * F.lit(1.0),
+        F.col("n") - F.col("n_s"),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "source",

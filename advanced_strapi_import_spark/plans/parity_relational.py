@@ -224,14 +224,16 @@ WITH pts AS (
   SELECT value,
          count(*) FILTER (WHERE event_type = 'click') AS c1,
          count(*) FILTER (WHERE event_type = 'view') AS c2
-  FROM events WHERE event_type IN ('click', 'view') GROUP BY value),
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  GROUP BY value),
 tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts),
 cum AS (
   SELECT sum(c1) OVER (ORDER BY value) AS s1,
          sum(c2) OVER (ORDER BY value) AS s2
   FROM pts)
 SELECT round(max(abs(s1 * 1.0 / t.n1 - s2 * 1.0 / t.n2)), 6) AS ks_stat,
-       round(sqrt(t.n1 * t.n2 * 1.0 / (t.n1 + t.n2))
+       round(sqrt(t.n1 * 1.0 * t.n2 / (t.n1 + t.n2))
              * max(abs(s1 * 1.0 / t.n1 - s2 * 1.0 / t.n2)), 4) AS ks_scaled,
        CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2
 FROM cum CROSS JOIN tot t GROUP BY t.n1, t.n2
@@ -241,16 +243,24 @@ FROM cum CROSS JOIN tot t GROUP BY t.n1, t.n2
         "between a reference and a candidate data slice. ECDFs are "
         "built from exact integer cumulative counts over the grouped "
         "value domain (RANGE window frames give identical tie handling "
-        "in both engines), so the max|F1-F2| arithmetic starts from "
-        "bit-equal operands. The value-domain groupBy collapses 100 TB "
-        "of rows to the distinct-value set before any window runs; the "
+        "in both engines; NULL values are filtered — Spark and DuckDB "
+        "order NULLs to opposite ends), so the max|F1-F2| arithmetic "
+        "starts from bit-equal operands. Divisions go through "
+        "try_divide and the n1*n2 product is widened to double before "
+        "multiplying (ANSI mode would otherwise hard-error on an "
+        "empty side or a >2^63 product where DuckDB yields NULL / "
+        "HUGEINT). The value-domain groupBy collapses 100 TB of rows "
+        "to the distinct-value set before any window runs; the "
         "single-partition ordered window is over that collapsed set "
         "(same caveat class as events_median_mad, documented there).",
 )
 def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     pts = (
-        e.filter(F.col("event_type").isin("click", "view"))
+        e.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
         .groupBy("value")
         .agg(
             F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
@@ -263,8 +273,8 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w).alias("s1"), F.sum("c2").over(w).alias("s2")
     )
     d = F.abs(
-        F.col("s1") * F.lit(1.0) / F.col("n1")
-        - F.col("s2") * F.lit(1.0) / F.col("n2")
+        F.try_divide(F.col("s1") * F.lit(1.0), F.col("n1"))
+        - F.try_divide(F.col("s2") * F.lit(1.0), F.col("n2"))
     )
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -273,7 +283,7 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(d), 6).alias("ks_stat"),
             F.round(
                 F.sqrt(
-                    F.col("n1") * F.col("n2") * F.lit(1.0)
+                    F.col("n1") * F.lit(1.0) * F.col("n2")
                     / (F.col("n1") + F.col("n2"))
                 )
                 * F.max(d),
@@ -444,11 +454,21 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
   FROM events GROUP BY event_type, date_trunc('hour', ts)),
+span AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1
+  FROM hourly GROUP BY event_type),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM span),
+filled AS (
+  SELECT s.event_type, s.hr, coalesce(h.n, 0) AS n
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hr = s.hr),
 lagged AS (
   SELECT event_type, n,
          lag(n, 1) OVER (PARTITION BY event_type ORDER BY hr) AS n_lag1,
          lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS n_lag24
-  FROM hourly)
+  FROM filled)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_hours,
        round(corr(n, n_lag1), 4) AS acf_lag1,
@@ -457,20 +477,35 @@ FROM lagged GROUP BY event_type
 """,
     doc="Lag-1 / lag-24 autocorrelation of per-type hourly arrival "
         "counts — the seasonality screen run before picking a forecast "
-        "model (complements events_forecast_backtest). Counts are exact "
-        "integers, so the Pearson inputs are bit-equal across engines; "
-        "corr() is rounded to 4. The lag windows are partitioned by "
-        "event type over the ALREADY-aggregated hourly series (rows = "
-        "hours x types, not raw events), so the window state is tiny "
-        "at any corpus scale.",
+        "model (complements events_forecast_backtest). The hourly "
+        "series is GAP-FILLED to a dense per-type hour spine first "
+        "(zero-arrival hours are real observations, and without the "
+        "spine lag(24) pairs hours that are not 24 clock-hours apart "
+        "wherever an hour is missing). Counts are exact integers, so "
+        "the Pearson inputs are bit-equal across engines; corr() is "
+        "rounded to 4. The spine and lag windows run over the "
+        "ALREADY-aggregated hourly series (rows = hours x types, not "
+        "raw events), so the window state is tiny at any corpus scale.",
 )
 def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    filled = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
     w = Window.partitionBy("event_type").orderBy("hr")
-    lagged = hourly.select(
+    lagged = filled.select(
         "event_type",
         "n",
         F.lag("n", 1).over(w).alias("n_lag1"),

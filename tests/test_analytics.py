@@ -108,3 +108,42 @@ def test_explode_tokens_udtf_lateral(spark):
         (2, 0, "", False),
         (4, 0, "a", True),
     ]
+
+
+def test_jackknife_single_source_yields_null_not_error(spark, tmp_path):
+    # review finding: with ONE distinct source, n == n_s and the
+    # leave-one-out denominator is zero — must mirror DuckDB's
+    # NULL-on-divide-by-zero instead of raising under ANSI mode
+    import advanced_strapi_import_spark.plans.all  # noqa: F401
+    from advanced_strapi_import_spark.plans.registry import QUERIES
+
+    spark.createDataFrame(
+        [(1, "aa bb", "en", "web", 5), (2, "cc dd", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = QUERIES["source_jackknife_influence"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["mean_excl"] is None and rows[0]["influence"] is None
+    assert rows[0]["mean_all"] == 5.0
+
+
+def test_ks_test_one_sided_sample_yields_null_not_error(spark, tmp_path):
+    # review finding: a slice with only 'view' rows makes n1 = 0 —
+    # try_divide must yield NULL ks_stat, not an ANSI DIVIDE_BY_ZERO
+    import datetime
+
+    import advanced_strapi_import_spark.plans.all  # noqa: F401
+    from advanced_strapi_import_spark.plans.registry import QUERIES
+
+    t = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t, 10, "view", 1.5, "{}"), (2, t, 11, "view", 2.5, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    rows = QUERIES["events_ks_test"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n1"] == 0 and rows[0]["n2"] == 2
+    assert rows[0]["ks_stat"] is None

@@ -78,6 +78,11 @@ CASES = [
     # both windows + final agg reuse the same source partitioning
     ("source_top_p_docs", 2, {}),
     ("source_jackknife_influence", 3, {"smj": 0}),
+    # iterative LPA: band build + 2 (join, count, rank) rounds — a lost
+    # partitioning reuse or a flipped join strategy adds exchanges/SMJs
+    ("dedup_label_propagation", 26, {"smj": 0}),
+    # recursive CTE: the UnionLoop body must not add per-level shuffles
+    ("customer_hierarchy_depth", 3, {"smj": 0}),
 ]
 
 
