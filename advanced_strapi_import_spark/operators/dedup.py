@@ -302,6 +302,51 @@ def hamming_pairs(
 
 
 # ---------------------------------------------------------------------------
+# label propagation (community detection over the candidate graph)
+# ---------------------------------------------------------------------------
+def label_propagation(
+    pairs: DataFrame, *, iterations: int = 2
+) -> DataFrame:
+    """(node, label) after ``iterations`` synchronous label-propagation
+    rounds over an undirected (id_a, id_b) pair graph.
+
+    Deterministic LPA: every node starts labeled with its own id; each
+    round ALL nodes simultaneously adopt the most frequent label among
+    their neighbors' previous-round labels, ties broken toward the
+    smallest label. Unlike :func:`connected_components` (reachability:
+    one bridge edge merges two cliques), majority voting lets LPA keep
+    densely-linked groups apart across a thin bridge — the community
+    view of a dup-candidate graph.
+
+    Each round is one equi-join (edges x labels, both hash-partitioned
+    on the node id) + a (node, label) count + a partitioned rank
+    filter: O(E) shuffle per round, no driver-side state, bounded
+    rounds — the scalable synchronous LPA shape."""
+    from pyspark.sql import Window
+
+    base = pairs.select("id_a", "id_b")
+    edges = base.union(
+        base.select(F.col("id_b"), F.col("id_a"))
+    ).toDF("node", "nbr")
+    labels = (
+        edges.select("node").distinct().withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        nbr_labels = edges.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # duplicate clustering (iterative connected components)
 # ---------------------------------------------------------------------------
 def connected_components(

@@ -1893,33 +1893,15 @@ FROM l2 GROUP BY label
         "two rounds as CTEs.",
 )
 def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     pairs = persist_tracked(
         D.lsh_candidate_pairs(_shared_plain_bands(spark, sf_dir)).select(
             "id_a", "id_b"
         )
     )
-    edges = pairs.union(
-        pairs.select(F.col("id_b"), F.col("id_a"))
-    ).toDF("node", "nbr")
-    labels = (
-        edges.select("node").distinct().withColumn("label", F.col("node"))
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(2):
-        nbr_labels = edges.join(
-            labels.withColumnRenamed("node", "nbr"), "nbr"
-        ).select("node", "label")
-        labels = (
-            nbr_labels.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
-    return labels.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+    return (
+        D.label_propagation(pairs, iterations=2)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
     )
 
 

@@ -21,6 +21,13 @@ from conftest import SF_TEST
 
 
 def _features(spark, name: str) -> dict:
+    # drop session-scoped shared caches first: a band frame persisted by
+    # an earlier test would splice InMemoryRelation subtrees (with their
+    # own Exchange lines) into the printed plan, making the counts
+    # depend on test order instead of the query's own shape
+    from advanced_strapi_import_spark import caching
+
+    caching.release_all()
     plan = (
         QUERIES[name]
         .fn(spark, SF_TEST)

@@ -136,3 +136,27 @@ def test_cogrouped_asof_equals_native(spark):
         n = {tuple(map(str, r)) for r in native.collect()}
         c = {tuple(map(str, r)) for r in cog.collect()}
         assert n == c, f"direction={direction}: {len(n ^ c)} differing rows"
+
+
+def test_label_propagation_barbell_hand_computed(spark):
+    # Barbell graph: triangles {1,2,3} and {4,5,6} joined by the bridge
+    # (3,4). Two synchronous rounds, majority label with min-label
+    # ties, all updates simultaneous — worked by hand:
+    #   round 1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    #   round 2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    # The left triangle has converged to label 1; crucially the bridge
+    # did NOT merge the two triangles into one label (which connected
+    # components would have done).
+    from advanced_strapi_import_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(pairs, iterations=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
