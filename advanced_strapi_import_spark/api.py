@@ -366,7 +366,9 @@ class Engine:
         return df
 
     # -- SQL surface -----------------------------------------------------
-    def sql(self, query: str, *, fmt: str = "parquet") -> DataFrame:
+    def sql(
+        self, query: str, *, fmt: str = "parquet", args: dict | None = None
+    ) -> DataFrame:
         """Run ANSI SQL over the engine's stored content types: every
         table under ``storage_root`` registers as a temp view named
         after its content type, then the query plans through Catalyst
@@ -374,7 +376,13 @@ class Engine:
         reference exposes filtered REST reads (`/content-types/.../
         export` filters); this is the superset surface a warehouse
         user expects — arbitrary joins/aggregates over the same
-        governed tables, no copies."""
+        governed tables, no copies.
+
+        ``args`` binds named parameter markers (``:name``) via Spark's
+        parameterized SQL — values travel as typed literals, never
+        spliced into the query text, so a caller-supplied filter value
+        cannot change the query's structure (the injection-safe path
+        the reference's querystring filters map onto)."""
         import os as _os
 
         for name in sorted(_os.listdir(self.storage_root)):
@@ -384,4 +392,6 @@ class Engine:
                     self.table(name, fmt=fmt).createOrReplaceTempView(name)
                 except Exception:
                     continue  # non-table dirs (checkpoints, tmp) skip
+        if args:
+            return self.spark.sql(query, args=args)
         return self.spark.sql(query)

@@ -291,6 +291,24 @@ def test_engine_sql_surface(engine, spark):
     assert rows[0].n == 2
 
 
+def test_engine_sql_named_parameters(engine):
+    """Engine.sql(args=...): values bind as typed literals through
+    Spark's parameterized SQL — a malicious filter value stays a
+    string, it cannot alter the query structure."""
+    rows = engine.sql(
+        "SELECT id, name FROM country WHERE name = :name",
+        args={"name": "Portugal"},
+    ).collect()
+    assert [r.name for r in rows] in ([], ["Portugal"])
+    # an injection-shaped value matches nothing instead of mutating
+    # the predicate
+    evil = engine.sql(
+        "SELECT count(*) AS n FROM country WHERE name = :name",
+        args={"name": "x' OR '1'='1"},
+    ).collect()
+    assert evil[0].n == 0
+
+
 def test_import_builds_single_component(engine, tmp_path):
     """Dot-notation component columns must materialize as a struct on
     the stored row — not be silently dropped (the docstring's
