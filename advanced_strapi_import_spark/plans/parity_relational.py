@@ -179,14 +179,12 @@ FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
         "aggregate + a 9x1 broadcast join: scan-bound at 100 TB.",
 )
 def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.stats import first_digit
+
     o = load(spark, sf_dir, "orders")
     obs = (
         o.filter(F.col("o_totalprice") >= 1)
-        .select(
-            F.substring(
-                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
-            ).alias("digit")
-        )
+        .select(first_digit(F.col("o_totalprice")).alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -255,48 +253,10 @@ FROM cum CROSS JOIN tot t GROUP BY t.n1, t.n2
         "(same caveat class as events_median_mad, documented there).",
 )
 def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.stats import ks_two_sample
+
     e = load_events(spark, sf_dir)
-    pts = (
-        e.filter(
-            F.col("event_type").isin("click", "view")
-            & F.col("value").isNotNull()
-        )
-        .groupBy("value")
-        .agg(
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
-            F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
-        )
-    )
-    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("value")
-    cum = pts.select(
-        F.sum("c1").over(w).alias("s1"), F.sum("c2").over(w).alias("s2")
-    )
-    d = F.abs(
-        F.try_divide(F.col("s1") * F.lit(1.0), F.col("n1"))
-        - F.try_divide(F.col("s2") * F.lit(1.0), F.col("n2"))
-    )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
-        .agg(
-            F.round(F.max(d), 6).alias("ks_stat"),
-            F.round(
-                F.sqrt(
-                    F.col("n1") * F.lit(1.0) * F.col("n2")
-                    / (F.col("n1") + F.col("n2"))
-                )
-                * F.max(d),
-                4,
-            ).alias("ks_scaled"),
-        )
-        .select(
-            "ks_stat",
-            "ks_scaled",
-            F.col("n1").cast("long").alias("n1"),
-            F.col("n2").cast("long").alias("n2"),
-        )
-    )
+    return ks_two_sample(e, "value", "event_type", "click", "view")
 
 
 # ---------------------------------------------------------------------------

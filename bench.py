@@ -175,9 +175,13 @@ def main() -> None:
             # heap-state fluke; both samples land in BENCH_FULL.json.
             gc.collect()
             spark._jvm.System.gc()
-            t1 = time.perf_counter()
-            force(spec.fn(spark, SF_DIR))
-            second = round(time.perf_counter() - t1, 2)
+            try:
+                t1 = time.perf_counter()
+                force(spec.fn(spark, SF_DIR))
+                second = round(time.perf_counter() - t1, 2)
+            except Exception as exc:  # keep the first sample, keep going
+                print(f"# rerun {name} failed: {exc}", file=sys.stderr)
+                second = timings[name]
             caching.release_all()
             reruns[name] = [timings[name], second]
             timings[name] = min(timings[name], second)

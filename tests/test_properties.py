@@ -223,3 +223,58 @@ def test_date_ladder_matches_reference(spark, cases):
     )
     want = [exp.strftime("%Y-%m-%dT%H:%M:%S.000Z") for _, exp in rendered]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# statistical-audit primitives vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_KS_VALS = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=60,
+)
+
+
+@given(xs=_KS_VALS, ys=_KS_VALS)
+@settings(**SETTINGS)
+def test_ks_two_sample_matches_python_ecdf(spark, xs, ys):
+    """ks_stat equals the textbook max|F1-F2| computed by a pure-Python
+    ECDF walk — verification independent of the DuckDB oracle."""
+    from bisect import bisect_right
+
+    from advanced_strapi_import_spark.operators.stats import ks_two_sample
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = ks_two_sample(df, "value", "grp", "a", "b").collect()[0]
+
+    sx, sy = sorted(xs), sorted(ys)
+    ref = max(
+        abs(bisect_right(sx, p) / len(sx) - bisect_right(sy, p) / len(sy))
+        for p in set(xs) | set(ys)
+    )
+    assert got["n1"] == len(xs) and got["n2"] == len(ys)
+    assert abs(got["ks_stat"] - ref) <= 5e-6  # round(.,6) on the query side
+
+
+_POS = st.lists(
+    st.floats(min_value=1.0, max_value=1e12, allow_nan=False,
+              allow_infinity=False),
+    min_size=1, max_size=100,
+)
+
+
+@given(vals=_POS)
+@settings(**SETTINGS)
+def test_first_digit_matches_python_string_walk(spark, vals):
+    from advanced_strapi_import_spark.operators.stats import first_digit
+
+    import math
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [
+        r["d"] for r in df.select(first_digit(F.col("v")).alias("d")).collect()
+    ]
+    ref = [str(int(math.floor(v)))[0] for v in vals]
+    assert got == ref
