@@ -321,13 +321,22 @@ def label_propagation(
     Each round is one equi-join (edges x labels, both hash-partitioned
     on the node id) + a (node, label) count + a partitioned rank
     filter: O(E) shuffle per round, no driver-side state, bounded
-    rounds — the scalable synchronous LPA shape."""
+    rounds — the scalable synchronous LPA shape.
+
+    Pairs are deduped here (same defensive .distinct() as
+    connected_components): a repeated (a, b) row would double-weight
+    that neighbor's vote and can flip a majority. The symmetrized edge
+    list is persisted run-scoped — it is read once for the initial
+    labels and once per round, and without the persist the whole
+    upstream pair-generation pipeline would re-execute each time."""
     from pyspark.sql import Window
 
-    base = pairs.select("id_a", "id_b")
-    edges = base.union(
-        base.select(F.col("id_b"), F.col("id_a"))
-    ).toDF("node", "nbr")
+    base = pairs.select("id_a", "id_b").distinct()
+    edges = persist_tracked(
+        base.union(
+            base.select(F.col("id_b"), F.col("id_a"))
+        ).toDF("node", "nbr")
+    )
     labels = (
         edges.select("node").distinct().withColumn("label", F.col("node"))
     )

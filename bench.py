@@ -181,10 +181,12 @@ def main() -> None:
                 second = round(time.perf_counter() - t1, 2)
             except Exception as exc:  # keep the first sample, keep going
                 print(f"# rerun {name} failed: {exc}", file=sys.stderr)
-                second = timings[name]
+                second = None  # a fabricated sample would corrupt the
+                # run-to-run variance evidence this artifact exists for
             caching.release_all()
             reruns[name] = [timings[name], second]
-            timings[name] = min(timings[name], second)
+            if second is not None:
+                timings[name] = min(timings[name], second)
         print(f"# {name}: {timings[name]}s "
               f"({shuffles[name]} shuffle B)"
               + (f" best-of-2 {reruns[name]}" if name in reruns else ""),
