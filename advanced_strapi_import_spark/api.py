@@ -310,8 +310,15 @@ class Engine:
         filters: dict[str, Any] | None = None,
         limit: int = 1000,
         order_by: str | None = None,
+        stats_out: dict[str, Any] | None = None,
     ) -> DataFrame:
-        """POST /export/:ct — populate + flatten + CSV write (§3.3)."""
+        """POST /export/:ct — populate + flatten + CSV write (§3.3).
+
+        Pass ``stats_out={}`` to receive ``{"n_rows": N}`` measured by
+        a CollectMetrics observation riding the write job itself — a
+        ``count()`` after the fact would re-execute the whole
+        populate/flatten pipeline as a second pass (joins included),
+        which is the difference between one scan and two at 100 TB."""
         ct = self.registry.get(ct_name)
         df = self.table(ct_name)
         for k, v in (filters or {}).items():
@@ -362,6 +369,14 @@ class Engine:
         if order_by and order_by in df.columns:
             df = df.orderBy(order_by)
         df = df.limit(limit)
+        if stats_out is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+            X.write_csv(df, out_path)
+            stats_out.update(obs.get)
+            return df
         X.write_csv(df, out_path)
         return df
 

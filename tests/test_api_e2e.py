@@ -108,6 +108,15 @@ def test_export_round_trip(engine, spark, tmp_path):
     assert got["Another Company"]["country.name"] == "USA"
     assert got["Another Company"]["active"] == "false"
 
+    # single-pass export stats: the observation rides the write job,
+    # and must agree with what actually landed in the file
+    stats: dict = {}
+    engine.export_csv("company", str(tmp_path / "export2"), stats_out=stats)
+    n_file = spark.read.option("header", True).csv(
+        str(tmp_path / "export2")
+    ).count()
+    assert stats == {"n_rows": n_file} and n_file == 2
+
 
 def test_import_strict_aborts_on_invalid(engine, tmp_path):
     # early-exit validation (controllers/csv-import.js:241-252)
