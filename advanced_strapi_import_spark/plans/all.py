@@ -73,7 +73,7 @@ _FIRST = [
     "events_winsorized_stats", "customer_l_diversity",
     "sample_systematic", "events_autocorr", "dedup_label_propagation",
     "source_top_p_docs", "source_jackknife_influence",
-    "customer_hierarchy_depth",
+    "customer_hierarchy_depth", "stream_stream_full_join",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -485,6 +485,50 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_full_join",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM v FULL JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE coalesce(v.ts, p.ts) <= (SELECT m FROM mx) - INTERVAL 4 HOUR
+""",
+    doc="Stream-stream FULL OUTER join — completes the inner/left/full "
+        "family: unmatched views AND unmatched purchases (attribution "
+        "gaps) each emit a null-padded row once the watermark proves "
+        "the other side can no longer arrive; state on both sides is "
+        "watermark-evicted. Compared on the watermark-complete region "
+        "(whichever side exists is older than max(ts)-4h, past the 2h "
+        "delay + 30min range eviction boundary); rows nearer the "
+        "stream head are still held in state by DESIGN, so both "
+        "engines exclude them. Equals the batch full join there.",
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ST.view_purchase_full_join(views, purchases)
+    drained = ST.run_available_now(
+        joined, output_mode="append", no_data_batch=True
+    )
+    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("__m"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .filter(
+            F.coalesce("view_ts", "purchase_ts")
+            <= F.col("__m") - F.expr("INTERVAL 4 HOURS")
+        )
+        .select("view_id", "purchase_id")
+    )
+
+
+@query(
     "stream_session_window",
     oracle="""
 WITH g AS (

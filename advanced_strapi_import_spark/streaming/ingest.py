@@ -687,14 +687,11 @@ def idempotent_batch_sink(
     q.awaitTermination()
 
 
-def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
-    """Stream-stream LEFT OUTER join: every view, matched to purchases
-    within 30 minutes — or emitted with nulls once the watermark proves
-    no purchase can still arrive. Outer results are watermark-DRIVEN:
-    the null row for an unmatched view only materializes when the
-    watermark passes view_ts + 30min, so state stays bounded AND the
-    "never converted" rows do eventually emit — the funnel-drop-off
-    shape computed inside the stream."""
+def _view_purchase_join(
+    views: DataFrame, purchases: DataFrame, how: str
+) -> DataFrame:
+    """Shared stream-stream join body: watermarked view/purchase sides
+    joined on (same user, purchase within 30 min after the view)."""
     v = views.withWatermark("ts", "2 hours").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -710,8 +707,30 @@ def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "leftOuter",
+        how,
     )
+
+
+def view_purchase_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, matched to purchases
+    within 30 minutes — or emitted with nulls once the watermark proves
+    no purchase can still arrive. Outer results are watermark-DRIVEN:
+    the null row for an unmatched view only materializes when the
+    watermark passes view_ts + 30min, so state stays bounded AND the
+    "never converted" rows do eventually emit — the funnel-drop-off
+    shape computed inside the stream."""
+    return _view_purchase_join(views, purchases, "leftOuter")
+
+
+def view_purchase_full_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER join: the left-outer funnel shape PLUS
+    null-view rows for purchases no view preceded (attribution gaps —
+    a purchase with no tracked view within its 30-minute lookback).
+    Both sides' state is watermark-evicted: an unmatched purchase
+    emits its null row once the watermark passes the latest view time
+    that could still match it, so state stays bounded exactly as in
+    the inner/left variants."""
+    return _view_purchase_join(views, purchases, "fullOuter")
 
 
 _PREV_STATE_PROVIDER: str | None = None
