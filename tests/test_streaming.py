@@ -224,3 +224,59 @@ def test_update_mode_multibatch_drain_keeps_final_state(spark):
         assert {r["user_id"]: r["n_events"] for r in rows} == want
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_full_outer_stream_join_emits_both_null_sides(spark, tmp_path):
+    """Synthetic micro-corpus: a matched view+purchase pair, an
+    unconverted view (null purchase), and an attribution-gap purchase
+    with no preceding view (null view — the row only FULL outer
+    emits). A head event 10h later drives the final watermark past
+    every base row's eviction point; the head view itself stays in
+    state (watermark never passes it), so it must NOT appear."""
+    import datetime
+
+    from advanced_strapi_import_spark.streaming import ingest as ST
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, typ, user, minutes):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, typ,
+                1.0, "{}")
+
+    rows = [
+        ev(1, "view", 1, 0), ev(2, "purchase", 1, 10),   # matched
+        ev(3, "view", 2, 0),                             # unconverted
+        ev(4, "purchase", 3, 5),                         # attribution gap
+        # watermark drivers on BOTH sides: the global watermark is the
+        # MIN across streams, so a head event only on the view side
+        # would leave the purchase side's watermark at t0+10min and
+        # nothing would ever evict
+        ev(5, "view", 99, 600), ev(6, "purchase", 98, 600),
+    ]
+    import shutil
+
+    staging = tmp_path / "staging"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(staging))
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    # flat file named events.parquet so the source's pathGlobFilter
+    # (which matches FILE names) sees it, same as the testdata layout
+    shutil.copy(next(staging.glob("part-*.parquet")),
+                data_dir / "events.parquet")
+
+    views = ST.read_events_stream(spark, str(data_dir)).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ST.read_events_stream(spark, str(data_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = ST.run_available_now(
+        ST.view_purchase_full_join(views, purchases),
+        output_mode="append", no_data_batch=True,
+    )
+    got = {(r["view_id"], r["purchase_id"]) for r in out.collect()}
+    assert got == {(1, 2), (3, None), (None, 4)}
