@@ -323,15 +323,20 @@ def label_propagation(
     filter: O(E) shuffle per round, no driver-side state, bounded
     rounds — the scalable synchronous LPA shape.
 
-    Pairs are deduped here (same defensive .distinct() as
-    connected_components): a repeated (a, b) row would double-weight
-    that neighbor's vote and can flip a majority. The symmetrized edge
-    list is persisted run-scoped — it is read once for the initial
-    labels and once per round, and without the persist the whole
-    upstream pair-generation pipeline would re-execute each time."""
+    Pairs are CANONICALIZED (least, greatest) and deduped here (same
+    defensive posture as connected_components): a repeated (a, b) row —
+    or the same undirected edge arriving as both (a, b) and (b, a) —
+    would double-weight that neighbor's vote and can flip a majority.
+    The symmetrized edge list is persisted run-scoped — it is read once
+    for the initial labels and once per round, and without the persist
+    the whole upstream pair-generation pipeline would re-execute each
+    time."""
     from pyspark.sql import Window
 
-    base = pairs.select("id_a", "id_b").distinct()
+    base = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
     edges = persist_tracked(
         base.union(
             base.select(F.col("id_b"), F.col("id_a"))

@@ -278,3 +278,48 @@ def test_first_digit_matches_python_string_walk(spark, vals):
     ]
     ref = [str(int(math.floor(v)))[0] for v in vals]
     assert got == ref
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=12),
+              st.integers(min_value=1, max_value=12)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@given(raw=_EDGES)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_reference(spark, raw):
+    """Distributed synchronous LPA equals a dict-based reference on
+    arbitrary small graphs — exercises the majority rule, the
+    min-label tie-break, and the duplicate-edge dedup."""
+    from collections import Counter
+
+    from advanced_strapi_import_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    # undirected unique edge set (the operator dedupes; the reference
+    # must see the same graph)
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(2):
+        nxt = {}
+        for n in nbrs:
+            votes = Counter(labels[m] for m in nbrs[n])
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        labels = nxt
+
+    pairs = spark.createDataFrame(list(raw), "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(pairs, iterations=2).collect()
+    }
+    assert got == labels

@@ -151,8 +151,12 @@ def test_label_propagation_barbell_hand_computed(spark):
         label_propagation,
     )
 
+    # (2, 1) re-states edge (1, 2) in the opposite orientation and
+    # (3, 2) duplicates (2, 3): canonicalization must collapse both,
+    # or node votes double and the hand-computed labels break
     pairs = spark.createDataFrame(
-        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        [(1, 2), (2, 1), (1, 3), (2, 3), (3, 2), (4, 5), (4, 6), (5, 6),
+         (3, 4)],
         "id_a long, id_b long",
     )
     got = {
