@@ -369,15 +369,15 @@ class Engine:
         if order_by and order_by in df.columns:
             df = df.orderBy(order_by)
         df = df.limit(limit)
+        obs = None
         if stats_out is not None:
             from pyspark.sql import Observation
 
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-            X.write_csv(df, out_path)
-            stats_out.update(obs.get)
-            return df
         X.write_csv(df, out_path)
+        if obs is not None:
+            stats_out.update(obs.get)
         return df
 
     # -- SQL surface -----------------------------------------------------

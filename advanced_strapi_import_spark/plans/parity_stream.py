@@ -443,6 +443,37 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.rollup_merge_stream(ST.read_events_stream(spark, sf_dir))
 
 
+def _drained_outer_vp_join(
+    spark: SparkSession, sf_dir: str, join_fn, region_col
+) -> DataFrame:
+    """Shared scaffold for the outer stream-stream join queries: read
+    both typed streams, drain the watermarked join, keep only the
+    watermark-complete region (rows whose emission trigger is older
+    than max(ts) - 4h: past the 2h delay + 30min range eviction
+    boundary — rows nearer the head are still held in state by
+    design). NOTE the region equivalence additionally assumes BOTH
+    typed streams carry events near the global max(ts): the engine
+    watermark is the MIN across inputs, so a dataset whose last hours
+    lack one event type would stall eviction below the region cut
+    while the batch oracle still emits — dense interleaved test data
+    satisfies this; see test_streaming's min-watermark test."""
+    views = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    drained = ST.run_available_now(
+        join_fn(views, purchases), output_mode="append", no_data_batch=True
+    )
+    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("__m"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .filter(region_col <= F.col("__m") - F.expr("INTERVAL 4 HOURS"))
+        .select("view_id", "purchase_id")
+    )
+
+
 @query(
     "stream_stream_left_join",
     oracle="""
@@ -466,21 +497,8 @@ WHERE v.event_type = 'view'
         "join on that region.",
 )
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "view"
-    )
-    purchases = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
-    joined = ST.view_purchase_left_join(views, purchases)
-    drained = ST.run_available_now(
-        joined, output_mode="append", no_data_batch=True
-    )
-    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("__m"))
-    return (
-        drained.crossJoin(F.broadcast(mx))
-        .filter(F.col("view_ts") <= F.col("__m") - F.expr("INTERVAL 4 HOURS"))
-        .select("view_id", "purchase_id")
+    return _drained_outer_vp_join(
+        spark, sf_dir, ST.view_purchase_left_join, F.col("view_ts")
     )
 
 
@@ -507,24 +525,9 @@ WHERE coalesce(v.ts, p.ts) <= (SELECT m FROM mx) - INTERVAL 4 HOUR
         "engines exclude them. Equals the batch full join there.",
 )
 def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "view"
-    )
-    purchases = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
-    joined = ST.view_purchase_full_join(views, purchases)
-    drained = ST.run_available_now(
-        joined, output_mode="append", no_data_batch=True
-    )
-    mx = load_events(spark, sf_dir).agg(F.max("ts").alias("__m"))
-    return (
-        drained.crossJoin(F.broadcast(mx))
-        .filter(
-            F.coalesce("view_ts", "purchase_ts")
-            <= F.col("__m") - F.expr("INTERVAL 4 HOURS")
-        )
-        .select("view_id", "purchase_id")
+    return _drained_outer_vp_join(
+        spark, sf_dir, ST.view_purchase_full_join,
+        F.coalesce("view_ts", "purchase_ts"),
     )
 
 

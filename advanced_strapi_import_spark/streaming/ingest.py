@@ -436,29 +436,7 @@ def purchase_after_view_join(views: DataFrame, purchases: DataFrame) -> DataFram
     view by the same user. Both sides carry watermarks so Spark can
     bound the join state (view rows expire once no purchase within the
     time range can still arrive)."""
-    v = (
-        views.withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-    )
-    p = (
-        purchases.withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("amount"),
-        )
-    )
-    return v.join(
-        p,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
+    return _view_purchase_join(views, purchases, "inner")
 
 
 # ---------------------------------------------------------------------------
