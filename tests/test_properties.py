@@ -323,3 +323,39 @@ def test_label_propagation_matches_python_reference(spark, raw):
         for r in label_propagation(pairs, iterations=2).collect()
     }
     assert got == labels
+
+
+_KEYS = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=1, max_size=300,
+    unique=True,
+)
+
+
+@given(keys=_KEYS)
+@settings(**SETTINGS)
+def test_systematic_sampling_exact_stratum_sizes(spark, keys):
+    """The stratified systematic sampler's selling point is EXACT
+    per-stratum sample sizes: ceil(n_s / k) rows from every stratum,
+    no binomial jitter — verified on arbitrary key sets."""
+    import math
+
+    import advanced_strapi_import_spark.plans.all  # noqa: F401
+    from advanced_strapi_import_spark.plans.registry import QUERIES
+
+    rows = [(k, ["O", "F", "P"][k % 3], float(k)) for k in keys]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    df.write.mode("overwrite").parquet("/tmp/_sysprop/orders.parquet")
+    out = QUERIES["sample_systematic"].fn(spark, "/tmp/_sysprop")
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in out.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    from collections import Counter
+
+    strata = Counter(s for _, s, _ in rows)
+    want = {s: math.ceil(n / 50) for s, n in strata.items()}
+    assert got == want
