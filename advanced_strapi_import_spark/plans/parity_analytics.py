@@ -763,7 +763,9 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "decile", "n_customers", "revenue",
-            F.floor(F.col("revenue") / F.col("total") * 1_000_000)
+            # try_divide: an all-zero-revenue slice has total = 0 —
+            # DuckDB yields NULL; Spark ANSI errors even on doubles
+            F.floor(F.try_divide("revenue", "total") * 1_000_000)
              .cast("long").alias("share_ppm"),
         )
     )
@@ -1598,7 +1600,13 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (F.col("ca") + F.col("cb")).cast("double") / (
         F.col("na") + F.col("nb")
     )
-    z = (pb - pa) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    # try_divide: a degenerate slice with zero conversions in BOTH arms
+    # (or 100% in both) makes the pooled variance 0 — DuckDB's x/0 is
+    # NULL; Spark ANSI hard-errors even on DOUBLE division (verified)
+    z = F.try_divide(
+        pb - pa,
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+    )
     return wide.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("ca").cast("long").alias("conv_a"),
