@@ -928,7 +928,12 @@ ORDER BY n_pair DESC, part_a, part_b LIMIT 20
         "O(lines^2) with lines~4, never a catalog cross join); a "
         "support floor prunes before the lift join, and the output is "
         "a 2-phase top-20. The association-rules shape for "
-        "recommender candidate generation.",
+        "recommender candidate generation. Exact-integer headroom: "
+        "n_pair * n_baskets * 1e6 must stay under 2^63, i.e. "
+        "n_baskets <~ 3e6 per analysis window — at 100 TB run the "
+        "analysis per time window (standard market-basket practice) "
+        "or lift the multiplier into DECIMAL(38,0) (see SCALE.md "
+        "'Integer-ppm headroom bounds').",
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
