@@ -74,6 +74,7 @@ _FIRST = [
     "sample_systematic", "events_autocorr", "dedup_label_propagation",
     "source_top_p_docs", "source_jackknife_influence",
     "customer_hierarchy_depth", "stream_stream_full_join",
+    "events_hll_audience_overlap",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [
