@@ -243,9 +243,13 @@ def events_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     tu = persist_tracked(e.select("event_type", "user_id").distinct())
-    per = tu.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count(F.lit(1)).alias("n"),
+    # persisted too: the a/b sides of the pairs join would otherwise
+    # re-aggregate the sketches once per side
+    per = persist_tracked(
+        tu.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     a = per.select(
         F.col("event_type").alias("type_a"),

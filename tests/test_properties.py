@@ -338,16 +338,22 @@ def test_systematic_sampling_exact_stratum_sizes(spark, keys):
     per-stratum sample sizes: ceil(n_s / k) rows from every stratum,
     no binomial jitter — verified on arbitrary key sets."""
     import math
+    import tempfile
 
     import advanced_strapi_import_spark.plans.all  # noqa: F401
+    from advanced_strapi_import_spark.plans.parity_relational import _SYS_K
     from advanced_strapi_import_spark.plans.registry import QUERIES
 
     rows = [(k, ["O", "F", "P"][k % 3], float(k)) for k in keys]
     df = spark.createDataFrame(
         rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
     )
-    df.write.mode("overwrite").parquet("/tmp/_sysprop/orders.parquet")
-    out = QUERIES["sample_systematic"].fn(spark, "/tmp/_sysprop")
+    # per-run unique dir: tmp_path is function-scoped (hypothesis's
+    # health check blocks it under @given); a fixed path would collide
+    # across concurrent pytest runs
+    d = tempfile.mkdtemp(prefix="sysprop_")
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = QUERIES["sample_systematic"].fn(spark, d)
     got = {
         r["o_orderstatus"]: r["n"]
         for r in out.groupBy("o_orderstatus").agg(
@@ -357,5 +363,5 @@ def test_systematic_sampling_exact_stratum_sizes(spark, keys):
     from collections import Counter
 
     strata = Counter(s for _, s, _ in rows)
-    want = {s: math.ceil(n / 50) for s, n in strata.items()}
+    want = {s: math.ceil(n / _SYS_K) for s, n in strata.items()}
     assert got == want
