@@ -327,16 +327,23 @@ def label_propagation(
     defensive posture as connected_components): a repeated (a, b) row —
     or the same undirected edge arriving as both (a, b) and (b, a) —
     would double-weight that neighbor's vote and can flip a majority.
+    Self-loops (id_a == id_b) are dropped before canonicalization —
+    a surviving (a, a) row would symmetrize into two identical edge
+    rows and double-count the self-vote.
     The symmetrized edge list is persisted run-scoped — it is read once
     for the initial labels and once per round, and without the persist
     the whole upstream pair-generation pipeline would re-execute each
     time."""
     from pyspark.sql import Window
 
-    base = pairs.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
+    base = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     edges = persist_tracked(
         base.union(
             base.select(F.col("id_b"), F.col("id_a"))

@@ -26,55 +26,59 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Queries with no driver correctness row yet (absent from r01's first-50
-# snapshot) plus the two whose oracles were upgraded from rows-only this
-# round — these must land inside the driver's verification window.
-# Round-3 rotation: the 74 queries with NO driver correctness row in
-# r01 or r02 (union = 98 of 172 sampled).  The driver window is 50
-# queries, so the cheap batch 50 lead; the 24 heavier (streaming /
-# audit / pair-gen) never-sampled queries follow at positions 51-74
-# and rotate into the r04 window.
+# Round-4 rotation: the 47 queries with NO driver correctness row in
+# r01-r03 (union = 148 of 195 sampled).  The driver window is 50, so
+# all 47 fit this round; new round-4 queries are appended to _FIRST
+# below this block (positions 48+) so they enter the r05 window once
+# locally verified.
 _FIRST = [
-    "events_anomaly_zscore", "embedding_quantize", "multimodal_image_meta",
-    "doc_bm25_topk", "events_scd2_history", "bpe_merge_candidates",
-    "lang_id_confusion", "corpus_epoch_plan", "dedup_containment",
-    "events_key_skew_stats", "events_cms_topk", "dedup_bloom_gate",
-    "doc_domain_caps", "corpus_hash_split", "doc_blocklist_filter",
-    "events_transition_matrix", "events_median_mad", "vocab_zipf_coverage",
-    "diversity_ngram_ratio", "retrieval_rrf_fusion", "minhash_est_error",
-    "table_column_stats", "fk_integrity_check", "snapshot_diff",
-    "events_ohlc_bars", "sample_weighted", "events_watermark_drops",
-    "user_rfm_segments", "orders_pareto", "events_path_topk",
-    "customer_order_gaps", "events_dow_hour_heatmap", "basket_part_pairs",
-    "events_dau_wau", "dedup_sorted_neighborhood", "dedup_prefix_filter",
-    "dedup_triangle_count", "multimodal_audio_meta",
-    "multimodal_video_meta", "events_sliding_distinct",
-    "customer_cohort_ltv", "events_gap_fill", "orders_yoy_growth",
-    "events_funnel_windowed", "orders_backlog_series",
-    "events_changepoint", "events_forecast_backtest",
-    "events_variant_extract", "events_ab_test", "events_value_psi",
-    # positions 51-74: heavier never-sampled, r04 window
-    "stream_dedup_incremental", "dedup_keep_best", "embedding_pq_topk",
-    "embedding_semdedup", "dedup_pagerank", "stream_ohlc_bars",
-    "stream_session_window", "vocab_oov_rate", "seq_pack_efficiency",
-    "source_lang_entropy", "doc_repeated_ngrams",
-    "quality_floor_per_source", "doc_tokens_udtf",
-    "customer_record_linkage", "events_hll_weekly_merge",
-    "table_expectations", "customer_k_anonymity", "events_decayed_topk",
-    "dedup_family_recall", "stream_stateful_user_totals",
-    "stream_enrich_dim", "stream_hll_users", "stream_rollup_merge",
+    "stream_dedup_incremental",
+    "dedup_keep_best",
+    "embedding_pq_topk",
+    "embedding_semdedup",
+    "dedup_pagerank",
+    "stream_ohlc_bars",
+    "stream_session_window",
+    "vocab_oov_rate",
+    "seq_pack_efficiency",
+    "source_lang_entropy",
+    "doc_repeated_ngrams",
+    "quality_floor_per_source",
+    "doc_tokens_udtf",
+    "customer_record_linkage",
+    "events_hll_weekly_merge",
+    "table_expectations",
+    "customer_k_anonymity",
+    "events_decayed_topk",
+    "dedup_family_recall",
+    "stream_stateful_user_totals",
+    "stream_enrich_dim",
+    "stream_hll_users",
+    "stream_rollup_merge",
     "stream_stream_left_join",
-    # round-3 additions (no driver correctness row yet): cheap
-    # relational/statistical queries queued behind the heavier batch
-    # above — they rotate into the driver window with the r04/r05
-    # snapshots
-    "orders_pivot_year_status", "lineitem_unpivot_measures",
-    "part_lateral_topk", "orders_benford", "events_ks_test",
-    "events_winsorized_stats", "customer_l_diversity",
-    "sample_systematic", "events_autocorr", "dedup_label_propagation",
-    "source_top_p_docs", "source_jackknife_influence",
-    "customer_hierarchy_depth", "stream_stream_full_join",
+    "orders_pivot_year_status",
+    "lineitem_unpivot_measures",
+    "part_lateral_topk",
+    "orders_benford",
+    "events_ks_test",
+    "events_winsorized_stats",
+    "customer_l_diversity",
+    "sample_systematic",
+    "events_autocorr",
+    "dedup_label_propagation",
+    "source_top_p_docs",
+    "source_jackknife_influence",
+    "customer_hierarchy_depth",
+    "stream_stream_full_join",
     "events_hll_audience_overlap",
+    "source_overlap_matrix",
+    "embedding_kmeans_step",
+    "embedding_triplets",
+    "stream_quality_gate",
+    "events_approx_quantiles",
+    "dedup_cluster_stats",
+    "tokenizer_fertility",
+    "doc_model_quality_score",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

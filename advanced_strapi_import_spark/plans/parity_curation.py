@@ -1114,8 +1114,14 @@ def source_top_p_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.round(
-            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
-            * F.lit(1.0) / F.max("total"),
+            # try_divide: a source whose docs are all n_chars=0 has
+            # total=0; Spark ANSI hard-errors on /0 even for doubles
+            # while the DuckDB oracle yields NULL.
+            F.try_divide(
+                F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+                * F.lit(1.0),
+                F.max("total"),
+            ),
             6,
         ).alias("kept_mass_share"),
         F.coalesce(F.min(F.when(kept, F.col("n_chars"))), F.lit(0))

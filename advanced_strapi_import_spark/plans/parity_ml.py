@@ -2036,7 +2036,7 @@ pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
           FROM scored) WHERE rn = 1),
 neg0 AS (
   SELECT p.anchor_id, p.pos_id, p.pos_cos,
-         (p.anchor_id * 2654435761 + 12345) % n.n_vec AS h
+         ((p.anchor_id % 2147483647) * 2654435761 + 12345) % n.n_vec AS h
   FROM pos p, n),
 neg AS (
   SELECT anchor_id, pos_id, pos_cos,
@@ -2060,7 +2060,9 @@ FROM nexpl GROUP BY anchor_id, pos_id, pos_cos, neg_id
         "anchor (vec_id %% 97), the hardest POSITIVE is its top-1 "
         "cosine neighbor (broadcast anchors x corpus, the corpus never "
         "shuffles) and the NEGATIVE is a deterministic pseudo-random "
-        "pick — Knuth-hash (anchor*2654435761+12345) mod N with a "
+        "pick — Knuth-hash ((anchor mod 2^31-1)*2654435761+12345) mod "
+        "N (pre-reduction bounds the product under 2^63 for any id "
+        "magnitude) with a "
         "collision-bump past anchor/positive, identical integer math "
         "in both engines — fetched by one equi-join. Output "
         "(anchor, pos, pos_cos, neg, neg_cos) is the (a,p,n) batch a "
@@ -2082,7 +2084,14 @@ def embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_vec = emb.agg(F.count(F.lit(1)).alias("__n"))
-    h = (F.col("anchor_id") * F.lit(2654435761) + F.lit(12345)) % F.col("__n")
+    # Pre-reduce the anchor id mod 2^31-1 before the Knuth multiply:
+    # (2^31-2) * 2654435761 ~= 5.7e18 < 2^63, so the product can never
+    # overflow BIGINT under ANSI mode regardless of raw id magnitude
+    # (DuckDB would silently widen to HUGEINT; Spark would hard-error).
+    h = (
+        (F.col("anchor_id") % F.lit(2147483647)) * F.lit(2654435761)
+        + F.lit(12345)
+    ) % F.col("__n")
     bump = lambda c: F.when(  # noqa: E731
         c.isin(F.col("anchor_id"), F.col("pos_id")),
         (c + 1) % F.col("__n"),
