@@ -79,6 +79,10 @@ _FIRST = [
     "dedup_cluster_stats",
     "tokenizer_fertility",
     "doc_model_quality_score",
+    # round-4 additions (locally oracle-verified; enter the r05 window)
+    "orders_rolling_range_frame", "events_ewma",
+    "events_hist_width_bucket", "events_dp_noise_counts",
+    "customer_t_closeness", "events_bitmap_distinct",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -1757,3 +1757,161 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__ex")[2], 2).alias("p99"),
         within.alias("approx_ok"),
     )
+
+
+@query(
+    "events_hist_width_bucket",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 21
+              ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket
+  FROM events)
+SELECT bucket,
+       CASE WHEN bucket = 0 THEN NULL
+            ELSE round((bucket - 1) * 25.0, 2) END AS lo,
+       CASE WHEN bucket = 21 THEN NULL ELSE round(bucket * 25.0, 2) END AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""",
+    doc="Equi-width histogram of event values via width_bucket (20 "
+        "buckets over [0, 500), under/overflow buckets 0 and 21 — the "
+        "SQL-standard binning the reference's dashboards would chart). "
+        "Spark evaluates the builtin width_bucket; the oracle uses the "
+        "arithmetic definition (DuckDB lacks the function). The "
+        "per-bucket rollup is one map-side-combined shuffle of at most "
+        "22 groups — histogram cost is scan-bound at any scale.",
+)
+def events_hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    b = e.select(
+        F.width_bucket(
+            F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(20)
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") != 0, F.round((F.col("bucket") - 1) * 25.0, 2))
+            .alias("lo"),
+            F.when(F.col("bucket") != 21, F.round(F.col("bucket") * 25.0, 2))
+            .alias("hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "events_dp_noise_counts",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+  GROUP BY event_type),
+u AS (
+  SELECT event_type, n,
+         (((n % 2147483647) * 2654435761 + 12345) % 999999 + 1)
+             / 1000001.0 - 0.5 AS u
+  FROM c)
+SELECT event_type, n,
+       round(CASE WHEN u >= 0 THEN -ln(1 - 2 * u)
+                  ELSE ln(1 + 2 * u) END, 4) AS noise,
+       round(n + CASE WHEN u >= 0 THEN -ln(1 - 2 * u)
+                      ELSE ln(1 + 2 * u) END, 4) AS noisy_n
+FROM u
+""",
+    doc="Differentially-private release shape for per-type counts: "
+        "Laplace(1/eps) noise, eps=1, via inverse-CDF "
+        "noise = -sign(u) * ln(1 - 2|u|) on a uniform u in (-0.5, "
+        "0.5). The uniform here is a DETERMINISTIC Knuth-hash of the "
+        "count (pre-reduced mod 2^31-1 so the product can never "
+        "overflow BIGINT under ANSI mode) so both engines — and "
+        "reruns — agree exactly; a production release swaps the seeded "
+        "hash for a calibrated RNG, everything else is this plan. The "
+        "modulus maps into 1..999999 so 1-2|u| is bounded away from 0 "
+        "and ln never sees a zero. Aggregation is a handful of "
+        "groups; noise is per-group scalar math — free at any scale.",
+)
+def events_dp_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    u = (
+        ((F.col("n") % 2147483647) * 2654435761 + 12345) % 999999 + 1
+    ) / 1000001.0 - 0.5
+    noise = F.when(u >= 0, -F.log(1 - 2 * u)).otherwise(F.log(1 + 2 * u))
+    return c.select(
+        "event_type",
+        "n",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )
+
+
+@query(
+    "customer_t_closeness",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens
+  FROM customer),
+cell AS (SELECT nk, seg, sens, CAST(count(*) AS BIGINT) AS n
+         FROM q GROUP BY nk, seg, sens),
+grp AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS ng FROM q GROUP BY nk, seg),
+gl AS (SELECT sens, CAST(count(*) AS BIGINT) AS nb FROM q GROUP BY sens),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM q),
+grid AS (
+  SELECT g.nk, g.seg, g.ng, b.sens, b.nb, COALESCE(c.n, 0) AS n
+  FROM grp g CROSS JOIN gl b
+  LEFT JOIN cell c ON c.nk = g.nk AND c.seg = g.seg AND c.sens = b.sens)
+SELECT nk, seg, CAST(max(ng) AS BIGINT) AS n_rows,
+       round(sum(abs(n * t.nt - nb * ng)) / (2.0 * max(ng) * max(t.nt)), 6)
+           AS tvd,
+       sum(abs(n * t.nt - nb * ng)) / (2.0 * max(ng) * max(t.nt)) <= 0.2
+           AS t_close
+FROM grid CROSS JOIN tot t
+GROUP BY nk, seg
+""",
+    doc="t-closeness audit (variational-distance form) completing the "
+        "k-anonymity / l-diversity privacy trio: per QI class "
+        "(nation, segment), the total-variation distance between the "
+        "class's sensitive-attribute (balance-bucket) distribution and "
+        "the global one, flagged against t=0.2. The inner |p_g - p| "
+        "sum is computed on the integer cross-product lattice "
+        "|n*N - nb*ng| — exact BIGINT arithmetic, one final division — "
+        "so both engines agree bit-exactly and the t flag cannot "
+        "float-flip. Class and bucket marginals are tiny aggregates; "
+        "the class x bucket grid is a broadcast cross of two "
+        "dimension-sized frames, never touching row-level data twice.",
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("sens"),
+    )
+    cell = q.groupBy("nk", "seg", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grp = q.groupBy("nk", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    glob = q.groupBy("sens").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    tot = q.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cell, ["nk", "seg", "sens"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    dist = F.sum(
+        F.abs(F.col("n") * F.col("nt") - F.col("nb") * F.col("ng"))
+    ) / (2.0 * F.max("ng") * F.max("nt"))
+    return grid.groupBy("nk", "seg").agg(
+        F.max("ng").cast("long").alias("n_rows"),
+        F.round(dist, 6).alias("tvd"),
+        (dist <= 0.2).alias("t_close"),
+    )

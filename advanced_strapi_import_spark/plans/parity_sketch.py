@@ -290,3 +290,39 @@ def events_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "events_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="EXACT distinct-user counts per event type via two-level "
+        "bitmap aggregation (bitmap_bucket_number / bitmap_bit_"
+        "position / bitmap_construct_agg -> bitmap_count): stage 1 "
+        "builds one 4 KiB bitmap per (type, 32768-id bucket) with "
+        "map-side partial merge, stage 2 sums per-bucket popcounts. "
+        "Unlike count(DISTINCT) — whose expand-mode shuffle carries "
+        "every (type, user) pair — the shuffle payload is bounded by "
+        "id-range/32768 bitmaps regardless of row count, and unlike "
+        "HLL it is exact. The oracle is plain COUNT(DISTINCT); "
+        "n_events rides along map-side (a second aggregate over the "
+        "same shuffle, not a second scan).",
+)
+def events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    inner = e.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("__bk")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("__bm"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return inner.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("__bm")).cast("long").alias("n_users"),
+        F.sum("__n").cast("long").alias("n_events"),
+    )

@@ -351,3 +351,133 @@ def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cum_dist"),
     )
+
+
+@query(
+    "orders_rolling_range_frame",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day_num,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_custkey, o_orderkey, order_day,
+       round(CAST(sum(cents) OVER w AS BIGINT) / 100.0, 2) AS roll_rev_30d,
+       CAST(count(*) OVER w AS BIGINT) AS roll_orders_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+    doc="Trailing-30-day revenue per customer via a value-based RANGE "
+        "frame (not ROWS): the frame spans day-number VALUES 29 back "
+        "from the current row's day, so same-day orders are peers and "
+        "both see the full day's total — semantics a rows-frame cannot "
+        "express. Prices are fixed-pointed to BIGINT cents before the "
+        "frame sum (integer addition is order-independent, so both "
+        "engines agree bit-exactly regardless of peer enumeration "
+        "order). One hash partition by customer + per-partition sort; "
+        "no global sort, scales with the largest single customer.",
+)
+def orders_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_day",
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("roll_rev_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_orders_30d"),
+    )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+             AS day_num,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+framed AS (
+  SELECT user_id, day_num, cents,
+         list(struct_pack(d := day_num, v := cents / 100.0)) OVER (
+             PARTITION BY user_id ORDER BY day_num
+             RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+  FROM daily)
+SELECT user_id, day_num,
+       round(cents / 100.0, 2) AS day_value,
+       round(
+         list_sum(list_transform(lst,
+             s -> s.v * power(CAST(0.5 AS DOUBLE), day_num - s.d)))
+         / list_sum(list_transform(lst,
+             s -> power(CAST(0.5 AS DOUBLE), day_num - s.d))),
+         4) AS ewma
+FROM framed
+""",
+    doc="Gap-aware exponentially-weighted moving average of per-user "
+        "daily value: weight 0.5^(day gap) over a trailing 10-day "
+        "RANGE frame, normalized by the weight mass actually present "
+        "(irregular/gapped series stay correct — a plain recursive "
+        "EWMA would need a gap-adjusted alpha). Day totals are "
+        "fixed-pointed to cents (order-independent integer sums); the "
+        "decay weights 0.5^k are exact binary fractions and the "
+        "collect-over-frame list is frame-ordered in both engines, so "
+        "the fold is bit-identical. Window HOF = collect_list over a "
+        "range frame + aggregate lambda — no self-join, no explode; "
+        "one user-partition sort, linear at scale.",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-9, Window.currentRow)
+    )
+    framed = daily.withColumn(
+        "lst",
+        F.collect_list(
+            F.struct(
+                F.col("day_num").alias("d"),
+                (F.col("cents") / 100.0).alias("v"),
+            )
+        ).over(w),
+    )
+    decay = lambda s: F.pow(F.lit(0.5), F.col("day_num") - s["d"])  # noqa: E731
+    num = F.aggregate(
+        "lst", F.lit(0.0), lambda acc, s: acc + s["v"] * decay(s)
+    )
+    den = F.aggregate("lst", F.lit(0.0), lambda acc, s: acc + decay(s))
+    return framed.select(
+        "user_id",
+        "day_num",
+        F.round(F.col("cents") / 100.0, 2).alias("day_value"),
+        F.round(num / den, 4).alias("ewma"),
+    )

@@ -93,6 +93,17 @@ CASES = [
     ("dedup_label_propagation", 36, {"smj": 0}),
     # recursive CTE: the UnionLoop body must not add per-level shuffles
     ("customer_hierarchy_depth", 3, {"smj": 0}),
+    # RANGE frame: one customer-hash exchange feeds the frame sort
+    ("orders_rolling_range_frame", 1, {}),
+    # daily agg + window HOF reuse the user-hash partitioning
+    ("events_ewma", 2, {}),
+    # 22-group histogram: single partial/final agg pair
+    ("events_hist_width_bucket", 1, {}),
+    ("events_dp_noise_counts", 1, {}),
+    # marginal aggs + broadcast grid; the two BNLJ are 1-row/dim crosses
+    ("customer_t_closeness", 4, {"smj": 0, "bhj_min": 1, "pushed": True}),
+    # two-level bitmap distinct: (type,bucket) agg then type agg
+    ("events_bitmap_distinct", 2, {"smj": 0}),
 ]
 
 
