@@ -714,3 +714,58 @@ def prefix_filter_candidates(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
+
+
+def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected candidate-pair
+    graph: repeatedly drop nodes whose degree is below ``k`` and the
+    edges touching them, ``rounds`` times; return the surviving nodes
+    with their residual degree.
+
+    The k-core is the densest-region filter used on dedup candidate
+    graphs: LSH emits chains and stars whose low-degree fringe is
+    usually a false positive, while nodes that keep >= k neighbors
+    after peeling sit in genuinely duplicated families. A fixed round
+    count (peeling converges geometrically; 3 rounds settles all but
+    adversarial chains) keeps the plan static and oracle-matchable —
+    the exact fixpoint variant is this same loop driven until the
+    count stops moving.
+
+    Edges are canonicalized/deduped/self-loop-filtered like
+    label_propagation (a duplicate or reversed pair would double a
+    degree and can wrongly keep a fringe node). Each round is one
+    degree aggregation plus two semi-joins, all hash-partitioned on
+    the node id — O(E) shuffle per round, no driver state; each
+    round's survivor edge set is persisted run-scoped so the next
+    round (and the final degree count) reads it once instead of
+    re-deriving the whole peel history."""
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    base = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    edges = persist_tracked(
+        base.union(base.select(F.col("id_b"), F.col("id_a"))).toDF(
+            "node", "nbr"
+        )
+    )
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("node")
+        )
+        edges = persist_tracked(
+            edges.join(keep, "node").join(
+                keep.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("node", "nbr")
+        )
+    return edges.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

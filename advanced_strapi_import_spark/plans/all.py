@@ -83,6 +83,8 @@ _FIRST = [
     "orders_rolling_range_frame", "events_ewma",
     "events_hist_width_bucket", "events_dp_noise_counts",
     "customer_t_closeness", "events_bitmap_distinct",
+    "doc_unigram_logprob", "doc_tfidf_cosine_pairs",
+    "embedding_srp_buckets", "dedup_kcore", "stream_chained_windows",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -2115,3 +2115,317 @@ def embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(S.cosine(F.col("__av"), F.col("__nv"), 64), 6).alias("neg_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+model AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM t2 GROUP BY term),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_total,
+         CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM t2)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((m.c + 1) * 1.0 / (c.t_total + c.v))), 4) AS avg_logprob,
+       round(exp(-avg(ln((m.c + 1) * 1.0 / (c.t_total + c.v)))), 2) AS ppl
+FROM t2 d
+JOIN model m USING (term)
+CROSS JOIN corpus c
+GROUP BY d.doc_id
+""",
+    doc="Unigram language-model scoring — the cheapest perplexity "
+        "proxy used to rank web documents for training-data quality "
+        "(counts-only stand-in for a KenLM pass): add-one-smoothed "
+        "corpus unigram probabilities, then per-doc mean log-prob and "
+        "perplexity. The model (term -> count) is the only global "
+        "shuffle and broadcasts back onto the token stream; the "
+        "per-doc reduce reuses the doc partitioning. Self-scoring "
+        "means every token is in-vocabulary; the smoothing constant "
+        "still matters for parity with a held-out scorer.",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("t_total"),
+        F.countDistinct("term").cast("long").alias("v"),
+    )
+    ll = F.log((F.col("c") + 1) * 1.0 / (F.col("t_total") + F.col("v")))
+    return (
+        toks.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(ll), 4).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(ll)), 2).alias("ppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse tf-idf cosine pairs via inverted-index join (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tfidf_cosine_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+w AS (
+  SELECT t.doc_id, t.term,
+         t.tf * CAST(floor(ln(nd.n * 1.0 / d.df) * 1000) AS BIGINT) AS wt
+  FROM tf t JOIN df d USING (term) CROSS JOIN nd
+  WHERE d.df BETWEEN 2 AND 100),
+norms AS (
+  SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS ss FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS shared_terms
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, shared_terms,
+       round(dot / (sqrt(na.ss) * sqrt(nb.ss)), 6) AS cos
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot / (sqrt(na.ss) * sqrt(nb.ss)) >= 0.2
+""",
+    doc="Sparse tf-idf cosine similarity via the inverted-index "
+        "self-join — the scalable text-similarity pattern (no dense "
+        "vectors, no all-pairs): vocabulary pruned to 2 <= df <= 100 "
+        "(singleton terms cannot form pairs; stopword-grade terms "
+        "would make the term-join quadratic — df-capping bounds each "
+        "term's contribution at df^2 pairs, the standard "
+        "inverted-index blocking), idf fixed-pointed to BIGINT "
+        "milli-nats so dot products and norms are exact integer sums "
+        "(order-independent, engine-identical); the single sqrt/div "
+        "at the end is correctly-rounded IEEE on exact inputs, so the "
+        "0.2 threshold cannot float-flip. Integer headroom: safe "
+        "while tf*idf_mil < 3e7 and shared vocab < 1e4 terms/pair "
+        "(product sums < 9e18); df-cap keeps the join linear in "
+        "corpus size at 100 TB.",
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = d.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    w = (
+        tf.join(df.filter(F.col("df").between(2, 100)), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(F.log(F.col("n") * 1.0 / F.col("df")) * 1000).cast(
+                    "long"
+                )
+            ).alias("wt"),
+        )
+    )
+    w = persist_tracked(w)
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("ss")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cos = F.col("dot") / (F.sqrt("ssa") * F.sqrt("ssb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.2)
+        .select(
+            "doc_a", "doc_b", "shared_terms", F.round(cos, 6).alias("cos")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# signed-random-projection bucketing over embeddings (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_srp_buckets",
+    oracle="""
+WITH pl AS (SELECT CAST(range AS BIGINT) AS p FROM range(16)),
+proj AS (
+  SELECT e.vec_id, e.label, pl.p,
+         CAST(list_sum(list_transform(e.embedding, (x, i) ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           * (1 - 2 * (CAST(floor(
+                 ((pl.p * 1009 + i - 1) * 2654435761 % 2147483648)
+                 / 65536) AS BIGINT) % 2))
+         )) AS BIGINT) AS proj_int
+  FROM embeddings e CROSS JOIN pl),
+sig AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN proj_int >= 0
+                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, label)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       CAST(min(vec_id) AS BIGINT) AS sample_vec
+FROM sig GROUP BY bucket
+""",
+    doc="Signed-random-projection (SRP) LSH over the embedding "
+        "column: 16 hyperplanes with deterministic +/-1 coefficients "
+        "(integer hash of (plane, dim) — bit 16 of a Knuth multiply, "
+        "identical in every engine), embeddings fixed-pointed to "
+        "1e-6 before the dot product so each projection is an exact "
+        "BIGINT sum whose SIGN cannot flip on float summation order. "
+        "The 16-bit sign signature is the cosine-LSH bucket key "
+        "(collision probability 1 - theta/pi per plane, Charikar): "
+        "bucket histogram + label purity here; the near-dup path "
+        "joins on the bucket instead of all-pairs. Per-vector work is "
+        "16 x dims multiply-adds, row-local until the final "
+        "bucket-count shuffle.",
+)
+def embedding_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    planes = emb.select(
+        "vec_id", "label", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+    )
+    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+    h = (
+        (F.col("p") * 1009 + F.col("d")) * F.lit(2654435761)
+    ) % F.lit(2147483648)
+    r = 1 - 2 * (F.floor(h / 65536).cast("long") % 2)
+    proj = planes.select(
+        "vec_id", "label", "p",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                dims,
+                lambda x, d: F.struct(x.alias("x"), d.alias("d")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.floor(s["x"].cast("double") * 1000000 + 0.5).cast("long")
+            * (
+                1
+                - 2
+                * (
+                    F.floor(
+                        (
+                            (F.col("p") * 1009 + s["d"])
+                            * F.lit(2654435761)
+                            % F.lit(2147483648)
+                        )
+                        / 65536
+                    ).cast("long")
+                    % 2
+                )
+            ),
+        ).alias("proj_int"),
+    )
+    sig = proj.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(
+                F.col("proj_int") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), p)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("vec_id").cast("long").alias("sample_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the candidate graph (round 4)
+# ---------------------------------------------------------------------------
+def _kcore_peel_sql(prev: str, i: int, k: int = 2) -> str:
+    return f"""kc{i} AS (
+  SELECT node FROM {prev} GROUP BY node HAVING count(*) >= {k}),
+e{i} AS (
+  SELECT e.node, e.nbr FROM {prev} e
+  JOIN kc{i} a ON a.node = e.node
+  JOIN kc{i} b ON b.node = e.nbr)"""
+
+
+@query(
+    "dedup_kcore",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+e0 AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+{_kcore_peel_sql("e0", 1)},
+{_kcore_peel_sql("e1", 2)},
+{_kcore_peel_sql("e2", 3)}
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM e3 GROUP BY node
+""",
+    doc="k-core peeling (k=2, 3 fixed rounds) over the LSH candidate "
+        "graph — the densest-region filter for duplicate families: "
+        "LSH emits chains/stars whose degree-1 fringe is usually a "
+        "false positive; nodes keeping >= 2 neighbors after peeling "
+        "sit in genuinely duplicated clusters (complementary to "
+        "dedup_clusters, which keeps every reachable node, and LPA, "
+        "which labels but does not prune). Each round is one degree "
+        "aggregation plus two node-id semi-joins — O(E) shuffle per "
+        "round, no driver state; the oracle unrolls the identical "
+        "three peels as CTEs.",
+)
+def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = persist_tracked(
+        D.lsh_candidate_pairs(_shared_plain_bands(spark, sf_dir)).select(
+            "id_a", "id_b"
+        )
+    )
+    return D.kcore(pairs, k=2, rounds=3)

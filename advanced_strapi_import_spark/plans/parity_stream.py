@@ -663,3 +663,41 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
     )
     return ST.run_available_now(kept, output_mode="append")
+
+
+@query(
+    "stream_chained_windows",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+ten AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS t10, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+hr AS (
+  SELECT date_trunc('hour', t10) AS h, event_type,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(max(n) AS BIGINT) AS max_10min_n,
+         CAST(count(*) AS BIGINT) AS n_slots
+  FROM ten GROUP BY 1, 2)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       n_events, max_10min_n, n_slots
+FROM hr CROSS JOIN wm WHERE h + INTERVAL 1 HOUR <= wm.w
+""",
+    doc="CHAINED stateful window aggregations in one streaming query "
+        "(Spark 3.4+ multi-stateful-operator support): 10-minute "
+        "tumbling counts per type re-aggregated via window_time into "
+        "hourly total/peak-slot/slot-count — multi-resolution rollup "
+        "maintenance without a second job re-reading the sink. "
+        "Append-mode, so only hour windows whose end has crossed the "
+        "final watermark (max ts - 1 h, boundary inclusive — measured "
+        "on Spark 4.1) emit after the availableNow drain; the oracle "
+        "computes the same two-level rollup in batch SQL restricted "
+        "to that emitted region.",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(
+        ST.chained_window_agg(stream),
+        output_mode="append",
+        no_data_batch=True,
+    )

@@ -112,6 +112,53 @@ def hourly_agg(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def chained_window_agg(
+    events: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """TWO chained stateful window aggregations in one streaming plan
+    (Spark 3.4+ multi-stateful-operator support): a 10-minute tumbling
+    count per event type, re-aggregated — via ``window_time`` on the
+    first window — into per-hour rollups (total, peak 10-min slot,
+    active slot count). The production shape for multi-resolution
+    rollup maintenance: the fine windows feed dashboards, the coarse
+    re-aggregation runs in the SAME query over the in-flight windows
+    instead of a second job re-reading the sink.
+
+    Append-mode only (the first aggregation must finalize a 10-min
+    window before the second may fold it in), so emission is
+    watermark-gated: after an availableNow drain with a no-data batch,
+    exactly the hour windows with ``window.end <= max(ts) - delay``
+    have emitted (boundary measured INCLUSIVE on Spark 4.1); callers
+    draining for a batch-parity check must restrict the oracle to that
+    region. State is bounded by open windows x event types at both
+    levels."""
+    op1 = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        op1.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("wh"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_10min_n"),
+            F.count(F.lit(1)).cast("long").alias("n_slots"),
+        )
+        .select(
+            F.date_format(F.col("wh.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "n_events",
+            "max_10min_n",
+            "n_slots",
+        )
+    )
+
+
 def session_window_agg(
     events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -104,6 +104,17 @@ CASES = [
     ("customer_t_closeness", 4, {"smj": 0, "bhj_min": 1, "pushed": True}),
     # two-level bitmap distinct: (type,bucket) agg then type agg
     ("events_bitmap_distinct", 2, {"smj": 0}),
+    # unigram model + corpus stats broadcast onto the token stream
+    ("doc_unigram_logprob", 5, {"smj": 0, "bhj_min": 1}),
+    # inverted-index join: persisted weight subtree reprints per
+    # reference (InMemoryRelation string inflation, cf. LPA) — loose
+    # exchange bound; the binding assertions are broadcast-not-SMJ
+    ("doc_tfidf_cosine_pairs", 28, {"smj": 0, "bhj_min": 1}),
+    # SRP: fan_out RR + signature agg + bucket agg, all row-local math
+    ("embedding_srp_buckets", 3, {"smj": 0}),
+    # 3 peel rounds, each persisted — printed plan repeats the whole
+    # peel history per reference (string inflation); binding: no SMJ
+    ("dedup_kcore", 280, {"smj": 0}),
 ]
 
 

@@ -164,3 +164,32 @@ def test_label_propagation_barbell_hand_computed(spark):
         for r in label_propagation(pairs, iterations=2).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_kcore_triangle_tail_hand_computed(spark):
+    # Triangle {1,2,3} with a tail 3-4, 4-5, worked by hand at k=2:
+    #   degrees: 1:2, 2:2, 3:3, 4:2, 5:1  -> drop 5
+    #   round 2: 4 now has degree 1       -> drop 4
+    #   round 3: triangle stable, all degree 2
+    # The 2-core is exactly the triangle; a plain degree>=2 filter
+    # would wrongly keep node 4 (the chain link), which is why peeling
+    # iterates. (5, 4) re-states edge (4, 5) reversed and (5, 5) is a
+    # self-loop — canonicalization must drop both or degrees double.
+    from advanced_strapi_import_spark.operators.dedup import kcore
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 4), (5, 5)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["degree"] for r in kcore(pairs, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_zero_rounds_is_degree_table(spark):
+    from advanced_strapi_import_spark.operators.dedup import kcore
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(pairs, rounds=0).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
