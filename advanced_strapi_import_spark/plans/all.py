@@ -85,6 +85,9 @@ _FIRST = [
     "customer_t_closeness", "events_bitmap_distinct",
     "doc_unigram_logprob", "doc_tfidf_cosine_pairs",
     "embedding_srp_buckets", "dedup_kcore", "stream_chained_windows",
+    "parts_skyline_2d", "events_user_streaks",
+    "events_chi_square_independence", "embedding_power_iteration",
+    "stream_hopping_window",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -1915,3 +1915,76 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dist, 6).alias("tvd"),
         (dist <= 0.2).alias("t_close"),
     )
+
+
+@query(
+    "events_chi_square_independence",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n FROM o GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+cells AS (
+  SELECT o.event_type, o.dow, o.obs,
+         rt.row_n * ct.col_n / (n.total * 1.0) AS expected
+  FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
+SELECT event_type, dow, obs,
+       round(expected, 4) AS expected,
+       round((obs - expected) / sqrt(expected), 4) AS std_resid,
+       round(sum((obs - expected) * (obs - expected) / expected)
+                 OVER (), 4) AS chi2_total
+FROM cells
+""",
+    doc="Chi-square test of independence on the event_type x "
+        "day-of-week contingency table: per-cell observed, expected "
+        "(row x col / N — the integer product is exact, one double "
+        "division), standardized residual, and the chi-square "
+        "statistic repeated per row via an unbounded window over the "
+        "aggregated cells. Residuals localize WHICH (type, weekday) "
+        "drives the dependence — the seasonality screen run before "
+        "trusting a day-partitioned sample. The raw table reduces to "
+        "<=7 x types cells in one shuffle; marginals and the window "
+        "run on the tiny cell frame. Expected counts are never zero "
+        "(marginals of observed cells are positive by construction), "
+        "so the divisions cannot hit ANSI /0.",
+)
+def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_n"))
+    ct = o.groupBy("dow").agg(F.sum("obs").cast("long").alias("col_n"))
+    n = o.agg(F.sum("obs").cast("long").alias("total"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "expected", F.col("row_n") * F.col("col_n") / (F.col("total") * 1.0)
+        )
+    )
+    chi_cell = (F.col("obs") - F.col("expected")) ** 2 / F.col("expected")
+    return cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.round("expected", 4).alias("expected"),
+        F.round(
+            (F.col("obs") - F.col("expected")) / F.sqrt("expected"), 4
+        ).alias("std_resid"),
+        F.round(
+            F.sum(chi_cell).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            4,
+        ).alias("chi2_total"),
+    )

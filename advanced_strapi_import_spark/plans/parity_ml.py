@@ -2429,3 +2429,73 @@ def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.kcore(pairs, k=2, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# power iteration: one exact step toward the top singular vector (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_power_iteration",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+rs AS (
+  SELECT vec_id, xq, CAST(list_sum(xq) AS BIGINT) AS s FROM q),
+w AS (
+  SELECT CAST(i AS INT) AS dim, CAST(sum(x * s) AS BIGINT) AS w
+  FROM rs, LATERAL (
+    SELECT unnest(xq) AS x, generate_subscripts(xq, 1) - 1 AS i)
+  GROUP BY i),
+nrm AS (
+  SELECT sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS norm FROM w)
+SELECT dim, w, round(CAST(w AS DOUBLE) / nrm.norm, 6) AS v1
+FROM w CROSS JOIN nrm
+""",
+    doc="One power-iteration step toward the corpus's top singular "
+        "vector — the building block of distributed PCA/spectral "
+        "embedding quality checks — computed WITHOUT materializing "
+        "the d x d Gram matrix: (X^T X) 1 = X^T (X 1), so a row-sum "
+        "pass then a per-dimension weighted sum gives the step in one "
+        "explode + one 64-group aggregation. Embeddings are "
+        "fixed-pointed to 1e-6 BIGINT, making every accumulation an "
+        "exact integer sum (engine-identical regardless of row "
+        "order); only the final normalization touches doubles. "
+        "Integer headroom: |xq| <= 1e6-ish, row sums <= dims * 1e6, "
+        "per-dim products <= 6.4e13, exact up to ~1e5 rows per "
+        "aggregation group at these magnitudes — at 100 TB the "
+        "accumulator widens to DECIMAL(38,0) or re-scales to 1e-3. "
+        "Further iterations are this same plan re-entered with v_k as "
+        "the weight column.",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),
+        ).alias("xq"),
+    )
+    rs = q.withColumn(
+        "s",
+        F.aggregate("xq", F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    w = (
+        rs.select(
+            F.posexplode("xq").alias("dim", "x"), F.col("s")
+        )
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(F.sum(F.col("x") * F.col("s")).cast("long").alias("w"))
+    )
+    nrm = w.agg(
+        F.sqrt(F.sum(F.col("w").cast("double") * F.col("w").cast("double")))
+        .alias("norm")
+    )
+    return w.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        "w",
+        F.round(F.col("w").cast("double") / F.col("norm"), 6).alias("v1"),
+    )

@@ -701,3 +701,69 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         no_data_batch=True,
     )
+
+
+@query(
+    "stream_hopping_window",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, user_id
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE,
+         event_type, user_id
+  FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM starts CROSS JOIN wm
+WHERE ws + INTERVAL 1 HOUR <= wm.w
+GROUP BY ws, event_type
+""",
+    doc="Hopping (sliding) windows on the live stream: 1-hour windows "
+        "every 30 minutes, so each event lands in exactly two "
+        "overlapping windows — the smoothed-rate rollup dashboards "
+        "want when a tumbling hour is too coarse-grained at the "
+        "boundary. Append-mode with a 1-hour watermark; after the "
+        "availableNow drain exactly the windows whose end crossed the "
+        "final watermark (max ts - 1 h, inclusive) have emitted. The "
+        "oracle replays the two-windows-per-event expansion in batch "
+        "SQL over the same emitted region. countDistinct is "
+        "unsupported on streams, so the exact per-window user count "
+        "comes from CHAINED stateful aggs — (window, type, user) "
+        "partial counts whose closed rows each represent one distinct "
+        "user, folded per (window, type); state stays bounded by open "
+        "windows x active keys.",
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    # exact distinct users WITHOUT countDistinct (unsupported on
+    # streams): chained stateful aggs — per (window, type, user) counts
+    # first, then per (window, type) fold where each input row IS one
+    # distinct user
+    per_user = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    agg = (
+        per_user.groupBy("w", "event_type")
+        .agg(
+            F.sum("n_u").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "users",
+        )
+    )
+    return ST.run_available_now(agg, output_mode="append", no_data_batch=True)

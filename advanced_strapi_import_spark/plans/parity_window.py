@@ -481,3 +481,122 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("day_value"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@query(
+    "parts_skyline_2d",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part),
+m AS (
+  SELECT p_partkey, p_size, price_cents,
+         max(p_size) OVER (ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_cheaper,
+         max(p_size) OVER (PARTITION BY price_cents) AS best_peer
+  FROM p)
+SELECT p_partkey, round(price_cents / 100.0, 2) AS price,
+       CAST(p_size AS INT) AS size
+FROM m
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size = best_peer
+""",
+    doc="2-D skyline (Pareto front: minimize price, maximize size) in "
+        "O(n log n) via two window maxima instead of the naive "
+        "quadratic dominance anti-join: a part survives iff its size "
+        "strictly beats every strictly-cheaper part's best size (a "
+        "RANGE frame ending 1 PRECEDING — value-based, so same-price "
+        "rows are excluded from 'cheaper') and ties its own price "
+        "group's best. Prices fixed-pointed to cents so the RANGE "
+        "frame key and the dominance comparisons are exact integers. "
+        "The global ORDER BY is a range-partitioned sort in Spark — "
+        "the skyline's inherent cost — with no join at all; equal "
+        "(price, size) duplicates are both non-dominated and both "
+        "kept, matching the strict-dominance definition.",
+)
+def parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_peer = Window.partitionBy("price_cents")
+    m = p.select(
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_peer).alias("best_peer"),
+    )
+    return m.filter(
+        (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+        & (F.col("p_size") == F.col("best_peer"))
+    ).select(
+        "p_partkey",
+        F.round(F.col("price_cents") / 100.0, 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+
+@query(
+    "events_user_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+             AS day_num
+  FROM events),
+isl AS (
+  SELECT user_id, day_num,
+         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+             AS island
+  FROM days),
+st AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM st GROUP BY user_id
+""",
+    doc="Gaps-and-islands (activity streaks): consecutive active days "
+        "collapse to one island via the classic day_num - row_number "
+        "constant; per user the streak count, total active days and "
+        "longest run — engagement metrics dashboards derive from the "
+        "raw event stream. All integer arithmetic; one user-partition "
+        "window plus two user-keyed aggregations reusing the same "
+        "hash partitioning, no joins.",
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    isl = days.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    st = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return st.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("max_streak"),
+    )

@@ -115,6 +115,15 @@ CASES = [
     # 3 peel rounds, each persisted — printed plan repeats the whole
     # peel history per reference (string inflation); binding: no SMJ
     ("dedup_kcore", 280, {"smj": 0}),
+    # skyline: ONE global range sort, no dominance join at all
+    ("parts_skyline_2d", 1, {"smj": 0, "bnlj": 0}),
+    # islands window + two aggs reuse the user hash partitioning
+    ("events_user_streaks", 2, {}),
+    # cell agg + broadcast marginals + single-partition window on the
+    # tiny cell frame
+    ("events_chi_square_independence", 8, {"smj": 0, "bhj_min": 1}),
+    # row-sum pass + 64-group agg + broadcast norm; no d x d Gram
+    ("embedding_power_iteration", 3, {"smj": 0}),
 ]
 
 
