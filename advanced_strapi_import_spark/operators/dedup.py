@@ -739,7 +739,6 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     round's survivor edge set is persisted run-scoped so the next
     round (and the final degree count) reads it once instead of
     re-deriving the whole peel history."""
-    from advanced_strapi_import_spark.caching import persist_tracked
 
     base = (
         pairs.filter(F.col("id_a") != F.col("id_b"))

@@ -28,9 +28,9 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
 # Round-4 rotation: the 47 queries with NO driver correctness row in
 # r01-r03 (union = 148 of 195 sampled).  The driver window is 50, so
-# all 47 fit this round; new round-4 queries are appended to _FIRST
-# below this block (positions 48+) so they enter the r05 window once
-# locally verified.
+# all 47 fit this round; round-4 additions follow at positions 48+,
+# so the first three of them also land inside the 50-query r04 window
+# and the rest rotate into r05 (all are locally oracle-verified).
 _FIRST = [
     "stream_dedup_incremental",
     "dedup_keep_best",
@@ -79,7 +79,8 @@ _FIRST = [
     "dedup_cluster_stats",
     "tokenizer_fertility",
     "doc_model_quality_score",
-    # round-4 additions (locally oracle-verified; enter the r05 window)
+    # round-4 additions (locally oracle-verified; first three land in
+    # the r04 window, the rest in r05)
     "orders_rolling_range_frame", "events_ewma",
     "events_hist_width_bucket", "events_dp_noise_counts",
     "customer_t_closeness", "events_bitmap_distinct",

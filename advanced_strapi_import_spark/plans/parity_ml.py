@@ -2154,9 +2154,14 @@ GROUP BY d.doc_id
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    # persisted: the exploded token stream feeds the model aggregation,
+    # the corpus totals AND the final scoring join — without the
+    # persist the corpus re-tokenizes three times
+    toks = persist_tracked(
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        ).filter(F.col("term") != "")
+    )
     model = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
     corpus = toks.agg(
         F.count(F.lit(1)).cast("long").alias("t_total"),
@@ -2270,7 +2275,11 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
-    cos = F.col("dot") / (F.sqrt("ssa") * F.sqrt("ssb"))
+    # try_divide: a doc whose surviving terms all have idf_mil = 0
+    # (universal terms in a tiny corpus) has ss = 0 — Spark ANSI
+    # hard-errors on the double 0/0 where DuckDB yields NULL (and the
+    # threshold filter then drops the row in both engines)
+    cos = F.try_divide(F.col("dot"), F.sqrt("ssa") * F.sqrt("ssb"))
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -2329,10 +2338,6 @@ def embedding_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
     )
     dims = F.sequence(F.lit(0), F.size("embedding") - 1)
-    h = (
-        (F.col("p") * 1009 + F.col("d")) * F.lit(2654435761)
-    ) % F.lit(2147483648)
-    r = 1 - 2 * (F.floor(h / 65536).cast("long") % 2)
     proj = planes.select(
         "vec_id", "label", "p",
         F.aggregate(
@@ -2497,5 +2502,9 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(nrm)).select(
         "dim",
         "w",
-        F.round(F.col("w").cast("double") / F.col("norm"), 6).alias("v1"),
+        # try_divide: an all-zero (or cancellation-degenerate) corpus
+        # gives norm = 0 — ANSI double /0 hard-errors in Spark, NULL
+        # in the DuckDB oracle
+        F.round(F.try_divide(F.col("w").cast("double"), F.col("norm")), 6)
+        .alias("v1"),
     )

@@ -511,10 +511,13 @@ WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
         "rows are excluded from 'cheaper') and ties its own price "
         "group's best. Prices fixed-pointed to cents so the RANGE "
         "frame key and the dominance comparisons are exact integers. "
-        "The global ORDER BY is a range-partitioned sort in Spark — "
-        "the skyline's inherent cost — with no join at all; equal "
-        "(price, size) duplicates are both non-dominated and both "
-        "kept, matching the strict-dominance definition.",
+        "Scale shape: row-level work stays fully partitioned — parts "
+        "first collapse to one (price, best size) row per DISTINCT "
+        "price (hash shuffle), the unpartitioned running-max window "
+        "runs only over that price-domain frame (bounded by distinct "
+        "price points, not rows), and survivors broadcast back onto "
+        "the fact scan. Equal (price, size) duplicates are both "
+        "non-dominated and both kept, matching strict dominance.",
 )
 def parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select(
@@ -524,25 +527,30 @@ def parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
+    # per-price best size first: the single-partition window then sees
+    # |distinct prices| rows, never the fact table
+    pp = p.groupBy("price_cents").agg(F.max("p_size").alias("best_peer"))
     w_cheaper = (
         Window.orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_peer = Window.partitionBy("price_cents")
-    m = p.select(
-        "p_partkey",
-        "p_size",
-        "price_cents",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(w_peer).alias("best_peer"),
+    front = pp.withColumn(
+        "best_cheaper", F.max("best_peer").over(w_cheaper)
+    ).filter(
+        F.col("best_cheaper").isNull()
+        | (F.col("best_peer") > F.col("best_cheaper"))
     )
-    return m.filter(
-        (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
-        & (F.col("p_size") == F.col("best_peer"))
-    ).select(
-        "p_partkey",
-        F.round(F.col("price_cents") / 100.0, 2).alias("price"),
-        F.col("p_size").cast("int").alias("size"),
+    return (
+        p.join(
+            F.broadcast(front.select("price_cents", "best_peer")),
+            "price_cents",
+        )
+        .filter(F.col("p_size") == F.col("best_peer"))
+        .select(
+            "p_partkey",
+            F.round(F.col("price_cents") / 100.0, 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
     )
 
 

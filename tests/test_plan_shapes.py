@@ -115,8 +115,10 @@ CASES = [
     # 3 peel rounds, each persisted — printed plan repeats the whole
     # peel history per reference (string inflation); binding: no SMJ
     ("dedup_kcore", 280, {"smj": 0}),
-    # skyline: ONE global range sort, no dominance join at all
-    ("parts_skyline_2d", 1, {"smj": 0, "bnlj": 0}),
+    # skyline: per-price agg shuffle + price-domain-only single
+    # partition window + broadcast of the front back onto the scan —
+    # the fact table itself never single-partitions
+    ("parts_skyline_2d", 2, {"smj": 0, "bnlj": 0, "bhj_min": 1}),
     # islands window + two aggs reuse the user hash partitioning
     ("events_user_streaks", 2, {}),
     # cell agg + broadcast marginals + single-partition window on the
