@@ -89,6 +89,8 @@ _FIRST = [
     "parts_skyline_2d", "events_user_streaks",
     "events_chi_square_independence", "embedding_power_iteration",
     "stream_hopping_window",
+    "orders_cumulative_new_customers", "doc_bigram_pmi",
+    "dedup_link_prediction", "orders_theil_sen_trend",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -1988,3 +1988,111 @@ def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFram
             4,
         ).alias("chi2_total"),
     )
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle="""
+WITH monthly AS (
+  SELECT c.c_nationkey AS nk,
+         (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
+             + month(o.o_orderdate) - 1 AS m,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+slopes AS (
+  SELECT a.nk,
+         (b.cents - a.cents) / ((b.m - a.m) * 100.0) AS slope
+  FROM monthly a JOIN monthly b ON a.nk = b.nk AND b.m > a.m),
+med AS (
+  SELECT nk, quantile_cont(slope, 0.5) AS ts_slope,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM slopes GROUP BY nk),
+resid AS (
+  SELECT m.nk,
+         quantile_cont(m.cents / 100.0 - med.ts_slope * m.m, 0.5)
+             AS ts_intercept
+  FROM monthly m JOIN med ON med.nk = m.nk
+  GROUP BY m.nk)
+SELECT med.nk, med.n_pairs,
+       round(med.ts_slope, 4) AS ts_slope,
+       round(r.ts_intercept, 4) AS ts_intercept
+FROM med JOIN resid r ON r.nk = med.nk
+""",
+    doc="Theil-Sen robust trend per nation: the median of all "
+        "pairwise slopes of the MONTHLY revenue series (dollars per "
+        "month), plus the median-residual intercept — the "
+        "outlier-proof regression used on noisy business series where "
+        "one blowout month wrecks least squares. Quadratic in SERIES "
+        "LENGTH, not row count: the fact table first collapses to "
+        "<= 84 monthly points per nation (one shuffle), so the "
+        "pairwise self-join is ~3.5k rows per nation regardless of "
+        "data scale. Month totals are fixed-pointed to cents "
+        "(exact), each slope is one correctly-rounded division of "
+        "exact integers, and both engines interpolate the median "
+        "with the same (1-f)*lo + f*hi rule over identical sorted "
+        "multisets, so the rounded outputs agree bit-for-bit.",
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    monthly = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    monthly = persist_tracked(monthly)
+    a = monthly.select("nk", F.col("m").alias("__ma"), F.col("cents").alias("__ca"))
+    b = monthly.select("nk", F.col("m").alias("__mb"), F.col("cents").alias("__cb"))
+    # the monthly frame is <= 84 points x 25 nations — broadcast the
+    # probe side so the pairwise join never sort-merges
+    slopes = (
+        a.join(F.broadcast(b), "nk")
+        .filter(F.col("__mb") > F.col("__ma"))
+        .select(
+            "nk",
+            (
+                (F.col("__cb") - F.col("__ca"))
+                / ((F.col("__mb") - F.col("__ma")) * 100.0)
+            ).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("nk").agg(
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = (
+        monthly.join(F.broadcast(med.select("nk", "ts_slope")), "nk")
+        .groupBy("nk")
+        .agg(
+            F.expr(
+                "percentile(cents / 100.0 - ts_slope * m, 0.5)"
+            ).alias("ts_intercept")
+        )
+    )
+    return (
+        med.join(F.broadcast(resid), "nk")
+        .select(
+            "nk",
+            "n_pairs",
+            F.round("ts_slope", 4).alias("ts_slope"),
+            F.round("ts_intercept", 4).alias("ts_intercept"),
+        )
+    )

@@ -2508,3 +2508,220 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.col("w").cast("double"), F.col("norm")), 6)
         .alias("v1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: bigram PMI (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2),
+bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+ug AS (
+  SELECT unnest(tk) AS term FROM toks),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY term),
+tot AS (
+  SELECT CAST((SELECT sum(c_ab) FROM bc) AS BIGINT) AS t,
+         CAST((SELECT sum(c) FROM uc) AS BIGINT) AS u)
+SELECT b.bigram, b.c_ab,
+       round(ln((b.c_ab * 1.0 * tot.u * tot.u)
+                / (tot.t * 1.0 * ua.c * ub.c)), 4) + 0.0 AS pmi
+FROM bc b
+JOIN uc ua ON ua.term = string_split(b.bigram, ' ')[1]
+JOIN uc ub ON ub.term = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot
+WHERE b.c_ab >= 5
+""",
+    doc="Collocation mining via pointwise mutual information over "
+        "word bigrams: PMI = ln(p(ab) / (p(a) p(b))) computed from "
+        "exact integer counts with ONE double expression per "
+        "surviving bigram (same multiply order both engines, so the "
+        "ln argument is bit-identical). The c_ab >= 5 support floor "
+        "is the standard collocation cut — it also bounds the "
+        "bigram-unigram join to frequent bigrams. This is the phrase "
+        "detector run before tokenizer training (word2vec-style "
+        "phrase merging); bigram generation is a row-local "
+        "zip_with/slice, the only shuffles are the two count "
+        "aggregations and the frequent-bigram joins against the "
+        "broadcast unigram model. Empty-text note: split('') yields "
+        "[''] in both engines, len 1 < 2, filtered.",
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    toks = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    ug = toks.select(F.explode("tk").alias("term"))
+    uc = ug.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = bc.agg(F.sum("c_ab").cast("long").alias("t")).crossJoin(
+        ug.agg(F.count(F.lit(1)).cast("long").alias("u"))
+    )
+    freq = bc.filter(F.col("c_ab") >= 5)
+    parts = F.split("bigram", " ")
+    ua = uc.select(F.col("term").alias("__ta"), F.col("c").alias("__ca"))
+    ub = uc.select(F.col("term").alias("__tb"), F.col("c").alias("__cb"))
+    return (
+        freq.withColumn("__ta", parts[0])
+        .withColumn("__tb", parts[1])
+        .join(F.broadcast(ua), "__ta")
+        .join(F.broadcast(ub), "__tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c_ab",
+            # + 0.0 normalizes IEEE -0.0 (a just-below-1 ratio rounds
+            # to -0.0 in DuckDB, 0.0 in Spark — the hash compare sees
+            # the sign)
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_ab") * 1.0 * F.col("u") * F.col("u"))
+                        / (F.col("t") * 1.0 * F.col("__ca") * F.col("__cb"))
+                    ),
+                    4,
+                )
+                + 0.0
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction on the candidate graph (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_link_prediction",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+  FROM documents),
+r AS (
+  SELECT doc_id, substr(norm, 1, 2) AS blk,
+         row_number() OVER (
+           PARTITION BY substr(norm, 1, 2)
+           ORDER BY substr(norm, 1, 24), doc_id) AS rn
+  FROM n),
+pairs AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2),
+edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY node),
+cn AS (
+  SELECT a.node AS id_a, b.node AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM edges a JOIN edges b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node),
+cand AS (
+  SELECT cn.id_a, cn.id_b, cn.common
+  FROM cn
+  LEFT JOIN pairs p ON p.id_a = cn.id_a AND p.id_b = cn.id_b
+  WHERE p.id_a IS NULL AND cn.common >= 1)
+SELECT c.id_a, c.id_b, c.common,
+       CAST(c.common * 1000000
+            // (da.deg + db.deg - c.common) AS BIGINT) AS jaccard_ppm
+FROM cand c
+JOIN deg da ON da.node = c.id_a
+JOIN deg db ON db.node = c.id_b
+""",
+    doc="Link prediction over the sorted-neighborhood blocking graph: "
+        "for every NON-edge pair at distance 2, the common-neighbor "
+        "count and neighborhood-Jaccard score (integer ppm — "
+        "denominator >= common >= 1, no /0 path). SNM's rank-window "
+        "chains are exactly where link prediction earns its keep: a "
+        "w=3 window links rank r to r+1/r+2 only, so near-dups 3+ "
+        "ranks apart are MISSED edges that their shared neighbors "
+        "vouch for — the standard recall-recovery pass over any "
+        "blocked candidate graph (the LSH band graph on this corpus "
+        "is all cliques, leaving nothing at distance 2 by "
+        "construction). The wedge join costs sum(deg^2), bounded by "
+        "the window width w, never all-pairs; the existing-edge "
+        "anti-join and degree lookups are id-keyed equi-joins.",
+)
+def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    r = d.select(
+        "doc_id",
+        F.substring(norm, 1, 2).alias("blk"),
+        F.substring(norm, 1, 24).alias("key"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("key", "doc_id")
+        ),
+    )
+    a = r.select(
+        "blk",
+        F.col("doc_id").alias("__ida"),
+        F.explode(F.array(F.col("rn") + 1, F.col("rn") + 2)).alias("rn"),
+    )
+    b = r.select("blk", F.col("doc_id").alias("__idb"), "rn")
+    pairs = persist_tracked(
+        a.join(b, ["blk", "rn"])
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("node"), F.col("id_a").alias("nbr")
+            )
+        )
+    )
+    deg = edges.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ea = edges.select(F.col("node").alias("id_a"), "nbr")
+    eb = edges.select(F.col("node").alias("id_b"), "nbr")
+    cn = (
+        ea.join(eb, "nbr")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    cand = cn.join(pairs, ["id_a", "id_b"], "left_anti").filter(
+        F.col("common") >= 1
+    )
+    da = deg.select(F.col("node").alias("id_a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("id_b"), F.col("deg").alias("__db"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.col("common") * 1000000
+                / (F.col("__da") + F.col("__db") - F.col("common"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -608,3 +608,55 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("len").cast("long").alias("max_streak"),
     )
+
+
+@query(
+    "orders_cumulative_new_customers",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_day
+  FROM orders GROUP BY o_custkey),
+per_day AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day),
+orders_per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT strftime(o.day, '%Y-%m-%d') AS day, o.n_orders,
+       COALESCE(p.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(p.n_new, 0)) OVER (ORDER BY o.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+FROM orders_per_day o LEFT JOIN per_day p ON p.day = o.day
+""",
+    doc="First-touch acquisition curve: per order day, order volume, "
+        "NEW customers (their first-ever order day) and the running "
+        "total of acquired customers — the windowless 'cumulative "
+        "distinct' that a window COUNT(DISTINCT) cannot express: "
+        "reduce each customer to a first-occurrence event (one "
+        "customer-keyed agg), then an ordinary cumulative sum. The "
+        "running-sum window is unpartitioned but runs over the DAY "
+        "domain (bounded by calendar span, not row count); row-level "
+        "work is two hash aggs plus a day-keyed join.",
+)
+def orders_cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    orders_per_day = o.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        orders_per_day.join(per_day, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cum_customers"),
+        )
+    )

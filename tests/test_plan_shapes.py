@@ -126,6 +126,15 @@ CASES = [
     ("events_chi_square_independence", 8, {"smj": 0, "bhj_min": 1}),
     # row-sum pass + 64-group agg + broadcast norm; no d x d Gram
     ("embedding_power_iteration", 3, {"smj": 0}),
+    # first-touch agg + day rollup + day-domain-only running sum
+    ("orders_cumulative_new_customers", 4, {"smj": 0, "bhj_min": 1}),
+    # bigram/unigram count shuffles + broadcast model joins
+    ("doc_bigram_pmi", 6, {"smj": 0, "bhj_min": 1}),
+    # wedge self-join legitimately sort-merges (both sides are the
+    # edge list); persisted-subtree reprints inflate the exch count
+    ("dedup_link_prediction", 40, {"bnlj": 0}),
+    # monthly collapse first; pairwise slope join must broadcast
+    ("orders_theil_sen_trend", 8, {"smj": 0, "bhj_min": 1}),
 ]
 
 
