@@ -2016,8 +2016,8 @@ resid AS (
   FROM monthly m JOIN med ON med.nk = m.nk
   GROUP BY m.nk)
 SELECT med.nk, med.n_pairs,
-       round(med.ts_slope, 4) AS ts_slope,
-       round(r.ts_intercept, 4) AS ts_intercept
+       round(med.ts_slope, 4) + 0.0 AS ts_slope,
+       round(r.ts_intercept, 4) + 0.0 AS ts_intercept
 FROM med JOIN resid r ON r.nk = med.nk
 """,
     doc="Theil-Sen robust trend per nation: the median of all "
@@ -2092,7 +2092,9 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nk",
             "n_pairs",
-            F.round("ts_slope", 4).alias("ts_slope"),
-            F.round("ts_intercept", 4).alias("ts_intercept"),
+            # + 0.0: a near-flat series' median slope can round to
+            # IEEE -0.0 in DuckDB (sign-preserving) but +0.0 in Spark
+            (F.round("ts_slope", 4) + 0.0).alias("ts_slope"),
+            (F.round("ts_intercept", 4) + 0.0).alias("ts_intercept"),
         )
     )

@@ -1547,10 +1547,13 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.col("r").alias("rank_ppm"))
 
 
-@query(
-    "dedup_sorted_neighborhood",
-    oracle=r"""
-WITH n AS (
+# Shared sorted-neighborhood (SNM) blocking primitives: ONE definition
+# of the normalization, 2-char block, 24-char sort key and w=3 rank
+# window, used by dedup_sorted_neighborhood (candidate generation +
+# verify) and dedup_link_prediction (graph over the same candidates) —
+# the two must never desynchronize or the link-prediction premise
+# ("missed edges of THE SNM graph") silently breaks.
+_SNM_RANK_SQL = r"""n AS (
   SELECT doc_id,
          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
   FROM documents),
@@ -1562,7 +1565,50 @@ r AS (
          row_number() OVER (
            PARTITION BY substr(norm, 1, 2)
            ORDER BY substr(norm, 1, 24), doc_id) AS rn
-  FROM n)
+  FROM n)"""
+
+
+def _snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, __pa, __pb) rank-window candidate pairs.
+
+    The probe side explodes each record into its w-1 forward rank
+    slots so pair generation is a pure equi-join on (blk, rn): O(n*w)
+    candidate rows, never a within-block cross product — a dense
+    block (common boilerplate prefix) costs |block|*w, not
+    |block|^2."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    r = d.select(
+        "doc_id",
+        F.substring(norm, 1, 2).alias("blk"),
+        F.substring(norm, 1, 24).alias("key"),
+        F.substring(norm, 1, 40).alias("pre40"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("key", "doc_id")
+        ),
+    )
+    a = r.select(
+        F.col("blk"),
+        F.col("doc_id").alias("id_a"), F.col("pre40").alias("__pa"),
+        F.explode(
+            F.array(F.col("rn") + 1, F.col("rn") + 2)
+        ).alias("rn"),
+    )
+    b = r.select(
+        F.col("blk"), F.col("rn"),
+        F.col("doc_id").alias("id_b"), F.col("pre40").alias("__pb"),
+    )
+    return a.join(b, ["blk", "rn"]).select("id_a", "id_b", "__pa", "__pb")
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH {_SNM_RANK_SQL}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        a.pre40 = b.pre40 AS is_dup
 FROM r a JOIN r b
@@ -1579,37 +1625,7 @@ FROM r a JOIN r b
         "headers, versioned docs) that token-shingle LSH can miss.",
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    d = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
-    r = d.select(
-        "doc_id",
-        F.substring(norm, 1, 2).alias("blk"),
-        F.substring(norm, 1, 24).alias("key"),
-        F.substring(norm, 1, 40).alias("pre40"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("blk").orderBy("key", "doc_id")
-        ),
-    )
-    # probe side explodes each record into its w-1 forward rank slots so
-    # the pair generation is a pure equi-join on (blk, rn): O(n*w)
-    # candidate rows, never a within-block cross product — a dense block
-    # (common boilerplate prefix) costs |block|*w, not |block|^2
-    a = r.select(
-        F.col("blk"),
-        F.col("doc_id").alias("id_a"), F.col("pre40").alias("__pa"),
-        F.explode(
-            F.array(F.col("rn") + 1, F.col("rn") + 2)
-        ).alias("rn"),
-    )
-    b = r.select(
-        F.col("blk"), F.col("rn"),
-        F.col("doc_id").alias("id_b"), F.col("pre40").alias("__pb"),
-    )
-    return a.join(b, ["blk", "rn"]).select(
+    return _snm_pairs(spark, sf_dir).select(
         "id_a", "id_b", (F.col("__pa") == F.col("__pb")).alias("is_dup")
     )
 
@@ -2525,7 +2541,7 @@ bg AS (
 bc AS (
   SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
 ug AS (
-  SELECT unnest(tk) AS term FROM toks),
+  SELECT unnest(tk) AS term FROM toks WHERE len(tk) >= 2),
 uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY term),
 tot AS (
   SELECT CAST((SELECT sum(c_ab) FROM bc) AS BIGINT) AS t,
@@ -2556,7 +2572,12 @@ WHERE b.c_ab >= 5
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tk = F.split(F.lower("text"), " ")
-    toks = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    # persisted: the tokenized frame feeds bigram generation, the
+    # unigram model AND the corpus totals -- without it the corpus
+    # re-tokenizes per consumer
+    toks = persist_tracked(
+        d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    )
     bg = toks.select(
         F.explode(
             F.zip_with(
@@ -2566,7 +2587,11 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    bc = persist_tracked(
+        bg.groupBy("bigram").agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab")
+        )
+    )
     ug = toks.select(F.explode("tk").alias("term"))
     uc = ug.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = bc.agg(F.sum("c_ab").cast("long").alias("t")).crossJoin(
@@ -2607,17 +2632,8 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "dedup_link_prediction",
-    oracle=r"""
-WITH n AS (
-  SELECT doc_id,
-         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
-  FROM documents),
-r AS (
-  SELECT doc_id, substr(norm, 1, 2) AS blk,
-         row_number() OVER (
-           PARTITION BY substr(norm, 1, 2)
-           ORDER BY substr(norm, 1, 24), doc_id) AS rn
-  FROM n),
+    oracle=f"""
+WITH {_SNM_RANK_SQL},
 pairs AS (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
          greatest(a.doc_id, b.doc_id) AS id_b
@@ -2658,33 +2674,12 @@ JOIN deg db ON db.node = c.id_b
         "anti-join and degree lookups are id-keyed equi-joins.",
 )
 def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    d = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
-    r = d.select(
-        "doc_id",
-        F.substring(norm, 1, 2).alias("blk"),
-        F.substring(norm, 1, 24).alias("key"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("blk").orderBy("key", "doc_id")
-        ),
-    )
-    a = r.select(
-        "blk",
-        F.col("doc_id").alias("__ida"),
-        F.explode(F.array(F.col("rn") + 1, F.col("rn") + 2)).alias("rn"),
-    )
-    b = r.select("blk", F.col("doc_id").alias("__idb"), "rn")
+    raw = _snm_pairs(spark, sf_dir)
     pairs = persist_tracked(
-        a.join(b, ["blk", "rn"])
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-        )
-        .distinct()
+        raw.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        ).distinct()
     )
     edges = persist_tracked(
         pairs.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
@@ -2717,11 +2712,8 @@ def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "common",
-            (
-                F.col("common") * 1000000
-                / (F.col("__da") + F.col("__db") - F.col("common"))
-            )
-            .cast("long")
-            .alias("jaccard_ppm"),
+            F.expr(
+                "common * 1000000 div (__da + __db - common)"
+            ).alias("jaccard_ppm"),
         )
     )
