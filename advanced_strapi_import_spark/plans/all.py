@@ -91,6 +91,8 @@ _FIRST = [
     "stream_hopping_window",
     "orders_cumulative_new_customers", "doc_bigram_pmi",
     "dedup_link_prediction", "orders_theil_sen_trend",
+    "doc_gazetteer_mentions", "part_brand_herfindahl",
+    "events_user_lorenz_gini",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -2098,3 +2098,97 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("ts_intercept", 4) + 0.0).alias("ts_intercept"),
         )
     )
+
+
+@query(
+    "part_brand_herfindahl",
+    oracle="""
+WITH b AS (
+  SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY p_type, p_brand),
+t AS (SELECT p_type, CAST(sum(n) AS BIGINT) AS tot FROM b GROUP BY p_type)
+SELECT b.p_type,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(max(t.tot) AS BIGINT) AS n_parts,
+       CAST(sum((b.n * 1000000 // t.tot) * (b.n * 1000000 // t.tot))
+            // 1000000 AS BIGINT) AS hhi_ppm
+FROM b JOIN t USING (p_type)
+GROUP BY b.p_type
+""",
+    doc="Herfindahl-Hirschman concentration index per part type: the "
+        "sum of squared brand market shares (ppm), the standard "
+        "concentration screen (10000+ ppm-of-ppm = monopolized "
+        "category; diversity floors for training-data sources use the "
+        "same statistic). Shares are integer ppm with floor division "
+        "— all arithmetic exact BIGINT in both engines (share <= 1e6, "
+        "square <= 1e12, brand count bounded). Two small aggregations "
+        "reusing one partitioning; nothing touches row-level data "
+        "twice.",
+)
+def part_brand_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "part").groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = b.groupBy("p_type").agg(F.sum("n").cast("long").alias("tot"))
+    share = F.expr("n * 1000000 div tot")
+    return (
+        b.join(F.broadcast(t), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.max("tot").cast("long").alias("n_parts"),
+            F.expr("CAST(sum((n * 1000000 div tot) * (n * 1000000 div tot))"
+                   " div 1000000 AS BIGINT)").alias("hhi_ppm"),
+        )
+    )
+
+
+@query(
+    "events_user_lorenz_gini",
+    oracle="""
+WITH x AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, n,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n, user_id) AS BIGINT) AS rnk
+  FROM x)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST((2 * sum(rnk * n) - (count(*) + 1) * sum(n)) * 1000000
+            // (count(*) * sum(n)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY event_type
+""",
+    doc="Gini coefficient of per-user activity per event type (the "
+        "Lorenz-curve inequality summary — 0 ppm = perfectly even "
+        "engagement, ~1e6 = one whale): computed from the rank "
+        "formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
+        "users ranked ascending, all integer arithmetic with one ppm "
+        "floor division — exact in both engines. The rank window is "
+        "partitioned by event type (no global sort); headroom: "
+        "sum(rank*x) < n_users * total_events must stay under 2^63 — "
+        "fine to ~1e9 users x 1e9 events per type; shard the rank by "
+        "user-id range and merge partial sums beyond that.",
+)
+def events_user_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    r = x.select(
+        "event_type", "n", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.expr(
+            "CAST((2 * sum(rnk * n) - (count(1) + 1) * sum(n)) * 1000000"
+            " div (count(1) * sum(n)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

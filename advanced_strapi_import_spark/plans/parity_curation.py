@@ -1172,3 +1172,57 @@ def source_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_excl, 4).alias("mean_excl"),
         F.round(mean_all - mean_excl, 6).alias("influence"),
     )
+
+
+@query(
+    "doc_gazetteer_mentions",
+    oracle="""
+WITH gaz(term, category) AS (VALUES
+  ('spark', 'engine'), ('table', 'storage'), ('merge', 'operation'),
+  ('hash', 'operation'), ('window', 'operation'), ('scan', 'operation')),
+toks AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+hits AS (
+  SELECT t.doc_id, t.source, g.term, g.category
+  FROM toks t JOIN gaz g USING (term))
+SELECT term, category,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM hits GROUP BY term, category
+""",
+    doc="Dictionary-based entity tagging (gazetteer NER): a curated "
+        "term -> category dictionary broadcast-joined against the "
+        "tokenized corpus, rolled up to per-entity document/mention/"
+        "source counts — the cheap entity-coverage scan run before "
+        "spending model inference on a corpus, and the shape of every "
+        "blocklist/allowlist tagger. The gazetteer is a literal "
+        "6-term VALUES table here; production swaps in a table of "
+        "any size — the plan (broadcast the dictionary, never shuffle "
+        "the corpus for the join, aggregate hits only) is unchanged "
+        "until the dictionary itself outgrows broadcast, at which "
+        "point the join key flips to the token with the corpus "
+        "already partitioned by it.",
+)
+def doc_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = spark.createDataFrame(
+        [
+            ("spark", "engine"), ("table", "storage"),
+            ("merge", "operation"), ("hash", "operation"),
+            ("window", "operation"), ("scan", "operation"),
+        ],
+        "term string, category string",
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    hits = toks.join(F.broadcast(gaz), "term")
+    return hits.groupBy("term", "category").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -135,6 +135,12 @@ CASES = [
     ("dedup_link_prediction", 40, {"bnlj": 0}),
     # monthly collapse first; pairwise slope join must broadcast
     ("orders_theil_sen_trend", 8, {"smj": 0, "bhj_min": 1}),
+    # gazetteer must broadcast; the corpus never shuffles for the join
+    ("doc_gazetteer_mentions", 2, {"smj": 0, "bhj_min": 1}),
+    # two tiny aggs + broadcast totals
+    ("part_brand_herfindahl", 4, {"smj": 0, "bhj_min": 1}),
+    # type-partitioned rank + type agg reuse one partitioning
+    ("events_user_lorenz_gini", 2, {"smj": 0}),
 ]
 
 
