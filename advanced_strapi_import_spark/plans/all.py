@@ -93,6 +93,7 @@ _FIRST = [
     "dedup_link_prediction", "orders_theil_sen_trend",
     "doc_gazetteer_mentions", "part_brand_herfindahl",
     "events_user_lorenz_gini",
+    "events_mutual_information", "embedding_mmr_topk",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -2192,3 +2192,69 @@ def events_user_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(1) * sum(n)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "events_mutual_information",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n FROM o GROUP BY 1),
+ct AS (SELECT bucket, CAST(sum(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o)
+SELECT o.event_type, o.bucket, o.obs,
+       round((o.obs * 1.0 / n.total)
+             * log2((o.obs * 1.0 * n.total) / (rt.row_n * 1.0 * ct.col_n)),
+             6) + 0.0 AS mi_term_bits,
+       round(sum((o.obs * 1.0 / n.total)
+             * log2((o.obs * 1.0 * n.total) / (rt.row_n * 1.0 * ct.col_n)))
+                 OVER (), 6) AS mi_bits
+FROM o
+JOIN rt USING (event_type) JOIN ct USING (bucket) CROSS JOIN n
+""",
+    doc="Mutual information (bits) between event type and user-id "
+        "bucket — the information-gain screen feature selection and "
+        "leakage detection run on categorical pairs (complements the "
+        "chi-square test: MI measures dependence STRENGTH on an "
+        "interpretable scale). Per-cell terms p(x,y) log2(p(x,y)/"
+        "(p(x)p(y))) come from exact integer counts via one double "
+        "expression written identically in both engines (+ 0.0 "
+        "normalizes a rounded -0.0 on independent-ish cells); the "
+        "total rides an unbounded window over the tiny cell frame. "
+        "Only observed cells contribute (obs > 0 by construction, so "
+        "no log(0); absent cells contribute 0 to MI by definition).",
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            "event_type", (F.col("user_id") % 10).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_n"))
+    ct = o.groupBy("bucket").agg(F.sum("obs").cast("long").alias("col_n"))
+    n = o.agg(F.sum("obs").cast("long").alias("total"))
+    term = (F.col("obs") * 1.0 / F.col("total")) * F.log2(
+        (F.col("obs") * 1.0 * F.col("total"))
+        / (F.col("row_n") * 1.0 * F.col("col_n"))
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "bucket",
+            "obs",
+            (F.round(term, 6) + 0.0).alias("mi_term_bits"),
+            F.round(F.sum(term).over(w), 6).alias("mi_bits"),
+        )
+    )

@@ -2717,3 +2717,219 @@ def dedup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_mmr_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+expl AS (SELECT query_id, neighbor_id,
+                unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+         FROM q, c WHERE query_id <> neighbor_id),
+dots AS (SELECT query_id, neighbor_id,
+                sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM expl GROUP BY query_id, neighbor_id),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+           FROM dots),
+cand AS (
+  SELECT query_id, neighbor_id, cos FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= 10),
+pexp AS (
+  SELECT a.query_id, a.neighbor_id AS id_i, b.neighbor_id AS id_j,
+         unnest(ei.embedding)::DOUBLE AS x, unnest(ej.embedding)::DOUBLE AS y
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+  JOIN embeddings ei ON ei.vec_id = a.neighbor_id
+  JOIN embeddings ej ON ej.vec_id = b.neighbor_id),
+psim AS (
+  SELECT query_id, id_i, id_j,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pexp GROUP BY query_id, id_i, id_j),
+s1 AS (
+  SELECT query_id, neighbor_id AS sel1, cos AS score1 FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM cand) WHERE rnk = 1),
+st2 AS (
+  SELECT c2.query_id, c2.neighbor_id,
+         floor((CAST(0.7 AS DOUBLE) * c2.cos
+               - CAST(0.3 AS DOUBLE) * ps.sim) * 1000000 + 0.5)
+             / 1000000 AS score2
+  FROM cand c2
+  JOIN s1 ON s1.query_id = c2.query_id AND c2.neighbor_id <> s1.sel1
+  JOIN psim ps ON ps.query_id = c2.query_id
+              AND ps.id_i = c2.neighbor_id AND ps.id_j = s1.sel1),
+s2 AS (
+  SELECT query_id, neighbor_id AS sel2, score2 FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score2 DESC, neighbor_id) AS rnk
+    FROM st2) WHERE rnk = 1),
+st3 AS (
+  SELECT c3.query_id, c3.neighbor_id,
+         floor((CAST(0.7 AS DOUBLE) * c3.cos
+               - CAST(0.3 AS DOUBLE) * greatest(pa.sim, pb.sim)) * 1000000
+               + 0.5) / 1000000 AS score3
+  FROM cand c3
+  JOIN s1 ON s1.query_id = c3.query_id AND c3.neighbor_id <> s1.sel1
+  JOIN s2 ON s2.query_id = c3.query_id AND c3.neighbor_id <> s2.sel2
+  JOIN psim pa ON pa.query_id = c3.query_id
+              AND pa.id_i = c3.neighbor_id AND pa.id_j = s1.sel1
+  JOIN psim pb ON pb.query_id = c3.query_id
+              AND pb.id_i = c3.neighbor_id AND pb.id_j = s2.sel2),
+s3 AS (
+  SELECT query_id, neighbor_id AS sel3, score3 FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score3 DESC, neighbor_id) AS rnk
+    FROM st3) WHERE rnk = 1)
+SELECT query_id, 1 AS mmr_rank, sel1 AS vec_id, score1 AS mmr_score FROM s1
+UNION ALL
+SELECT query_id, 2, sel2, score2 FROM s2
+UNION ALL
+SELECT query_id, 3, sel3, score3 FROM s3
+""",
+    doc="Maximal Marginal Relevance diversified retrieval (lambda=0.7, "
+        "3 greedy picks from the exact top-10 candidate pool): each "
+        "step takes argmax of 0.7*rel(q,d) - 0.3*max_sim(d, selected) "
+        "— the de-duplicating reranker for RAG context assembly "
+        "(pure-relevance top-k hands the generator near-identical "
+        "passages; MMR trades redundancy for coverage). The greedy "
+        "recursion is unrolled into three deterministic window "
+        "argmaxes over ROUNDED-6 scores with vec_id tie-breaks, so "
+        "both engines select identical sets; candidate-candidate "
+        "similarities come from a 10 x 10 per-query join computed "
+        "once. At scale the candidate pool comes from the IVF/LSH "
+        "serve path instead of brute force; the MMR stage itself "
+        "touches k^2 rows per query regardless of corpus size.",
+)
+def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    cand = persist_tracked(
+        S.cosine_topk(queries, emb, k=10).select("query_id", "neighbor_id", "cos")
+    )
+    ev = emb.select("vec_id", "embedding")
+    ca = cand.select("query_id", F.col("neighbor_id").alias("id_i"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("id_j"))
+    psim = persist_tracked(
+        ca.join(cb, "query_id")
+        .filter(F.col("id_i") != F.col("id_j"))
+        .join(ev.select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("__vi")), "id_i")
+        .join(ev.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("__vj")), "id_j")
+        .select(
+            "query_id", "id_i", "id_j",
+            F.round(S.cosine(F.col("__vi"), F.col("__vj"), 64), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    s1 = (
+        cand.withColumn("rnk", F.row_number().over(w_cand))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("sel1"), F.col("cos").alias("score1"))
+    )
+    # the selection frames are one row per query and psim is k^2 per
+    # query — broadcast them all; behind persisted subtrees Catalyst
+    # lacks the stats and would sort-merge 6-row joins
+    st2 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .filter(F.col("neighbor_id") != F.col("sel1"))
+        .join(
+            F.broadcast(
+                psim.select("query_id", F.col("id_i").alias("neighbor_id"),
+                            F.col("id_j").alias("sel1"), "sim")
+            ),
+            ["query_id", "neighbor_id", "sel1"],
+        )
+        .select(
+            "query_id", "neighbor_id",
+            # floor(x*1e6+0.5)/1e6: engine-identical half-up at 6
+            # decimals (Spark round() sees the shortest decimal repr,
+            # DuckDB the binary double — they disagree on exact .5s)
+            (
+                F.floor(
+                    (0.7 * F.col("cos") - 0.3 * F.col("sim")) * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("score2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score2").desc(), F.col("neighbor_id")
+    )
+    s2 = (
+        st2.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("sel2"), "score2")
+    )
+    st3 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .join(F.broadcast(s2), "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("sel1"))
+            & (F.col("neighbor_id") != F.col("sel2"))
+        )
+        .join(
+            F.broadcast(
+                psim.select("query_id", F.col("id_i").alias("neighbor_id"),
+                            F.col("id_j").alias("sel1"),
+                            F.col("sim").alias("__sa"))
+            ),
+            ["query_id", "neighbor_id", "sel1"],
+        )
+        .join(
+            F.broadcast(
+                psim.select("query_id", F.col("id_i").alias("neighbor_id"),
+                            F.col("id_j").alias("sel2"),
+                            F.col("sim").alias("__sb"))
+            ),
+            ["query_id", "neighbor_id", "sel2"],
+        )
+        .select(
+            "query_id", "neighbor_id",
+            (
+                F.floor(
+                    (0.7 * F.col("cos") - 0.3 * F.greatest("__sa", "__sb"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("score3"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("score3").desc(), F.col("neighbor_id")
+    )
+    s3 = (
+        st3.withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("sel3"), "score3")
+    )
+    return (
+        s1.select(
+            "query_id", F.lit(1).alias("mmr_rank"),
+            F.col("sel1").alias("vec_id"), F.col("score1").alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id", F.lit(2).alias("mmr_rank"),
+                F.col("sel2").alias("vec_id"), F.col("score2").alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id", F.lit(3).alias("mmr_rank"),
+                F.col("sel3").alias("vec_id"), F.col("score3").alias("mmr_score"),
+            )
+        )
+    )

@@ -141,6 +141,13 @@ CASES = [
     ("part_brand_herfindahl", 4, {"smj": 0, "bhj_min": 1}),
     # type-partitioned rank + type agg reuse one partitioning
     ("events_user_lorenz_gini", 2, {"smj": 0}),
+    # cell agg + broadcast marginals + tiny-frame window
+    ("events_mutual_information", 8, {"smj": 0, "bhj_min": 1}),
+    # persisted cand/psim subtrees reprint per reference (exch/bnlj
+    # inflation; the BNLJs are the broadcast crossJoin exactness
+    # baseline inside cosine_topk). Binding: selection joins must
+    # broadcast, only the corpus-sized psim build may sort-merge
+    ("embedding_mmr_topk", 45, {"smj": 6, "bhj_min": 6}),
 ]
 
 
