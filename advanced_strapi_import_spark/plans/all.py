@@ -94,6 +94,7 @@ _FIRST = [
     "doc_gazetteer_mentions", "part_brand_herfindahl",
     "events_user_lorenz_gini",
     "events_mutual_information", "embedding_mmr_topk",
+    "multimodal_ahash_pairs",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

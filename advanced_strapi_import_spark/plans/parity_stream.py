@@ -767,3 +767,117 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ST.run_available_now(agg, output_mode="append", no_data_batch=True)
+
+
+@query(
+    "multimodal_ahash_pairs",
+    oracle="""
+WITH payload AS (
+  SELECT doc_id, substr(text, 1, 252) AS px, length(text) AS n
+  FROM documents WHERE length(text) >= 252),
+blocks AS (
+  SELECT doc_id, unnest(range(0, 63)) AS b, px FROM payload),
+bsum AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS b,
+         CAST(ascii(substr(px, CAST(b AS INT) * 4 + 1, 1))
+            + ascii(substr(px, CAST(b AS INT) * 4 + 2, 1))
+            + ascii(substr(px, CAST(b AS INT) * 4 + 3, 1))
+            + ascii(substr(px, CAST(b AS INT) * 4 + 4, 1)) AS BIGINT)
+             AS s
+  FROM blocks),
+tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM bsum GROUP BY doc_id),
+hash AS (
+  SELECT bsum.doc_id,
+         CAST(sum(CASE WHEN bsum.s * 63 >= tot.total
+                       THEN (CAST(1 AS BIGINT) << bsum.b) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM bsum JOIN tot ON tot.doc_id = bsum.doc_id
+  GROUP BY bsum.doc_id),
+chunks AS (
+  SELECT doc_id, ahash, unnest(range(0, 4)) AS ci FROM hash),
+keys AS (
+  SELECT doc_id, ahash, CAST(ci AS BIGINT) AS ci,
+         (ahash >> (CAST(ci AS INT) * 16)) & 65535 AS ck
+  FROM chunks)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM keys a JOIN keys b
+  ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+""",
+    doc="Perceptual average-hash near-dup over BINARY payloads (the "
+        "image-dedup pattern, driven here on the documents bytes the "
+        "multimodal suite uses as its codec-free payload): the first "
+        "252 bytes split into 63 4-byte blocks, each block's sum "
+        "compared to the global mean via integer cross-multiply "
+        "(s*64 >= total — no division, exact in both engines) to "
+        "form a 63-bit signature (bit 63 stays clear — a set sign bit "
+        "overflows DuckDB's BIGINT shift and wraps Java's); candidate pairs come from the "
+        "pigeonhole 16-bit-chunk equi-join (hamming <= 3 implies an "
+        "equal chunk among 4 — same bucketing discipline as "
+        "dedup_hamming_pairs, never all-pairs) and verify with "
+        "bit_count(xor). At 100 TB the signature pass is one "
+        "map-side scan of the payload column; only 8-byte hashes "
+        "shuffle.",
+)
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = d.filter(F.length("text") >= 252).select(
+        "doc_id", F.substring("text", 1, 252).alias("px")
+    )
+    b = F.col("b")
+    bsum = payload.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("b"),
+        "px",
+    ).select(
+        "doc_id",
+        b.cast("long").alias("b"),
+        (
+            F.ascii(F.col("px").substr(b * 4 + 1, F.lit(1)))
+            + F.ascii(F.col("px").substr(b * 4 + 2, F.lit(1)))
+            + F.ascii(F.col("px").substr(b * 4 + 3, F.lit(1)))
+            + F.ascii(F.col("px").substr(b * 4 + 4, F.lit(1)))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    tot = bsum.groupBy("doc_id").agg(F.sum("s").cast("long").alias("total"))
+    hash_df = (
+        bsum.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") * 63 >= F.col("total"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("ahash")
+        )
+    )
+    keys = hash_df.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
+    ).select(
+        "doc_id",
+        "ahash",
+        F.col("ci").cast("long").alias("ci"),
+        F.expr("shiftright(ahash, CAST(ci AS INT) * 16) & 65535").alias("ck"),
+    )
+    ka = keys.select(
+        "ci", "ck", F.col("doc_id").alias("id_a"), F.col("ahash").alias("__ha")
+    )
+    kb = keys.select(
+        "ci", "ck", F.col("doc_id").alias("id_b"), F.col("ahash").alias("__hb")
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        ka.join(kb, ["ci", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= 3)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )

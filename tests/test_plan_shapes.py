@@ -148,6 +148,8 @@ CASES = [
     # baseline inside cosine_topk). Binding: selection joins must
     # broadcast, only the corpus-sized psim build may sort-merge
     ("embedding_mmr_topk", 45, {"smj": 6, "bhj_min": 6}),
+    # signature agg + chunk-bucket equi-join; 8-byte hashes shuffle
+    ("multimodal_ahash_pairs", 4, {"smj": 0, "bnlj": 0}),
 ]
 
 
