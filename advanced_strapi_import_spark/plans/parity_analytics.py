@@ -2130,7 +2130,6 @@ def part_brand_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     t = b.groupBy("p_type").agg(F.sum("n").cast("long").alias("tot"))
-    share = F.expr("n * 1000000 div tot")
     return (
         b.join(F.broadcast(t), "p_type")
         .groupBy("p_type")
@@ -2167,10 +2166,12 @@ FROM r GROUP BY event_type
         "formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
         "users ranked ascending, all integer arithmetic with one ppm "
         "floor division — exact in both engines. The rank window is "
-        "partitioned by event type (no global sort); headroom: "
-        "sum(rank*x) < n_users * total_events must stay under 2^63 — "
-        "fine to ~1e9 users x 1e9 events per type; shard the rank by "
-        "user-id range and merge partial sums beyond that.",
+        "partitioned by event type (no global sort); headroom: the "
+        "ppm numerator multiplies sum(rank*x) ~ n_users * "
+        "total_events by 1e6, so the exact-BIGINT bound is "
+        "n_users * total_events < ~9.2e12 (2^63 / 1e6) per type — "
+        "beyond that, drop the 1e6 into the final division or widen "
+        "to DECIMAL(38,0) (DuckDB already sums in HUGEINT).",
 )
 def events_user_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2210,7 +2211,7 @@ SELECT o.event_type, o.bucket, o.obs,
              6) + 0.0 AS mi_term_bits,
        round(sum((o.obs * 1.0 / n.total)
              * log2((o.obs * 1.0 * n.total) / (rt.row_n * 1.0 * ct.col_n)))
-                 OVER (), 6) AS mi_bits
+                 OVER (), 6) + 0.0 AS mi_bits
 FROM o
 JOIN rt USING (event_type) JOIN ct USING (bucket) CROSS JOIN n
 """,
@@ -2255,6 +2256,8 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "obs",
             (F.round(term, 6) + 0.0).alias("mi_term_bits"),
-            F.round(F.sum(term).over(w), 6).alias("mi_bits"),
+            # + 0.0: near-independent pairs sum to a tiny negative MI
+            # that rounds to -0.0 in DuckDB but +0.0 in Spark
+            (F.round(F.sum(term).over(w), 6) + 0.0).alias("mi_bits"),
         )
     )

@@ -2812,15 +2812,24 @@ SELECT query_id, 3, sel3, score3 FROM s3
 def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
+    # keep the helper's rank column: cosine_topk already ranks by
+    # (cos desc, neighbor_id) — re-deriving the window here would
+    # duplicate tie-break logic that could silently drift
     cand = persist_tracked(
-        S.cosine_topk(queries, emb, k=10).select("query_id", "neighbor_id", "cos")
+        S.cosine_topk(queries, emb, k=10).select(
+            "query_id", "neighbor_id", "cos", "rank"
+        )
     )
     ev = emb.select("vec_id", "embedding")
     ca = cand.select("query_id", F.col("neighbor_id").alias("id_i"))
     cb = cand.select("query_id", F.col("neighbor_id").alias("id_j"))
-    psim = persist_tracked(
+    # cosine is symmetric: evaluate the unrolled fold only for
+    # id_i < id_j (half the rows through the corpus-sized joins and
+    # half the ~192-term sums), then project the mirror from the
+    # persisted half
+    half = persist_tracked(
         ca.join(cb, "query_id")
-        .filter(F.col("id_i") != F.col("id_j"))
+        .filter(F.col("id_i") < F.col("id_j"))
         .join(ev.select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("__vi")), "id_i")
         .join(ev.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("__vj")), "id_j")
         .select(
@@ -2828,15 +2837,20 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(S.cosine(F.col("__vi"), F.col("__vj"), 64), 6).alias("sim"),
         )
     )
+    psim = half.unionByName(
+        half.select(
+            "query_id",
+            F.col("id_j").alias("id_i"),
+            F.col("id_i").alias("id_j"),
+            "sim",
+        )
+    )
     from pyspark.sql import Window
 
-    w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    s1 = (
-        cand.withColumn("rnk", F.row_number().over(w_cand))
-        .filter(F.col("rnk") == 1)
-        .select("query_id", F.col("neighbor_id").alias("sel1"), F.col("cos").alias("score1"))
+    s1 = cand.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("sel1"),
+        F.col("cos").alias("score1"),
     )
     # the selection frames are one row per query and psim is k^2 per
     # query — broadcast them all; behind persisted subtrees Catalyst

@@ -810,7 +810,7 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         "multimodal suite uses as its codec-free payload): the first "
         "252 bytes split into 63 4-byte blocks, each block's sum "
         "compared to the global mean via integer cross-multiply "
-        "(s*64 >= total — no division, exact in both engines) to "
+        "(s*63 >= total — no division, exact in both engines) to "
         "form a 63-bit signature (bit 63 stays clear — a set sign bit "
         "overflows DuckDB's BIGINT shift and wraps Java's); candidate pairs come from the "
         "pigeonhole 16-bit-chunk equi-join (hamming <= 3 implies an "
@@ -821,6 +821,10 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         "shuffle.",
 )
 def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from advanced_strapi_import_spark.operators import dedup as D
+
     d = load(spark, sf_dir, "documents")
     payload = d.filter(F.length("text") >= 252).select(
         "doc_id", F.substring("text", 1, 252).alias("px")
@@ -842,9 +846,13 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s"),
     )
-    tot = bsum.groupBy("doc_id").agg(F.sum("s").cast("long").alias("total"))
+    # total via an unbounded window on the SAME doc_id partitioning —
+    # a separate aggregate + join would re-scan the payload and
+    # re-evaluate the 63x4 substr/ascii block (no shared Exchange for
+    # ReuseExchange to dedupe once the tiny side broadcasts)
+    w_doc = Window.partitionBy("doc_id")
     hash_df = (
-        bsum.join(tot, "doc_id")
+        bsum.withColumn("total", F.sum("s").over(w_doc))
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -857,27 +865,11 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ahash")
         )
     )
-    keys = hash_df.select(
-        "doc_id",
-        "ahash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
-    ).select(
-        "doc_id",
-        "ahash",
-        F.col("ci").cast("long").alias("ci"),
-        F.expr("shiftright(ahash, CAST(ci AS INT) * 16) & 65535").alias("ck"),
-    )
-    ka = keys.select(
-        "ci", "ck", F.col("doc_id").alias("id_a"), F.col("ahash").alias("__ha")
-    )
-    kb = keys.select(
-        "ci", "ck", F.col("doc_id").alias("id_b"), F.col("ahash").alias("__hb")
-    )
-    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    # the pigeonhole chunk bucketing + lowest-shared-chunk dedup (no
+    # distinct shuffle) is exactly operators/dedup.hamming_pairs with
+    # 64-bit chunking — bit 63 of the 63-bit hash is simply never set
+    fp = hash_df.select("doc_id", "ahash").toDF("id", "simhash")
     return (
-        ka.join(kb, ["ci", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(ham <= 3)
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .distinct()
+        D.hamming_pairs(fp, max_distance=3, bits=64)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

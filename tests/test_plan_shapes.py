@@ -147,9 +147,11 @@ CASES = [
     # inflation; the BNLJs are the broadcast crossJoin exactness
     # baseline inside cosine_topk). Binding: selection joins must
     # broadcast, only the corpus-sized psim build may sort-merge
-    ("embedding_mmr_topk", 45, {"smj": 6, "bhj_min": 6}),
-    # signature agg + chunk-bucket equi-join; 8-byte hashes shuffle
-    ("multimodal_ahash_pairs", 4, {"smj": 0, "bnlj": 0}),
+    # the persisted half-matrix union doubles printed subtrees
+    ("embedding_mmr_topk", 50, {"smj": 10, "bhj_min": 6}),
+    # signature agg (window total, one payload scan) + hamming_pairs
+    # chunk union reprints the hash subtree per branch
+    ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
 ]
 
 
