@@ -95,6 +95,8 @@ _FIRST = [
     "events_user_lorenz_gini",
     "events_mutual_information", "embedding_mmr_topk",
     "multimodal_ahash_pairs",
+    "orders_seasonal_index", "events_sequential_rules",
+    "events_entropy_rate", "lineitem_kaplan_meier",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -2261,3 +2261,238 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(term).over(w), 6) + 0.0).alias("mi_bits"),
         )
     )
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+WITH m AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+             + month(o_orderdate) - 1 AS ym,
+         CAST(month(o_orderdate) AS INT) AS moy,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+per_moy AS (
+  SELECT moy, CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM m GROUP BY moy),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(cents) AS BIGINT) AS c_all
+  FROM m)
+SELECT p.moy, p.n_months,
+       round(p.cents / 100.0, 2) AS revenue,
+       CAST(p.cents * t.n_all * 100 // (p.n_months * t.c_all) AS BIGINT)
+           AS seasonal_index_pct
+FROM per_moy p CROSS JOIN tot t
+""",
+    doc="Ratio-to-overall seasonal index per calendar month: average "
+        "month-of-year revenue over all years vs the all-months "
+        "average, as an integer percent via cross-multiplication "
+        "(sum_m * n_all * 100 div (n_m * sum_all) — no intermediate "
+        "float averages, exact BIGINT in both engines; headroom: "
+        "cents * months * 100 must stay under 2^63, fine to ~1e15 "
+        "total cents). The classic deseasonalization prefactor; 100 "
+        "means an average month, 120 a +20% month. Two tiny "
+        "aggregations over the 84-row monthly frame.",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate").cast("long") - 1992) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("ym"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per_moy = m.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("c_all"),
+    )
+    return per_moy.crossJoin(F.broadcast(tot)).select(
+        "moy",
+        "n_months",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.expr("CAST(cents * n_all * 100 div (n_months * c_all) AS BIGINT)")
+        .alias("seasonal_index_pct"),
+    )
+
+
+@query(
+    "events_sequential_rules",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+bg AS (
+  SELECT lag(event_type) OVER w2 AS a, event_type AS b
+  FROM seq
+  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+b2 AS (SELECT a, b FROM bg WHERE a IS NOT NULL),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM b2 GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+tt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS total FROM cab)
+SELECT cab.a, cab.b, cab.c_ab,
+       CAST(cab.c_ab * 1000000 // tt.total AS BIGINT) AS support_ppm,
+       CAST(cab.c_ab * 1000000 // ca.c_a AS BIGINT) AS confidence_ppm,
+       CAST(cab.c_ab * tt.total * 1000000
+            // (ca.c_a * cb.c_b) AS BIGINT) AS lift_ppm
+FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tt
+WHERE cab.c_ab >= 10
+""",
+    doc="Sequential rule mining over sessionized event streams: "
+        "within-session consecutive (A -> B) transitions with "
+        "support, confidence and lift in exact integer ppm (floor "
+        "division, identical BIGINT math both engines; headroom "
+        "c_ab * total * 1e6 < 2^63 holds to ~1e8 bigrams, then scale "
+        "the lift factor down). The next-action model behind "
+        "recommendation triggers and funnel-repair analysis; the "
+        "sessionize+lag windows reuse one user-hash partitioning and "
+        "the rule frame is types^2 rows joined against broadcast "
+        "marginals.",
+)
+def events_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    s = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    seq = s.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    bg = seq.select(
+        F.lag("event_type").over(w2).alias("a"),
+        F.col("event_type").alias("b"),
+    ).filter(F.col("a").isNotNull())
+    cab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    cb = cab.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_b"))
+    tt = cab.agg(F.sum("c_ab").cast("long").alias("total"))
+    return (
+        cab.filter(F.col("c_ab") >= 10)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr("CAST(c_ab * 1000000 div total AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(c_ab * 1000000 div c_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(c_ab * total * 1000000 div (c_a * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@query(
+    "events_entropy_rate",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type FROM events),
+tr AS (
+  SELECT lag(event_type) OVER w AS a, event_type AS b
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t2 AS (SELECT a, b FROM tr WHERE a IS NOT NULL),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM t2 GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+tt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS total FROM cab),
+h AS (
+  SELECT cab.a, ca.c_a,
+         -sum((cab.c_ab * 1.0 / ca.c_a)
+              * log2(cab.c_ab * 1.0 / ca.c_a)) AS h_a
+  FROM cab JOIN ca USING (a) GROUP BY cab.a, ca.c_a)
+SELECT h.a AS state,
+       CAST(h.c_a * 1000000 // tt.total AS BIGINT) AS p_state_ppm,
+       round(h.h_a, 6) + 0.0 AS h_bits,
+       round(sum((h.c_a * 1.0 / tt.total) * h.h_a) OVER (), 6) + 0.0
+           AS entropy_rate_bits
+FROM h CROSS JOIN tt
+""",
+    doc="Entropy rate of the per-user event-type Markov chain: "
+        "per-state conditional entropy H(next | state) and the "
+        "chain's entropy rate sum_i p(i) H(.|i) — how predictable "
+        "user behavior is, the information-theoretic counterpart of "
+        "the transition matrix (low rate = deterministic funnels, "
+        "high = exploratory traffic). All probabilities are exact "
+        "count ratios evaluated in one double expression per "
+        "transition cell; per-state sums run over <= |types| "
+        "identically-built terms and the rate rides a window over "
+        "the tiny state frame (+ 0.0 guards the rounded -0.0 when a "
+        "state is perfectly predictable). One lag window + one "
+        "types^2 aggregation.",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.lag("event_type").over(w).alias("a"),
+        F.col("event_type").alias("b"),
+    ).filter(F.col("a").isNotNull())
+    cab = tr.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    tt = cab.agg(F.sum("c_ab").cast("long").alias("total"))
+    p = F.col("c_ab") * 1.0 / F.col("c_a")
+    h = (
+        cab.join(F.broadcast(ca), "a")
+        .groupBy("a", "c_a")
+        .agg((-F.sum(p * F.log2(p))).alias("h_a"))
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.crossJoin(F.broadcast(tt)).select(
+        F.col("a").alias("state"),
+        F.expr("CAST(c_a * 1000000 div total AS BIGINT)").alias(
+            "p_state_ppm"
+        ),
+        (F.round("h_a", 6) + 0.0).alias("h_bits"),
+        (
+            F.round(
+                F.sum((F.col("c_a") * 1.0 / F.col("total")) * F.col("h_a"))
+                .over(wall),
+                6,
+            )
+            + 0.0
+        ).alias("entropy_rate_bits"),
+    )

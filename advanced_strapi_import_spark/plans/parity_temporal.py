@@ -303,3 +303,116 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         "n_clusters", "n_docs", "n_dropped",
     )
+
+
+@query(
+    "lineitem_kaplan_meier",
+    oracle="""
+WITH obs AS (
+  SELECT l.l_returnflag AS flag,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS t,
+         CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+                 CAST(l.l_shipdate AS DATE)) >= 0),
+n0 AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY flag),
+per_t AS (
+  SELECT flag, CAST(t AS BIGINT) AS t,
+         CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) - sum(ev) AS BIGINT) AS c
+  FROM obs GROUP BY flag, t),
+risk AS (
+  SELECT p.flag, p.t, p.d,
+         n0.n - CAST(coalesce(sum(p.d + p.c) OVER (
+             PARTITION BY p.flag ORDER BY p.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t p JOIN n0 ON n0.flag = p.flag),
+km AS (
+  SELECT flag, t, d, n_risk,
+         CASE WHEN min((n_risk - d) * 1.0 / n_risk) OVER win = 0 THEN 0.0
+              ELSE exp(sum(ln((n_risk - d) * 1.0 / n_risk)) OVER win)
+         END AS s
+  FROM risk
+  WINDOW win AS (PARTITION BY flag ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT flag, t, n_risk, d, round(s, 6) + 0.0 AS survival
+FROM km WHERE d > 0
+""",
+    doc="Kaplan-Meier survival estimator for time-to-ship per return "
+        "flag, with open lines (l_linestatus = 'O') as right-censored "
+        "observations — the product-limit curve behind "
+        "time-to-conversion / churn / SLA analyses, here on the only "
+        "duration the synthetic schema carries (negative synthetic "
+        "delays are excluded up front). At-risk counts come from an "
+        "EXCLUSIVE cumulative sum of (events + censored) per flag; "
+        "the product-limit is exp(cumsum(ln(1 - d/n))) over the "
+        "frame-ordered event times (identical fold order in both "
+        "engines), with a windowed-min guard so a zero factor pins "
+        "the curve to exactly 0 instead of feeding ln(0) (Spark "
+        "ln(0) is NULL, DuckDB -inf — the guard keeps both engines "
+        "off that path). One shuffle to (flag, day) cells, windows "
+        "over the per-day frame — row count never enters the "
+        "windowed stage.",
+)
+def lineitem_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    t = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    obs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            t.alias("t"),
+            F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+        .filter(F.col("t") >= 0)
+    )
+    n0 = obs.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_t = obs.groupBy("flag", F.col("t").cast("long").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+    )
+    w_excl = (
+        Window.partitionBy("flag")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_t.join(F.broadcast(n0), "flag").select(
+        "flag",
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    factor = (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+    s = F.when(F.min(factor).over(win) == 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(win))
+    )
+    return (
+        risk.withColumn("s", s)
+        .filter(F.col("d") > 0)
+        .select(
+            "flag",
+            "t",
+            "n_risk",
+            "d",
+            (F.round("s", 6) + 0.0).alias("survival"),
+        )
+    )
