@@ -97,6 +97,7 @@ _FIRST = [
     "multimodal_ahash_pairs",
     "orders_seasonal_index", "events_sequential_rules",
     "events_entropy_rate", "lineitem_kaplan_meier",
+    "events_daily_peaks", "customer_rfm_migration",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -660,3 +660,147 @@ def orders_cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("n_new").over(w).cast("long").alias("cum_customers"),
         )
     )
+
+
+@query(
+    "events_daily_peaks",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, n,
+         lag(n) OVER (ORDER BY day) AS prev_n,
+         lead(n) OVER (ORDER BY day) AS next_n,
+         CAST(quantile_cont(n, 0.5) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+             AS local_med
+  FROM d)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, prev_n, next_n,
+       round(local_med, 2) AS local_median,
+       n * 10 >= CAST(local_med * 12 AS DOUBLE) AS prominent
+FROM w
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+""",
+    doc="Local-maxima peak detection on the daily event-count series: "
+        "days strictly above both neighbors (lag/lead), annotated "
+        "with the centered 7-day rolling MEDIAN (an exact "
+        "interpolated percentile over a rows frame — both engines "
+        "use the same (1-f)*lo + f*hi rule on identical frames) and "
+        "a prominence flag n >= 1.2 x local median evaluated as the "
+        "integer cross-product n*10 >= med*12 so the threshold "
+        "cannot float-drift. The traffic-spike screen feeding "
+        "anomaly triage; the window runs over the DAY domain "
+        "(calendar-bounded), row-level data reduces in one "
+        "aggregation.",
+)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("day")
+    wf = w.rowsBetween(-3, 3)
+    med = F.expr("percentile(n, 0.5)").over(wf).cast("double")
+    out = d.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+        med.alias("local_med"),
+    )
+    return (
+        out.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "prev_n",
+            "next_n",
+            F.round("local_med", 2).alias("local_median"),
+            (
+                F.col("n") * 10
+                >= (F.col("local_med") * 12).cast("double")
+            ).alias("prominent"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_migration",
+    oracle="""
+WITH mid AS (SELECT TIMESTAMP '1995-06-01 00:00:00' AS cut),
+p1 AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders, mid WHERE o_orderdate < mid.cut GROUP BY o_custkey),
+p2 AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders, mid WHERE o_orderdate >= mid.cut GROUP BY o_custkey),
+q1 AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS INT) AS quintile
+  FROM p1),
+q2 AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS INT) AS quintile
+  FROM p2)
+SELECT coalesce(q1.quintile, 0) AS from_quintile,
+       coalesce(q2.quintile, 0) AS to_quintile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM q1 FULL OUTER JOIN q2 ON q1.o_custkey = q2.o_custkey
+GROUP BY 1, 2
+""",
+    doc="Customer value-segment migration matrix: spend quintiles in "
+        "the first half of the window vs the second (ntile ordered by "
+        "exact cents with customer-id tie-break — fully "
+        "deterministic), full-outer joined so churned (to 0) and "
+        "newly-acquired (from 0) customers appear as their own "
+        "matrix border — the segment-flow report behind retention "
+        "planning. The ntile windows are unpartitioned but run on "
+        "the per-customer AGGREGATE (one row per customer, after the "
+        "fact table collapses); at larger scale swap ntile for a "
+        "percentile-cut broadcast join against the same aggregate. "
+        "One customer-key full-outer join of two slim frames.",
+)
+def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cut = "1995-06-01 00:00:00"
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    ).cast("long")
+    p1 = (
+        o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(cents.alias("cents"))
+    )
+    p2 = (
+        o.filter(F.col("o_orderdate") >= F.lit(cut).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(cents.alias("cents"))
+    )
+    wq = Window.orderBy("cents", "o_custkey")
+    q1 = p1.select(
+        "o_custkey", F.ntile(5).over(wq).cast("int").alias("q1")
+    )
+    q2 = p2.select(
+        "o_custkey", F.ntile(5).over(wq).cast("int").alias("q2")
+    )
+    return (
+        q1.join(q2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("q1", F.lit(0)).alias("from_quintile"),
+            F.coalesce("q2", F.lit(0)).alias("to_quintile"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

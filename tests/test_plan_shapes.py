@@ -160,6 +160,11 @@ CASES = [
     ("events_entropy_rate", 10, {"smj": 0, "bhj_min": 1}),
     # fact join broadcasts; windows run over the (flag, day) frame
     ("lineitem_kaplan_meier", 3, {"smj": 0, "bhj_min": 1}),
+    # day-domain windows only; one aggregation off the fact table
+    ("events_daily_peaks", 2, {"smj": 0, "bnlj": 0}),
+    # the ONE smj is the customer-key FULL OUTER join — full outer
+    # cannot broadcast in Spark, shuffle join is the correct shape
+    ("customer_rfm_migration", 5, {"smj": 1, "bnlj": 0}),
 ]
 
 
