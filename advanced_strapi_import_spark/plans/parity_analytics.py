@@ -2278,8 +2278,9 @@ per_moy AS (
          CAST(sum(cents) AS BIGINT) AS cents
   FROM m GROUP BY moy),
 tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(cents) AS BIGINT) AS c_all
-  FROM m)
+  SELECT CAST(sum(n_months) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS c_all
+  FROM per_moy)
 SELECT p.moy, p.n_months,
        round(p.cents / 100.0, 2) AS revenue,
        CAST(p.cents * t.n_all * 100 // (p.n_months * t.c_all) AS BIGINT)
@@ -2314,8 +2315,11 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_months"),
         F.sum("cents").cast("long").alias("cents"),
     )
-    tot = m.agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
+    # totals derive from the 12-row per_moy frame (sum of per-month
+    # month-counts/cents equals the all-months totals) — aggregating m
+    # again would re-scan orders
+    tot = per_moy.agg(
+        F.sum("n_months").cast("long").alias("n_all"),
         F.sum("cents").cast("long").alias("c_all"),
     )
     return per_moy.crossJoin(F.broadcast(tot)).select(
@@ -2363,9 +2367,12 @@ WHERE cab.c_ab >= 10
     doc="Sequential rule mining over sessionized event streams: "
         "within-session consecutive (A -> B) transitions with "
         "support, confidence and lift in exact integer ppm (floor "
-        "division, identical BIGINT math both engines; headroom "
-        "c_ab * total * 1e6 < 2^63 holds to ~1e8 bigrams, then scale "
-        "the lift factor down). The next-action model behind "
+        "division, identical BIGINT math both engines; headroom: the "
+        "lift numerator c_ab * total * 1e6 is exact while c_ab * total "
+        "< ~9.2e12 — at larger streams drop the 1e6 into the final "
+        "division or widen to DECIMAL(38,0); Spark would wrap "
+        "silently off ANSI while DuckDB errors, so the bound is a "
+        "parity line, not just overflow). The next-action model behind "
         "recommendation triggers and funnel-repair analysis; the "
         "sessionize+lag windows reuse one user-hash partitioning and "
         "the rule frame is types^2 rows joined against broadcast "
@@ -2374,27 +2381,22 @@ WHERE cab.c_ab >= 10
 def events_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    gap = us - F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
-    s = e.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
-    )
-    seq = s.withColumn(
-        "sid",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    from advanced_strapi_import_spark.caching import persist_tracked
+    from advanced_strapi_import_spark.plans.registry import sessionize
+
+    seq = sessionize(load_events(spark, sf_dir))
     w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
     bg = seq.select(
         F.lag("event_type").over(w2).alias("a"),
         F.col("event_type").alias("b"),
     ).filter(F.col("a").isNotNull())
-    cab = bg.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c_ab")
+    # persisted: cab feeds the marginals, the total AND the final
+    # select — unpersisted, the two sessionize windows re-run per
+    # consumer
+    cab = persist_tracked(
+        bg.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab")
+        )
     )
     ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
     cb = cab.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_b"))
@@ -2467,11 +2469,17 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("a"),
         F.col("event_type").alias("b"),
     ).filter(F.col("a").isNotNull())
-    cab = tr.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c_ab")
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    # persisted: cab feeds the marginal, the total and the entropy agg
+    # — unpersisted, the user-partition lag window re-runs per consumer
+    cab = persist_tracked(
+        tr.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab")
+        )
     )
     ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
-    tt = cab.agg(F.sum("c_ab").cast("long").alias("total"))
+    tt = ca.agg(F.sum("c_a").cast("long").alias("total"))
     p = F.col("c_ab") * 1.0 / F.col("c_a")
     h = (
         cab.join(F.broadcast(ca), "a")

@@ -316,12 +316,12 @@ WITH obs AS (
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE datediff('day', CAST(o.o_orderdate AS DATE),
                  CAST(l.l_shipdate AS DATE)) >= 0),
-n0 AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY flag),
 per_t AS (
   SELECT flag, CAST(t AS BIGINT) AS t,
          CAST(sum(ev) AS BIGINT) AS d,
          CAST(count(*) - sum(ev) AS BIGINT) AS c
   FROM obs GROUP BY flag, t),
+n0 AS (SELECT flag, CAST(sum(d + c) AS BIGINT) AS n FROM per_t GROUP BY flag),
 risk AS (
   SELECT p.flag, p.t, p.d,
          n0.n - CAST(coalesce(sum(p.d + p.c) OVER (
@@ -332,7 +332,9 @@ risk AS (
 km AS (
   SELECT flag, t, d, n_risk,
          CASE WHEN min((n_risk - d) * 1.0 / n_risk) OVER win = 0 THEN 0.0
-              ELSE exp(sum(ln((n_risk - d) * 1.0 / n_risk)) OVER win)
+              ELSE exp(sum(ln(CASE WHEN n_risk - d > 0
+                                   THEN (n_risk - d) * 1.0 / n_risk
+                                   ELSE 1 END)) OVER win)
          END AS s
   FROM risk
   WINDOW win AS (PARTITION BY flag ORDER BY t
@@ -373,10 +375,19 @@ def lineitem_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t") >= 0)
     )
-    n0 = obs.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    per_t = obs.groupBy("flag", F.col("t").cast("long").alias("t")).agg(
-        F.sum("ev").cast("long").alias("d"),
-        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    # per_t is the single aggregation off the fact join; totals derive
+    # from it (n = sum of events + censored over all days) — a direct
+    # count over obs would run the lineitem x orders join twice
+    per_t = persist_tracked(
+        obs.groupBy("flag", F.col("t").cast("long").alias("t")).agg(
+            F.sum("ev").cast("long").alias("d"),
+            (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+        )
+    )
+    n0 = per_t.groupBy("flag").agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n")
     )
     w_excl = (
         Window.partitionBy("flag")
@@ -402,8 +413,14 @@ def lineitem_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     factor = (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+    # the zero factor is clamped to 1 INSIDE the fold (contributing
+    # ln(1)=0) and the outer guard pins the curve to 0 from that day
+    # on: DuckDB computes BOTH branches' windows regardless of the
+    # CASE and hard-errors on ln(0) (Spark's log would yield NULL and
+    # silently drop the term) — neither engine may ever see ln(0)
+    safe = F.when(factor > 0, factor).otherwise(F.lit(1.0))
     s = F.when(F.min(factor).over(win) == 0, F.lit(0.0)).otherwise(
-        F.exp(F.sum(F.log(factor)).over(win))
+        F.exp(F.sum(F.log(safe)).over(win))
     )
     return (
         risk.withColumn("s", s)

@@ -81,16 +81,10 @@ FROM s GROUP BY user_id, session_seq
         "ids, per-session aggregates; exact microsecond durations.",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = _us("ts") - _us(F.lag("ts").over(w))
-    g = e.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
-    )
-    s = g.withColumn(
-        "session_seq",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    from advanced_strapi_import_spark.plans.registry import sessionize
+
+    s = sessionize(load_events(spark, sf_dir)).withColumnRenamed(
+        "sid", "session_seq"
     )
     return (
         s.groupBy("user_id", "session_seq")

@@ -104,6 +104,35 @@ def normalize_ts(df: DataFrame, ts_type) -> DataFrame:
     return df
 
 
+def sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """Append a per-user gap-based session id column ``sid`` (1-based,
+    increasing with time): a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``.
+
+    ONE definition of the sessionization used by the batch
+    sessionizer, sequential-rule mining, and any future session-scoped
+    query — the 30-minute gap and the TIMESTAMP_NTZ-vs-LTZ cast
+    workaround (parquet timestamp[us] infers NTZ, which unix_micros
+    rejects; casting to timestamp_ltz under the UTC session tz is
+    value-preserving) must not fork per query. Two windows over one
+    user-hash partitioning; no joins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    gap = us - prev
+    return events.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan with ts normalization (see :func:`normalize_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

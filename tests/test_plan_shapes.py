@@ -153,13 +153,13 @@ CASES = [
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
     # monthly collapse; two tiny aggs; the BNLJ is the 1-row total
-    ("orders_seasonal_index", 4, {"smj": 0}),
+    ("orders_seasonal_index", 5, {"smj": 0}),
     # sessionize+lag windows reuse the user partitioning; rule frame
     # joins broadcast marginals
     ("events_sequential_rules", 11, {"smj": 0, "bhj_min": 1}),
-    ("events_entropy_rate", 10, {"smj": 0, "bhj_min": 1}),
+    ("events_entropy_rate", 11, {"smj": 0, "bhj_min": 1}),
     # fact join broadcasts; windows run over the (flag, day) frame
-    ("lineitem_kaplan_meier", 3, {"smj": 0, "bhj_min": 1}),
+    ("lineitem_kaplan_meier", 4, {"smj": 0, "bhj_min": 1}),
     # day-domain windows only; one aggregation off the fact table
     ("events_daily_peaks", 2, {"smj": 0, "bnlj": 0}),
     # the ONE smj is the customer-key FULL OUTER join — full outer
