@@ -26,78 +26,42 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-4 rotation: the 47 queries with NO driver correctness row in
-# r01-r03 (union = 148 of 195 sampled).  The driver window is 50, so
-# all 47 fit this round; round-4 additions follow at positions 48+,
-# so the first three of them also land inside the 50-query r04 window
-# and the rest rotate into r05 (all are locally oracle-verified).
+# Round-5 rotation: the 29 queries with NO driver correctness row in
+# r01-r04 (union = 198 of 227 sampled; recomputed from the
+# CORRECTNESS_r0{1..4}.json union at round-5 start).  All 29 fit in the
+# driver's 50-query window; round-5 additions are appended at position
+# 30+ once locally oracle-verified so they share the same window.
 _FIRST = [
-    "stream_dedup_incremental",
-    "dedup_keep_best",
-    "embedding_pq_topk",
-    "embedding_semdedup",
-    "dedup_pagerank",
-    "stream_ohlc_bars",
-    "stream_session_window",
-    "vocab_oov_rate",
-    "seq_pack_efficiency",
-    "source_lang_entropy",
-    "doc_repeated_ngrams",
-    "quality_floor_per_source",
-    "doc_tokens_udtf",
-    "customer_record_linkage",
-    "events_hll_weekly_merge",
-    "table_expectations",
-    "customer_k_anonymity",
-    "events_decayed_topk",
-    "dedup_family_recall",
-    "stream_stateful_user_totals",
-    "stream_enrich_dim",
-    "stream_hll_users",
-    "stream_rollup_merge",
-    "stream_stream_left_join",
-    "orders_pivot_year_status",
-    "lineitem_unpivot_measures",
-    "part_lateral_topk",
-    "orders_benford",
-    "events_ks_test",
-    "events_winsorized_stats",
-    "customer_l_diversity",
-    "sample_systematic",
-    "events_autocorr",
-    "dedup_label_propagation",
-    "source_top_p_docs",
-    "source_jackknife_influence",
-    "customer_hierarchy_depth",
-    "stream_stream_full_join",
-    "events_hll_audience_overlap",
-    "source_overlap_matrix",
-    "embedding_kmeans_step",
-    "embedding_triplets",
-    "stream_quality_gate",
-    "events_approx_quantiles",
-    "dedup_cluster_stats",
-    "tokenizer_fertility",
-    "doc_model_quality_score",
-    # round-4 additions (locally oracle-verified; first three land in
-    # the r04 window, the rest in r05)
-    "orders_rolling_range_frame", "events_ewma",
-    "events_hist_width_bucket", "events_dp_noise_counts",
-    "customer_t_closeness", "events_bitmap_distinct",
-    "doc_unigram_logprob", "doc_tfidf_cosine_pairs",
-    "embedding_srp_buckets", "dedup_kcore", "stream_chained_windows",
-    "parts_skyline_2d", "events_user_streaks",
-    "events_chi_square_independence", "embedding_power_iteration",
+    "events_dp_noise_counts",
+    "customer_t_closeness",
+    "events_bitmap_distinct",
+    "doc_unigram_logprob",
+    "doc_tfidf_cosine_pairs",
+    "embedding_srp_buckets",
+    "dedup_kcore",
+    "stream_chained_windows",
+    "parts_skyline_2d",
+    "events_user_streaks",
+    "events_chi_square_independence",
+    "embedding_power_iteration",
     "stream_hopping_window",
-    "orders_cumulative_new_customers", "doc_bigram_pmi",
-    "dedup_link_prediction", "orders_theil_sen_trend",
-    "doc_gazetteer_mentions", "part_brand_herfindahl",
+    "orders_cumulative_new_customers",
+    "doc_bigram_pmi",
+    "dedup_link_prediction",
+    "orders_theil_sen_trend",
+    "doc_gazetteer_mentions",
+    "part_brand_herfindahl",
     "events_user_lorenz_gini",
-    "events_mutual_information", "embedding_mmr_topk",
+    "events_mutual_information",
+    "embedding_mmr_topk",
     "multimodal_ahash_pairs",
-    "orders_seasonal_index", "events_sequential_rules",
-    "events_entropy_rate", "lineitem_kaplan_meier",
-    "events_daily_peaks", "customer_rfm_migration",
+    "orders_seasonal_index",
+    "events_sequential_rules",
+    "events_entropy_rate",
+    "lineitem_kaplan_meier",
+    "events_daily_peaks",
+    "customer_rfm_migration",
+    # round-5 additions (locally oracle-verified) land here, pos 30+
 ]
 # Already driver-green expensive queries go last.
 _LAST = [
