@@ -76,3 +76,69 @@ def salted_join(
     )
     out = hot_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    *,
+    out_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without funnelling
+    the frame through a single-partition window.
+
+    Classic distributed rank: range-repartition on the order key, take
+    partition-local ``row_number`` s, then add each partition's global
+    offset (the per-partition row counts — ``num_partitions`` scalar
+    rows, NOT data-sized — are collected once and folded back in as a
+    broadcast map literal).  The global rank is mapped to its ntile
+    bucket arithmetically: with ``q, r = divmod(total, n)`` the first
+    ``r`` buckets hold ``q+1`` rows, the rest ``q`` — identical to the
+    SQL ``ntile`` contract.  ``order_cols`` must be a TOTAL order
+    (tie-break to uniqueness) for a deterministic assignment.
+
+    The non-determinism of range-boundary sampling is harmless: a row's
+    global rank is partition-count-offset + local row_number, which is
+    invariant to where the boundaries fall."""
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return part.drop("__pid").withColumn(out_col, F.lit(0))
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.extend((F.lit(pid), F.lit(acc)))
+        acc += c
+    from pyspark.sql import Window
+
+    rank = (
+        F.element_at(F.create_map(*offsets), F.col("__pid"))
+        + F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*order_cols)
+        )
+    ).cast("long")
+    q, r = divmod(total, n_buckets)
+    head = r * (q + 1)  # rows covered by the ceil-sized buckets
+    bucket = F.when(
+        rank <= F.lit(head),
+        (rank + F.lit(q)) / F.lit(q + 1),  # ceil(rank / (q+1))
+    ).otherwise(
+        # ceil((rank - head) / q) + r ; max(q,1) keeps the expression
+        # well-typed when q == 0 (branch is then unreachable: every
+        # rank is <= head = total)
+        (rank - F.lit(head) + F.lit(max(q, 1) - 1)) / F.lit(max(q, 1))
+        + F.lit(r)
+    )
+    return part.withColumn(
+        out_col, F.floor(bucket).cast("int")
+    ).drop("__pid")

@@ -756,18 +756,21 @@ FROM q1 FULL OUTER JOIN q2 ON q1.o_custkey = q2.o_custkey
 GROUP BY 1, 2
 """,
     doc="Customer value-segment migration matrix: spend quintiles in "
-        "the first half of the window vs the second (ntile ordered by "
+        "the first half of the window vs the second (quintiles over "
         "exact cents with customer-id tie-break — fully "
         "deterministic), full-outer joined so churned (to 0) and "
         "newly-acquired (from 0) customers appear as their own "
         "matrix border — the segment-flow report behind retention "
-        "planning. The ntile windows are unpartitioned but run on "
-        "the per-customer AGGREGATE (one row per customer, after the "
-        "fact table collapses); at larger scale swap ntile for a "
-        "percentile-cut broadcast join against the same aggregate. "
+        "planning. Quintiles come from skew.distributed_ntile — a "
+        "range-repartitioned rank with broadcast partition offsets, "
+        "exactly matching the SQL ntile contract with NO single-"
+        "partition window (the per-customer aggregate is customer-"
+        "cardinality, which at 100 TB is billions of rows). "
         "One customer-key full-outer join of two slim frames.",
 )
 def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.skew import distributed_ntile
+
     o = load(spark, sf_dir, "orders")
     cut = "1995-06-01 00:00:00"
     cents = F.sum(
@@ -783,13 +786,12 @@ def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(cents.alias("cents"))
     )
-    wq = Window.orderBy("cents", "o_custkey")
-    q1 = p1.select(
-        "o_custkey", F.ntile(5).over(wq).cast("int").alias("q1")
-    )
-    q2 = p2.select(
-        "o_custkey", F.ntile(5).over(wq).cast("int").alias("q2")
-    )
+    q1 = distributed_ntile(
+        p1, 5, ["cents", "o_custkey"], out_col="q1"
+    ).select("o_custkey", "q1")
+    q2 = distributed_ntile(
+        p2, 5, ["cents", "o_custkey"], out_col="q2"
+    ).select("o_custkey", "q2")
     return (
         q1.join(q2, "o_custkey", "full_outer")
         .groupBy(

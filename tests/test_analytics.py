@@ -147,3 +147,36 @@ def test_ks_test_one_sided_sample_yields_null_not_error(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n1"] == 0 and rows[0]["n2"] == 2
     assert rows[0]["ks_stat"] is None
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    # distributed_ntile must reproduce ntile(n) OVER (ORDER BY ...)
+    # exactly — including the ceil/floor bucket-size split when the
+    # row count is not divisible by n — while never funnelling the
+    # frame through a single partition.
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.operators.skew import distributed_ntile
+
+    for rows, n in [(23, 5), (100, 5), (3, 5), (40, 4)]:
+        df = spark.range(rows).select(
+            (F.col("id") * 37 % rows).alias("k"),
+            F.col("id").alias("tie"),
+        )
+        got = {
+            (r["k"], r["tie"]): r["b"]
+            for r in distributed_ntile(
+                df, n, ["k", "tie"], out_col="b", num_partitions=7
+            ).collect()
+        }
+        want = {
+            (r["k"], r["tie"]): r["b"]
+            for r in df.select(
+                "k",
+                "tie",
+                F.ntile(n).over(Window.orderBy("k", "tie")).alias("b"),
+            ).collect()
+        }
+        assert got == want, f"rows={rows} n={n}"
+    # empty frame: no rows, no crash
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("tie"))
+    assert distributed_ntile(empty, 5, ["k", "tie"]).count() == 0

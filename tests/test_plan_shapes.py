@@ -163,8 +163,11 @@ CASES = [
     # day-domain windows only; one aggregation off the fact table
     ("events_daily_peaks", 2, {"smj": 0, "bnlj": 0}),
     # the ONE smj is the customer-key FULL OUTER join — full outer
-    # cannot broadcast in Spark, shuffle join is the correct shape
-    ("customer_rfm_migration", 5, {"smj": 1, "bnlj": 0}),
+    # cannot broadcast in Spark, shuffle join is the correct shape.
+    # Quintiles come from distributed_ntile (range repartition + pid
+    # windows + persisted-subtree reprints = the exchange count); the
+    # binding assertion is below: NO single-partition exchange
+    ("customer_rfm_migration", 13, {"smj": 1, "bnlj": 0}),
 ]
 
 
