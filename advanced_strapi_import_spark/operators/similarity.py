@@ -99,10 +99,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     include_self: bool = False,
     dims: int | None = 64,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast(queries) x corpus.
 
-    Output: (query_id, neighbor_id, cos, rank). Deterministic tie-break
+    Output: (query_id, neighbor_id, cos, rank) — plus the neighbor's
+    vector as ``__nv`` when ``keep_vec`` (downstream rerankers like MMR
+    need candidate-candidate similarities; carrying the k vectors per
+    query through the top-k window is slim-frame data and saves a
+    corpus-sized re-join to fetch them back). Deterministic tie-break
     on neighbor id. Scale: one pass over the corpus per batch of
     queries; the corpus is never shuffled."""
     q = F.broadcast(
@@ -116,10 +121,12 @@ def cosine_topk(
     pairs = q.crossJoin(c)
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    extra = [F.col("__cv").alias("__nv")] if keep_vec else []
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
+        *extra,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -256,6 +263,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     dims: int | None = 64,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``cells``; each query scores only its ``nprobe`` nearest cells.
@@ -317,11 +325,86 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
+            # carried neighbor vector for downstream rerankers (MMR):
+            # slim after the top-k cut, saves a corpus-sized re-join
+            *([F.col("__cv").alias("__nv")] if keep_vec else []),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    *,
+    picks: int = 3,
+    relevance_weight: float = 0.7,
+    diversity_weight: float = 0.3,
+) -> DataFrame:
+    """Greedy Maximal-Marginal-Relevance rerank of per-query candidate
+    pools in ONE ``applyInPandas`` stage.
+
+    ``cand`` is an ANN helper output with ``keep_vec=True``:
+    (query_id, neighbor_id, cos, rank, __nv). Each greedy step takes
+    argmax of ``relevance_weight*rel(q,d) -
+    diversity_weight*max_sim(d, selected)`` with a deterministic
+    (score desc, neighbor_id asc) tie-break; pools smaller than
+    ``picks`` emit what they have.
+
+    Scale shape: candidate GENERATION is the distributed part (top-k
+    over the corpus); the rerank itself is k^2 work per query with no
+    cross-query dependency, so the right plan is one shuffle by
+    query_id and an Arrow-batched kernel per group — not a cascade of
+    driver-scheduled joins/windows whose job count dwarfs the
+    arithmetic. Numeric contract (oracle-exact): pair sims round
+    half-up away from zero at 6 decimals like Spark/DuckDB ``round``
+    (same recipe as ``_pair_cosine_udf``); step scores use the
+    engine-identical fixed-point ``floor(x*1e6+0.5)/1e6``.
+
+    Output: (query_id, mmr_rank, vec_id, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    rw, dw, npick = float(relevance_weight), float(diversity_weight), picks
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank")
+        ids = pdf["neighbor_id"].to_numpy()
+        cos = pdf["cos"].to_numpy(dtype=np.float64)
+        mat = np.stack(pdf["__nv"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        den = np.outer(nrm, nrm)
+        # zero-norm vectors cannot reach here (cand's cos would have
+        # been an ANSI divide-by-zero upstream); the where() only keeps
+        # the kernel total on degenerate inputs
+        raw = (mat @ mat.T) / np.where(den > 0.0, den, 1.0)
+        sim = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        qid = pdf["query_id"].iloc[0]
+        n = len(ids)
+        sel = [0]  # rank 1 = pure relevance
+        rows = [(qid, 1, ids[0], cos[0])]
+        for step in range(2, npick + 1):
+            mask = np.ones(n, dtype=bool)
+            mask[sel] = False
+            if not mask.any():
+                break
+            pen = sim[:, sel].max(axis=1)
+            score = np.floor((rw * cos - dw * pen) * 1e6 + 0.5) / 1e6
+            live = np.where(mask)[0]
+            best = score[live].max()
+            tied = live[score[live] == best]
+            pick = int(tied[np.argmin(ids[tied])])
+            sel.append(pick)
+            rows.append((qid, step, ids[pick], score[pick]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "mmr_rank", "vec_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _kernel,
+        "query_id bigint, mmr_rank int, vec_id bigint, mmr_score double",
+    )
 
 
 def _pair_cosine_udf():

@@ -62,6 +62,7 @@ _FIRST = [
     "events_daily_peaks",
     "customer_rfm_migration",
     # round-5 additions (locally oracle-verified) land here, pos 30+
+    "embedding_mmr_ivf",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -143,12 +143,15 @@ CASES = [
     ("events_user_lorenz_gini", 2, {"smj": 0}),
     # cell agg + broadcast marginals + tiny-frame window
     ("events_mutual_information", 8, {"smj": 0, "bhj_min": 1}),
-    # persisted cand/psim subtrees reprint per reference (exch/bnlj
-    # inflation; the BNLJs are the broadcast crossJoin exactness
-    # baseline inside cosine_topk). Binding: selection joins must
-    # broadcast, only the corpus-sized psim build may sort-merge
-    # the persisted half-matrix union doubles printed subtrees
-    ("embedding_mmr_topk", 50, {"smj": 10, "bhj_min": 6}),
+    # candidate gen (one BNLJ = the broadcast crossJoin exactness
+    # baseline) + ONE query_id shuffle into the Arrow MMR kernel —
+    # nothing else may appear
+    ("embedding_mmr_topk", 2, {"smj": 0, "bnlj": 1}),
+    # IVF serve path + brute-force recall AUDIT arm (its BNLJ) +
+    # broadcast-pinned audit joins; the SinglePartition exchanges are
+    # the queries-cardinality mean-recall windows (same shape as
+    # embedding_ivf_topk)
+    ("embedding_mmr_ivf", 24, {"smj": 0, "bhj_min": 4}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),

@@ -121,3 +121,38 @@ def test_cosine_topk_wrong_width_vectors_absent_not_wrong(spark):
     out = cosine_topk(df, df, k=5, dims=8).collect()
     ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
     assert ids == {1, 2}
+
+
+def test_mmr_rerank_greedy_and_small_pool(spark):
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    # query 1: three candidates where the top-2 by relevance are near-
+    # identical vectors — MMR must pick the diverse third at step 2.
+    # cos values are the (pre-rounded) relevance scores; rank orders
+    # them. Hand computation: sim(11,12)=1.0, sim(11,13)=0.0 ->
+    # step-2 scores: cand12 = 0.7*0.98 - 0.3*1.0 = 0.386,
+    # cand13 = 0.7*0.50 - 0.3*0.0 = 0.35 -> picks 12? No: 0.386 > 0.35
+    # -> picks 12. Make the near-dup penalty bite: cos12=0.90 ->
+    # cand12 = 0.7*0.90 - 0.3*1.0 = 0.33 < 0.35 -> picks 13.
+    rows = [
+        (1, 11, 0.98, 1, [1.0, 0.0, 0.0, 0.0]),
+        (1, 12, 0.90, 2, [1.0, 0.0, 0.0, 0.0]),
+        (1, 13, 0.50, 3, [0.0, 1.0, 0.0, 0.0]),
+        # query 2: pool of ONE -> exactly one pick, no crash
+        (2, 21, 0.70, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, cos double, rank int, "
+              "__nv array<double>"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["vec_id"], r["mmr_score"])
+        for r in S.mmr_rerank(cand).collect()
+    }
+    assert got[(1, 1)] == (11, 0.98)
+    assert got[(1, 2)][0] == 13 and abs(got[(1, 2)][1] - 0.35) < 1e-9
+    # step 3 takes the remaining near-dup with the max-sim penalty:
+    # 0.7*0.90 - 0.3*max(sim(12,11)=1.0, sim(12,13)=0.0) = 0.33
+    assert got[(1, 3)][0] == 12 and abs(got[(1, 3)][1] - 0.33) < 1e-9
+    assert got[(2, 1)] == (21, 0.70)
+    assert len(got) == 4
