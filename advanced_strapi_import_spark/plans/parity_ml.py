@@ -1768,14 +1768,21 @@ FROM famt GROUP BY family
 )
 def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    lsh = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    # each family frame feeds BOTH the truth-candidate union and the
+    # per-family audit rows; unpersisted, the LSH distinct and the
+    # prefix-rank window would each run twice (the old 7.5s tail)
+    lsh = persist_tracked(D.lsh_candidate_pairs(_shared_bands(spark, sf_dir)))
     toks = _shared_bigrams(spark, sf_dir)
-    pf = D.prefix_filter_candidates(toks, prefix_k=3).select("id_a", "id_b")
+    pf = persist_tracked(
+        D.prefix_filter_candidates(toks, prefix_k=3).select("id_a", "id_b")
+    )
     cand = lsh.select("id_a", "id_b").union(pf).distinct()
-    truth = D.jaccard_on_pairs(
-        corpus, cand, "text", "id",
-        shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
-    ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
+    truth = persist_tracked(
+        D.jaccard_on_pairs(
+            corpus, cand, "text", "id",
+            shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
+        ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
+    )
     fam = lsh.select(F.lit("lsh").alias("family"), "id_a", "id_b").unionByName(
         pf.select(F.lit("prefix").alias("family"), "id_a", "id_b")
     )
