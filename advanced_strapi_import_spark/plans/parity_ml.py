@@ -2156,14 +2156,20 @@ corpus AS (
   SELECT CAST(count(*) AS BIGINT) AS t_total,
          CAST(count(DISTINCT term) AS BIGINT) AS v
   FROM t2)
-SELECT d.doc_id,
+SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln((m.c + 1) * 1.0 / (c.t_total + c.v))), 4) AS avg_logprob,
-       round(exp(-avg(ln((m.c + 1) * 1.0 / (c.t_total + c.v)))), 2) AS ppl
-FROM t2 d
-JOIN model m USING (term)
-CROSS JOIN corpus c
-GROUP BY d.doc_id
+       floor((CAST(sum(mn) AS DOUBLE) / count(*) / 1000000) * 10000 + 0.5)
+           / 10000 AS avg_logprob,
+       floor(exp(-(CAST(sum(mn) AS DOUBLE) / count(*) / 1000000)) * 100
+             + 0.5) / 100 AS ppl
+FROM (
+  SELECT d.doc_id,
+         CAST(floor(ln((m.c + 1) * 1.0 / (c.t_total + c.v)) * 1000000)
+              AS BIGINT) AS mn
+  FROM t2 d
+  JOIN model m USING (term)
+  CROSS JOIN corpus c)
+GROUP BY doc_id
 """,
     doc="Unigram language-model scoring — the cheapest perplexity "
         "proxy used to rank web documents for training-data quality "
@@ -2173,7 +2179,15 @@ GROUP BY d.doc_id
         "shuffle and broadcasts back onto the token stream; the "
         "per-doc reduce reuses the doc partitioning. Self-scoring "
         "means every token is in-vocabulary; the smoothing constant "
-        "still matters for parity with a held-out scorer.",
+        "still matters for parity with a held-out scorer. Numeric "
+        "discipline: each token's log-prob is fixed-pointed to BIGINT "
+        "micro-nats (floor(ln(p)*1e6)) and summed EXACTLY — a float "
+        "avg's summation order differs between Spark partial aggs and "
+        "DuckDB, so a mean landing within ~1e-12 of a rounding "
+        "boundary could flip the last digit; the single divide at the "
+        "end and the floor(x*1e4+0.5) half-up are identical IEEE ops "
+        "on identical inputs in both engines (same pattern as "
+        "doc_tfidf_cosine_pairs' milli-nat idf).",
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -2190,16 +2204,27 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("t_total"),
         F.countDistinct("term").cast("long").alias("v"),
     )
-    ll = F.log((F.col("c") + 1) * 1.0 / (F.col("t_total") + F.col("v")))
-    return (
+    # BIGINT micro-nats per token: the sum is exact and order-
+    # independent; one divide at the end (see oracle note)
+    mn = F.floor(
+        F.log((F.col("c") + 1) * 1.0 / (F.col("t_total") + F.col("v")))
+        * 1000000
+    ).cast("long")
+    scored = (
         toks.join(F.broadcast(model), "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(ll), 4).alias("avg_logprob"),
-            F.round(F.exp(-F.avg(ll)), 2).alias("ppl"),
+            F.sum(mn).alias("smn"),
         )
+    )
+    avg_lp = F.col("smn").cast("double") / F.col("n_tokens") / 1000000
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(avg_lp * 10000 + 0.5) / 10000).alias("avg_logprob"),
+        (F.floor(F.exp(-avg_lp) * 100 + 0.5) / 100).alias("ppl"),
     )
 
 
@@ -2436,7 +2461,9 @@ e0 AS (
 {_kcore_peel_sql("e0", 1)},
 {_kcore_peel_sql("e1", 2)},
 {_kcore_peel_sql("e2", 3)}
-SELECT node, CAST(count(*) AS BIGINT) AS degree
+SELECT node, CAST(count(*) AS BIGINT) AS degree,
+       (SELECT coalesce(min(cnt) >= 2, TRUE) FROM (
+            SELECT count(*) AS cnt FROM e2 GROUP BY node)) AS converged
 FROM e3 GROUP BY node
 """,
     doc="k-core peeling (k=2, 3 fixed rounds) over the LSH candidate "
@@ -2448,7 +2475,11 @@ FROM e3 GROUP BY node
         "which labels but does not prune). Each round is one degree "
         "aggregation plus two node-id semi-joins — O(E) shuffle per "
         "round, no driver state; the oracle unrolls the identical "
-        "three peels as CTEs.",
+        "three peels as CTEs. The `converged` column is the operator's "
+        "output contract made visible: TRUE iff the final round "
+        "removed no node, i.e. the peel reached the exact k-core "
+        "fixpoint (on chain graphs needing more rounds it reads FALSE "
+        "and callers re-enter with a higher round count).",
 )
 def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = persist_tracked(

@@ -113,8 +113,10 @@ CASES = [
     # SRP: fan_out RR + signature agg + bucket agg, all row-local math
     ("embedding_srp_buckets", 3, {"smj": 0}),
     # 3 peel rounds, each persisted — printed plan repeats the whole
-    # peel history per reference (string inflation); binding: no SMJ
-    ("dedup_kcore", 280, {"smj": 0}),
+    # peel history per reference (string inflation; the converged-flag
+    # scalar re-references the penultimate round's subtree, +~45
+    # printed exchanges, runtime exchange-reuse); binding: no SMJ
+    ("dedup_kcore", 330, {"smj": 0}),
     # skyline: per-price agg shuffle + price-domain-only single
     # partition window + broadcast of the front back onto the scan —
     # the fact table itself never single-partitions

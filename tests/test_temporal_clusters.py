@@ -181,8 +181,17 @@ def test_kcore_triangle_tail_hand_computed(spark):
         [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 4), (5, 5)],
         "id_a long, id_b long",
     )
-    got = {r["node"]: r["degree"] for r in kcore(pairs, k=2, rounds=3).collect()}
+    rows = kcore(pairs, k=2, rounds=3).collect()
+    got = {r["node"]: r["degree"] for r in rows}
     assert got == {1: 2, 2: 2, 3: 2}
+    # round 3 removed nothing (round 2 dropped node 4) -> fixpoint
+    assert all(r["converged"] for r in rows)
+    # with ONE round the peel is mid-chain: node 4 still present with
+    # residual degree 1 < k, and the flag must say so
+    rows1 = kcore(pairs, k=2, rounds=1).collect()
+    got1 = {r["node"]: r["degree"] for r in rows1}
+    assert got1 == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert not any(r["converged"] for r in rows1)
 
 
 def test_kcore_zero_rounds_is_degree_table(spark):
