@@ -63,6 +63,14 @@ _FIRST = [
     "customer_rfm_migration",
     # round-5 additions (locally oracle-verified) land here, pos 30+
     "embedding_mmr_ivf",
+    "lineitem_unpivot_sql",
+    "orders_listagg",
+    "events_extreme_users",
+    "lineitem_price_deciles",
+    "doc_dsir_importance",
+    "corpus_dedup_rate_by_source",
+    "dedup_modularity",
+    "embedding_matryoshka_recall",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

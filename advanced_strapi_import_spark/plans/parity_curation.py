@@ -1226,3 +1226,170 @@ def doc_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights (round 5)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+
+
+@query(
+    "doc_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+t2 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+             AS bucket
+  FROM toks WHERE term <> ''),
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+  FROM t2 JOIN tgt USING (doc_id) GROUP BY bucket),
+rc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM t2 GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM t2 JOIN tgt USING (doc_id))
+             AS tt,
+         (SELECT CAST(count(*) AS BIGINT) FROM t2) AS tr),
+w AS (
+  SELECT rc.bucket,
+         CAST(floor((ln((coalesce(tc.tc, 0) + 1) * 1.0
+                        / (tot.tt + {_DSIR_BUCKETS}))
+                     - ln((rc.rc + 1) * 1.0
+                          / (tot.tr + {_DSIR_BUCKETS}))) * 1000)
+              AS BIGINT) AS w_mil
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot)
+SELECT t2.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w_mil) AS BIGINT) AS importance_millinats
+FROM t2 JOIN w USING (bucket)
+GROUP BY t2.doc_id
+""",
+    doc="DSIR-style importance weights (Xie et al. 2023: Data Selection "
+        "for LMs via Importance Resampling) with hashed unigram "
+        "features: every token hashes into one of 1024 md5 buckets "
+        "(md5 is engine-portable, unlike Spark's hash()); the weight "
+        "of a bucket is the smoothed log-ratio of its target-corpus "
+        "probability (here: lang='en' docs) to its raw-corpus "
+        "probability, fixed-pointed to BIGINT milli-nats so the "
+        "per-document sum is exact and order-free; documents that "
+        "look like the target domain score high and become sampling "
+        "candidates. Scale shape: the 1024-row weight table is the "
+        "only global state and broadcasts back onto the token stream; "
+        "the per-doc reduce reuses the doc partitioning — the same "
+        "model-broadcast pattern as doc_unigram_logprob.",
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    t2 = persist_tracked(
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    t2_tgt = t2.join(F.broadcast(tgt), "doc_id")
+    tc = t2_tgt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    rc = t2.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tot = t2_tgt.agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
+        t2.agg(F.count(F.lit(1)).cast("long").alias("tr"))
+    )
+    # tc/rc are <= 1024-row bucket aggregates, but behind the persisted
+    # token stream Catalyst lacks stats and would sort-merge them
+    w = (
+        rc.join(F.broadcast(tc), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce("tc", F.lit(0)) + 1)
+                        * 1.0
+                        / (F.col("tt") + _DSIR_BUCKETS)
+                    )
+                    - F.log(
+                        (F.col("rc") + 1) * 1.0 / (F.col("tr") + _DSIR_BUCKETS)
+                    )
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("w_mil"),
+        )
+    )
+    return (
+        t2.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_mil").cast("long").alias("importance_millinats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-duplication rate per source (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dedup_rate_by_source",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, md5(trim(lower(text))) AS k FROM documents),
+grp AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY k)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN grp.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(CASE WHEN grp.n > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_rate_ppm
+FROM keyed JOIN grp USING (k)
+GROUP BY source
+""",
+    doc="Exact-duplication rate per source — the first dashboard a "
+        "curation team asks for ('which feed is flooding us with "
+        "copies?'): documents grouped by md5 of normalized text (the "
+        "digest is the shuffle key, never the full text — at 100 TB "
+        "the text column stays in place and 16 bytes travel), each "
+        "doc flagged if its group has >1 member, rates in exact ppm "
+        "per source. Two shuffles: digest groupBy and the source "
+        "rollup; the digest->count table joins back by digest.",
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", F.md5(F.trim(F.lower("text"))).alias("k")
+    )
+    grp = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        keyed.join(grp, "k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000 "
+                "div count(*) AS BIGINT)"
+            ).alias("dup_rate_ppm"),
+        )
+    )

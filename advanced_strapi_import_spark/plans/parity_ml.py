@@ -2943,3 +2943,190 @@ def embedding_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_picks") == F.least(F.lit(3), F.col("pool_size"))
         ).alias("three_picks_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# community quality: exact modularity of the LPA labeling (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_modularity",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT node, node AS label FROM edges),
+{_lpa_iter_sql("l0", 1)},
+{_lpa_iter_sql("l1", 2)},
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+intra AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+  FROM pairs p
+  JOIN l2 la ON la.node = p.id_a
+  JOIN l2 lb ON lb.node = p.id_b AND lb.label = la.label
+  GROUP BY la.label),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY node),
+dsum AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(d.d) AS BIGINT) AS d_c
+  FROM l2 l JOIN deg d USING (node) GROUP BY l.label)
+SELECT ds.label, ds.n_members,
+       CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+       ds.d_c AS degree_sum,
+       CAST(floor(CAST(4 * m.m * coalesce(i.e_c, 0) - ds.d_c * ds.d_c
+                       AS DOUBLE) * 1000000 / (4.0 * m.m * m.m))
+            AS BIGINT) AS q_ppm
+FROM dsum ds LEFT JOIN intra i USING (label) CROSS JOIN m
+""",
+    doc="Newman modularity of the LPA communities on the LSH candidate "
+        "graph — the community-QUALITY metric the k-core/LPA/PageRank "
+        "family was missing: per community c, q_c = e_c/m - "
+        "(d_c/2m)^2 (intra-edge share minus the share a random graph "
+        "with the same degrees would give); sum(q_ppm) ~ total Q in "
+        "ppm. High-Q labelings mean the dup families are genuinely "
+        "denser than chance — low Q says the blocking is emitting "
+        "noise. All inputs are exact BIGINTs (edge counts, degree "
+        "sums); the single floor(double) division is identical IEEE "
+        "on identical integers in both engines — exact while "
+        "|4*m*e_c - d_c^2| * 1e6 < 2^53, i.e. m up to ~5e7 candidate "
+        "edges; beyond that rescale to DECIMAL(38,6). Scale shape: "
+        "one pairs-sized join per side (labels are node-sized), "
+        "degree/label aggregates are O(E) hash shuffles — same "
+        "partitioning family as the LPA rounds it audits.",
+)
+def dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = persist_tracked(
+        D.lsh_candidate_pairs(_shared_plain_bands(spark, sf_dir)).select(
+            "id_a", "id_b"
+        )
+    )
+    labels = persist_tracked(D.label_propagation(pairs, iterations=2))
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(
+        F.col("node").alias("id_a"), F.col("label").alias("__la")
+    )
+    lb = labels.select(
+        F.col("node").alias("id_b"), F.col("label").alias("__lb")
+    )
+    intra = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    num = (
+        4 * F.col("m") * F.coalesce("e_c", F.lit(0)) - F.col("d_c") * F.col("d_c")
+    ).cast("double")
+    return (
+        dsum.join(F.broadcast(intra), "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.floor(num * 1000000 / (4.0 * F.col("m") * F.col("m")))
+            .cast("long")
+            .alias("q_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka prefix-dimension retrieval recall (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+ef AS (SELECT query_id, neighbor_id,
+              unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+       FROM q, c WHERE query_id <> neighbor_id),
+sf AS (SELECT query_id, neighbor_id,
+              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+       FROM ef GROUP BY query_id, neighbor_id),
+tf AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM sf) WHERE rn <= 5),
+ep AS (SELECT query_id, neighbor_id,
+              unnest(qv[1:16])::DOUBLE AS x, unnest(cv[1:16])::DOUBLE AS y
+       FROM q, c WHERE query_id <> neighbor_id),
+sp AS (SELECT query_id, neighbor_id,
+              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+       FROM ep GROUP BY query_id, neighbor_id),
+tp AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM sp) WHERE rn <= 5)
+SELECT tf.query_id,
+       CAST(count(tp.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(count(tp.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+FROM tf LEFT JOIN tp
+  ON tp.query_id = tf.query_id AND tp.neighbor_id = tf.neighbor_id
+GROUP BY tf.query_id
+""",
+    doc="Matryoshka-representation evaluation (Kusupati et al. 2022): "
+        "how much top-5 retrieval quality survives truncating the "
+        "embedding to its FIRST 16 of 64 dimensions — the audit run "
+        "before shipping prefix-dim ANN (search on a 4x cheaper "
+        "prefix, rerank survivors on full width). Both top-5 sets are "
+        "exact (brute force on query x corpus with the usual rounded-6 "
+        "tie-broken ranking); output is per-query overlap and recall "
+        "in exact ppm (n_overlap * 1e6 / 5). Scale shape: the prefix "
+        "arm is the point — slice(embedding, 1, 16) runs row-local "
+        "before scoring, so the candidate stage moves 4x less data "
+        "through the same broadcast(queries) x corpus pass; in a "
+        "production serve the prefix feeds the IVF/LSH index instead "
+        "of brute force.",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = fan_out(emb)
+    full = S.cosine_topk(queries, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    q16 = queries.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    c16 = corpus.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    pref = S.cosine_topk(q16, c16, k=5, dims=16).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    # both top-5 frames are queries*5 rows — broadcast the prefix side
+    # (persisted-subtree stats would otherwise sort-merge a 30-row join)
+    ov = full.join(F.broadcast(pref), ["query_id", "neighbor_id"], "left")
+    return ov.groupBy("query_id").agg(
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_overlap"),
+        (F.sum(F.coalesce("__hit", F.lit(0))) * 200000)
+        .cast("long")
+        .alias("recall_ppm"),
+    )

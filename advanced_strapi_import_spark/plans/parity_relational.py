@@ -515,3 +515,174 @@ FROM chain GROUP BY depth
 def customer_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_HIERARCHY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL UNPIVOT syntax (round 5) — the SQL twin of DataFrame.unpivot above
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+SELECT l_returnflag, measure,
+       CAST(count(val) AS BIGINT) AS n,
+       round(avg(val), 4) AS mean
+FROM lineitem
+UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+GROUP BY l_returnflag, measure
+"""
+
+
+@query(
+    "lineitem_unpivot_sql",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT l_returnflag, '{m}' AS measure,
+       CAST(count({m}) AS BIGINT) AS n, round(avg({m}), 4) AS mean
+FROM lineitem GROUP BY l_returnflag"""
+        for m in ["l_quantity", "l_discount", "l_tax"]
+    ),
+    doc="SQL UNPIVOT syntax (Spark 3.4+/4.x parser surface — the SQL "
+        "twin of lineitem_unpivot_measures' DataFrame.unpivot): three "
+        "measures go long-form per return flag in one scan; the melt "
+        "is a row-local generate, the only exchange is the (flag, "
+        "measure) aggregate. Oracle is the engine-portable UNION ALL "
+        "expansion (DuckDB's UNPIVOT binds names differently, so the "
+        "expansion doubles as the semantic spec: UNPIVOT drops NULL "
+        "measure values, hence count(val) == count(measure_col)).",
+)
+def lineitem_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_UNPIVOT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# listagg WITHIN GROUP (round 5) — new built-in in Spark 4.0
+# ---------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       listagg(CAST(o_orderkey AS STRING), ',')
+           WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv
+FROM orders
+WHERE o_orderkey % 400 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "orders_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+           AS keys_csv
+FROM orders
+WHERE o_orderkey % 400 = 0
+GROUP BY o_orderpriority
+""",
+    doc="listagg(...) WITHIN GROUP (ORDER BY ...) — the ISO ordered "
+        "string aggregation added as a built-in in Spark 4.0 (DuckDB "
+        "spells it string_agg(expr, sep ORDER BY ...)). The WITHIN "
+        "GROUP order makes the concatenation deterministic — an "
+        "unordered listagg would be partition-order-dependent and "
+        "unreproducible across runs, let alone engines. Input is "
+        "key-sampled so group payloads stay bounded; at scale listagg "
+        "output length is the thing to cap (it concatenates a whole "
+        "group into ONE row) — sample, limit per group, or use "
+        "collect_list + slice when the group can be hot.",
+)
+def orders_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LISTAGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# max_by / min_by with a composite tie-broken key (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_extreme_users",
+    oracle="""
+SELECT event_type,
+       CAST(max_u AS BIGINT) AS max_user,
+       round(max_v, 2) AS max_value,
+       CAST(min_u AS BIGINT) AS min_user,
+       round(min_v, 2) AS min_value
+FROM (
+  SELECT event_type,
+         first(user_id ORDER BY value DESC, event_id DESC) AS max_u,
+         first(value   ORDER BY value DESC, event_id DESC) AS max_v,
+         first(user_id ORDER BY value ASC,  event_id ASC)  AS min_u,
+         first(value   ORDER BY value ASC,  event_id ASC)  AS min_v
+  FROM events GROUP BY event_type)
+""",
+    doc="max_by/min_by with a STRUCT key (value, event_id): who produced "
+        "the single largest / smallest event value per type — the "
+        "argmax aggregate that replaces a window + rn=1 filter with one "
+        "map-side-combinable agg (no per-group sort materialization; "
+        "at 100 TB the window form shuffles and sorts every row, "
+        "max_by carries one candidate per partition). The struct key "
+        "makes ties impossible (event_id is unique), which is what "
+        "lets an ORDER-BY-first oracle pin the exact same row.",
+)
+def events_extreme_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(user_id, struct(value, event_id))")
+        .cast("long")
+        .alias("max_user"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.expr("min_by(user_id, struct(value, event_id))")
+        .cast("long")
+        .alias("min_user"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fact-scale exact deciles via distributed_ntile (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_price_deciles",
+    oracle="""
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi,
+       round(sum(l_extendedprice), 2) AS total
+FROM (
+  SELECT l_extendedprice,
+         CAST(ntile(10) OVER (
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+             AS decile
+  FROM lineitem)
+GROUP BY decile
+""",
+    doc="Exact value deciles over the FACT table (not an aggregate "
+        "domain) via skew.distributed_ntile: range repartition + "
+        "partition-local row_number + broadcast partition-count "
+        "offsets reproduce ntile(10) with NO single-partition sort — "
+        "the single-partition window form is the canonical 100 TB "
+        "failure (every lineitem row through one task). Tie-break "
+        "(price, orderkey, linenumber) is a total order, so the "
+        "assignment is deterministic and the SQL-window oracle pins "
+        "it exactly. Decile summary stats land in a 10-row frame.",
+)
+def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.skew import distributed_ntile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    dec = distributed_ntile(
+        li, 10, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        out_col="decile",
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )

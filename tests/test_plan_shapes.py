@@ -154,6 +154,27 @@ CASES = [
     # the queries-cardinality mean-recall windows (same shape as
     # embedding_ivf_topk)
     ("embedding_mmr_ivf", 24, {"smj": 0, "bhj_min": 4}),
+    # SQL UNPIVOT is a row-local generate; one (flag, measure) agg
+    ("lineitem_unpivot_sql", 1, {"smj": 0, "bnlj": 0}),
+    # one key-sampled agg; pushdown carries the % filter to the scan
+    ("orders_listagg", 1, {"smj": 0, "bnlj": 0, "pushed": True}),
+    # argmax via max_by: ONE map-side-combinable agg, no window sort
+    ("events_extreme_users", 1, {"smj": 0, "bnlj": 0}),
+    # distributed_ntile: range repartition + pid window + decile agg —
+    # and NO single-partition window over the fact table
+    ("lineitem_price_deciles", 5, {"smj": 0, "bnlj": 0}),
+    # 1024-bucket weight table broadcasts back onto the token stream;
+    # the BNLJ/singleP pair is the 1-row totals scalar
+    ("doc_dsir_importance", 6, {"smj": 0, "bhj_min": 3}),
+    # digest groupBy + digest join-back + source rollup
+    ("corpus_dedup_rate_by_source", 3, {"smj": 0, "bhj_min": 1}),
+    # LPA/band persisted-subtree reprints inflate exch; binding: the
+    # only SMJ is a pairs-sized label join (correct shuffle join at
+    # scale), everything label/degree-domain broadcasts
+    ("dedup_modularity", 110, {"smj": 1, "bhj_min": 5}),
+    # two brute-force arms (exactness baseline BNLJs) + broadcast
+    # overlap join of two queries*5 frames
+    ("embedding_matryoshka_recall", 3, {"smj": 0, "bnlj": 2, "bhj_min": 1}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
