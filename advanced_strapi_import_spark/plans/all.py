@@ -71,6 +71,9 @@ _FIRST = [
     "corpus_dedup_rate_by_source",
     "dedup_modularity",
     "embedding_matryoshka_recall",
+    "events_stationary_distribution",
+    "embedding_dim_stats",
+    "events_approx_top_k",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

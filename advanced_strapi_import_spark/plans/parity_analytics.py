@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from advanced_strapi_import_spark.plans.registry import load, load_events, query
+from advanced_strapi_import_spark.plans.registry import fan_out, load, load_events, query
 
 
 @query(
@@ -2503,4 +2503,203 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("entropy_rate_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution, 2 exact fixed-point power steps (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "events_stationary_distribution",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type FROM events),
+tr AS (
+  SELECT lag(event_type) OVER w AS a, event_type AS b
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t2 AS (SELECT a, b FROM tr WHERE a IS NOT NULL),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM t2 GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ca),
+x0 AS (SELECT a, CAST(1000000 // ns.n AS BIGINT) AS x FROM ca CROSS JOIN ns),
+x1 AS (
+  SELECT cab.b AS a, CAST(sum(x0.x * cab.c_ab // ca.c_a) AS BIGINT) AS x
+  FROM cab JOIN x0 USING (a) JOIN ca USING (a) GROUP BY cab.b),
+x2 AS (
+  SELECT cab.b AS a, CAST(sum(x1.x * cab.c_ab // ca.c_a) AS BIGINT) AS x
+  FROM cab JOIN x1 USING (a) JOIN ca USING (a) GROUP BY cab.b),
+tt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS total FROM cab)
+SELECT x2.a AS state,
+       x2.x AS stationary_ppm,
+       CAST(ca.c_a * 1000000 // tt.total AS BIGINT) AS empirical_ppm,
+       abs(x2.x - ca.c_a * 1000000 // tt.total) AS drift_ppm
+FROM x2 JOIN ca USING (a) CROSS JOIN tt
+""",
+    doc="Stationary distribution of the per-user event-type Markov "
+        "chain via two EXACT fixed-point power steps from uniform "
+        "(pi_{k+1} = pi_k P), compared against the empirical state "
+        "frequencies — fast drift-to-empirical means the chain mixes "
+        "quickly and per-state models are safe to fit on marginal "
+        "counts; slow drift flags sticky funnels. Every step keeps "
+        "ppm mass in BIGINT: term = x_a * c_ab div c_a (all positive, "
+        "Spark div paired with DuckDB // — truncation-identical), so "
+        "the iteration is engine-exact; at most |states| ppm of mass "
+        "truncates per step (documented, deterministic). Scale shape: "
+        "the chain lives on the types^2 transition aggregate; steps "
+        "are joins over <= |types|^2 rows — the fact table is touched "
+        "once by the lag window, same as events_entropy_rate.",
+)
+def events_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.lag("event_type").over(w).alias("a"),
+        F.col("event_type").alias("b"),
+    ).filter(F.col("a").isNotNull())
+    cab = persist_tracked(
+        tr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ca = persist_tracked(
+        cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    )
+    ns = ca.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x0 = ca.crossJoin(F.broadcast(ns)).select(
+        "a", F.expr("CAST(1000000 div n AS BIGINT)").alias("x")
+    )
+
+    def _step(x: DataFrame) -> DataFrame:
+        return (
+            cab.join(F.broadcast(x), "a")
+            .join(F.broadcast(ca), "a")
+            .groupBy(F.col("b").alias("__b"))
+            .agg(
+                F.sum(F.expr("x * c_ab div c_a")).cast("long").alias("x")
+            )
+            .select(F.col("__b").alias("a"), "x")
+        )
+
+    x2 = _step(_step(x0))
+    tt = cab.agg(F.sum("c_ab").cast("long").alias("total"))
+    return (
+        x2.join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("a").alias("state"),
+            F.col("x").alias("stationary_ppm"),
+            F.expr("CAST(c_a * 1000000 div total AS BIGINT)").alias(
+                "empirical_ppm"
+            ),
+            F.abs(
+                F.col("x") - F.expr("c_a * 1000000 div total")
+            ).cast("long").alias("drift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics, exact fixed point (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dim_stats",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+expl AS (
+  SELECT CAST(generate_subscripts(xq, 1) - 1 AS INT) AS dim,
+         unnest(xq) AS v
+  FROM q)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS mean_micro,
+       CAST(floor(CAST(sum(v * v) * count(*) - sum(v) * sum(v) AS DOUBLE)
+                  / (count(*) * count(*)) / 1000000 + 0.5) AS BIGINT)
+           AS var_micro
+FROM expl GROUP BY dim
+""",
+    doc="Per-dimension embedding mean/variance — the drift monitor run "
+        "before trusting an embedding column (a dimension whose mean "
+        "wanders or variance collapses flags an encoder regression or "
+        "a normalization bug). Embeddings fixed-point to 1e-6 BIGINT "
+        "(same discipline as embedding_power_iteration), so sum and "
+        "sum-of-squares are exact integer accumulations; variance "
+        "comes from the integer identity n*sum(v^2) - sum(v)^2 over "
+        "n^2 (one double division on exact inputs), mean/var "
+        "half-up-floored in micro units. Scale shape: posexplode is "
+        "row-local; the only shuffle is a 64-group partial-aggregated "
+        "reduce — per-dimension stats cost one pass regardless of "
+        "corpus size. Integer headroom: |v|<=~1e6, sum(v*v)*n exact "
+        "in BIGINT up to ~1e6 rows per dim at these magnitudes; "
+        "beyond, the accumulator widens to DECIMAL(38,0).",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "v")
+    )
+    g = q.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    return g.select(
+        "dim",
+        "n",
+        F.floor(F.col("s").cast("double") / F.col("n") + 0.5)
+        .cast("long")
+        .alias("mean_micro"),
+        F.floor(
+            (F.col("ss") * F.col("n") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("n"))
+            / 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("var_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k sketch aggregate (round 5) — new built-in in Spark 4.0
+# ---------------------------------------------------------------------------
+@query(
+    "events_approx_top_k",
+    oracle="""
+SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""",
+    doc="approx_top_k(expr, k) — Spark 4.0's frequent-items sketch "
+        "aggregate (internal space-saving buffer, mergeable partials): "
+        "top event types with counts, exploded back to rows. The "
+        "sketch is EXACT whenever the tracked-item budget "
+        "(maxItemsTracked, default 10000) covers the column's distinct "
+        "count — true here (5 types) and for any bounded-vocabulary "
+        "column at 100 TB, which is what makes an exact oracle fair; "
+        "above the budget it degrades gracefully to approximate heavy "
+        "hitters where a groupBy-count would need the full shuffle "
+        "(the CMS top-k query covers that regime with error bounds). "
+        "k exceeds the distinct count so result membership is total "
+        "and tie order cannot matter.",
+)
+def events_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    tk = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return tk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("item"),
+        F.col("x.count").cast("long").alias("cnt"),
     )

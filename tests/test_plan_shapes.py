@@ -175,6 +175,13 @@ CASES = [
     # two brute-force arms (exactness baseline BNLJs) + broadcast
     # overlap join of two queries*5 frames
     ("embedding_matryoshka_recall", 3, {"smj": 0, "bnlj": 2, "bhj_min": 1}),
+    # chain lives on the persisted types^2 aggregate; power steps are
+    # broadcast joins (reprints inflate exch); BNLJs are 1-row scalars
+    ("events_stationary_distribution", 28, {"smj": 0, "bhj_min": 3}),
+    # posexplode is row-local; ONE 64-group aggregation exchange
+    ("embedding_dim_stats", 1, {"smj": 0, "bnlj": 0}),
+    # sketch aggregate: partial/final pair, one exchange, no joins
+    ("events_approx_top_k", 1, {"smj": 0, "bnlj": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
