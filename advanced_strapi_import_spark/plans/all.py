@@ -74,6 +74,8 @@ _FIRST = [
     "events_stationary_distribution",
     "embedding_dim_stats",
     "events_approx_top_k",
+    "events_twap",
+    "events_rank_trio",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

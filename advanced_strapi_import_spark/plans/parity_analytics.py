@@ -2703,3 +2703,130 @@ def events_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.item").alias("item"),
         F.col("x.count").cast("long").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average value per user (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "events_twap",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+seg AS (
+  SELECT user_id, cents,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dur
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+agg AS (
+  SELECT user_id,
+         CAST(sum(cents * dur) AS BIGINT) AS wsum,
+         CAST(sum(dur) AS BIGINT) AS tspan,
+         CAST(count(*) AS BIGINT) AS n_segments
+  FROM seg WHERE dur IS NOT NULL GROUP BY user_id
+  HAVING sum(dur) > 0)
+SELECT user_id, n_segments, tspan,
+       floor(CAST(wsum AS DOUBLE) / tspan / 100 * 100 + 0.5) / 100 AS twap
+FROM agg
+""",
+    doc="Time-weighted average value per user (TWAP — the fair average "
+        "for irregularly-sampled series, where a plain avg() "
+        "overweights bursty periods): each observation holds until the "
+        "next one (step interpolation), weighted by its duration. "
+        "Values fixed-point to BIGINT cents and durations to whole "
+        "seconds, so the weighted sum is exact and order-free; one "
+        "double division at the end, half-up at 2 decimals mirrored "
+        "in the oracle. Users whose observations all share one "
+        "timestamp have zero span and are excluded (HAVING span > 0 — "
+        "the alternative is an ANSI divide-by-zero). One user-"
+        "partitioned lead window + one per-user aggregate; the window "
+        "partitioning is reused by the groupBy — single shuffle.",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1000000)
+        ).cast("long").alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    agg = (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur")).cast("long").alias("wsum"),
+            F.sum("dur").cast("long").alias("tspan"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+        .filter(F.col("tspan") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        "tspan",
+        (
+            F.floor(
+                F.col("wsum").cast("double") / F.col("tspan") / 100 * 100
+                + 0.5
+            )
+            / 100
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank family trio (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "events_rank_trio",
+    oracle="""
+WITH day_totals AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, n,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_ppm,
+       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_ppm
+FROM day_totals
+WINDOW w AS (PARTITION BY event_type ORDER BY n, day)
+""",
+    doc="The SQL rank family side by side — rank (gapped), dense_rank, "
+        "percent_rank ((rnk-1)/(n-1)) and cume_dist (peers-inclusive "
+        "share) — over per-type daily volumes, the reference every "
+        "'which days were busiest' report reaches for. Both percent "
+        "columns are exact rational functions of integer ranks, "
+        "half-up-floored to ppm so the engines cannot drift. The "
+        "window partitions by type over the (type, day) DOMAIN "
+        "aggregate (facts collapse first), so the sort is bounded by "
+        "days, not events — the single-partition trap this catalog "
+        "avoids everywhere.",
+)
+def events_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    dt = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    return dt.select(
+        "event_type",
+        "day",
+        "n",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.floor(F.percent_rank().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("cd_ppm"),
+    )

@@ -182,6 +182,11 @@ CASES = [
     ("embedding_dim_stats", 1, {"smj": 0, "bnlj": 0}),
     # sketch aggregate: partial/final pair, one exchange, no joins
     ("events_approx_top_k", 1, {"smj": 0, "bnlj": 0}),
+    # ONE user shuffle: the lead window's partitioning is reused by
+    # the per-user aggregate
+    ("events_twap", 1, {"smj": 0, "bnlj": 0}),
+    # (type, day) domain agg + type-partitioned rank windows
+    ("events_rank_trio", 2, {"smj": 0, "bnlj": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
