@@ -105,7 +105,12 @@ def distributed_ntile(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    part = part.persist()
+    # tracked persist: the frame feeds the offsets collect AND the rank
+    # pass; a raw .persist() would outlive release_tracked()/release_all()
+    # and pin the range-shuffled input for the rest of the session
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    part = persist_tracked(part)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in part.groupBy("__pid")

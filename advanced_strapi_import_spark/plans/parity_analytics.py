@@ -2620,7 +2620,8 @@ SELECT dim,
        CAST(count(*) AS BIGINT) AS n,
        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
            AS mean_micro,
-       CAST(floor(CAST(sum(v * v) * count(*) - sum(v) * sum(v) AS DOUBLE)
+       CAST(floor(CAST(sum(v * v)::HUGEINT * count(*)
+                       - sum(v)::HUGEINT * sum(v) AS DOUBLE)
                   / (count(*) * count(*)) / 1000000 + 0.5) AS BIGINT)
            AS var_micro
 FROM expl GROUP BY dim
@@ -2636,9 +2637,13 @@ FROM expl GROUP BY dim
         "half-up-floored in micro units. Scale shape: posexplode is "
         "row-local; the only shuffle is a 64-group partial-aggregated "
         "reduce — per-dimension stats cost one pass regardless of "
-        "corpus size. Integer headroom: |v|<=~1e6, sum(v*v)*n exact "
-        "in BIGINT up to ~1e6 rows per dim at these magnitudes; "
-        "beyond, the accumulator widens to DECIMAL(38,0).",
+        "corpus size. Integer headroom: sum(v) stays BIGINT (exact to "
+        "~9e12 rows at |v|<=1e6), but n*sum(v^2) reaches 2^63 at only "
+        "n~3e3 worst-case (n~2e4 for unit-norm vectors), so the "
+        "squared accumulator runs in DECIMAL(38,0) — exact to ~1e13 "
+        "rows per dimension — mirrored by HUGEINT in the oracle; the "
+        "final cast-to-double of the same exact integer rounds "
+        "identically in both engines.",
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load(spark, sf_dir, "embeddings"))
@@ -2655,7 +2660,14 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = q.groupBy(F.col("dim").cast("int").alias("dim")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        # DECIMAL(38,0) accumulator: n * sum(v^2) overflows BIGINT at
+        # only ~3e3 worst-case rows per dim (ANSI would throw, not
+        # wrap) — see headroom note in the doc
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
+    )
+    num = (
+        F.col("ss") * F.col("n")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
     )
     return g.select(
         "dim",
@@ -2664,10 +2676,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_micro"),
         F.floor(
-            (F.col("ss") * F.col("n") - F.col("s") * F.col("s")).cast("double")
-            / (F.col("n") * F.col("n"))
-            / 1000000
-            + 0.5
+            num.cast("double") / (F.col("n") * F.col("n")) / 1000000 + 0.5
         )
         .cast("long")
         .alias("var_micro"),

@@ -1301,8 +1301,11 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+    # NO broadcast hint: the target set is corpus-sized (every 'en'
+    # doc id) — a left-semi membership join lets AQE pick the strategy
+    # at bench scale and shuffles correctly at 100 TB
     tgt = d.filter(F.col("lang") == "en").select("doc_id")
-    t2_tgt = t2.join(F.broadcast(tgt), "doc_id")
+    t2_tgt = t2.join(tgt, "doc_id", "left_semi")
     tc = t2_tgt.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("tc")
     )

@@ -2893,7 +2893,10 @@ def embedding_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = persist_tracked(
         S.ivf_topk(queries, corpus, k=10, cells=16, nprobe=4, keep_vec=True)
     )
-    picks = S.mmr_rerank(cand)
+    # persisted: picks feeds BOTH audit aggregations (pick count and
+    # exact-top-10 hits) — unpersisted, the query_id shuffle and the
+    # Arrow MMR kernel would run twice
+    picks = persist_tracked(S.mmr_rerank(cand))
     brute = persist_tracked(
         S.cosine_topk(queries, corpus, k=10).select("query_id", "neighbor_id")
     )

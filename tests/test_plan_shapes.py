@@ -40,6 +40,7 @@ def _features(spark, name: str) -> dict:
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "sp": plan.count("Exchange SinglePartition"),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "plan": plan,
     }
@@ -153,7 +154,7 @@ CASES = [
     # broadcast-pinned audit joins; the SinglePartition exchanges are
     # the queries-cardinality mean-recall windows (same shape as
     # embedding_ivf_topk)
-    ("embedding_mmr_ivf", 24, {"smj": 0, "bhj_min": 4}),
+    ("embedding_mmr_ivf", 26, {"smj": 0, "bhj_min": 4}),
     # SQL UNPIVOT is a row-local generate; one (flag, measure) agg
     ("lineitem_unpivot_sql", 1, {"smj": 0, "bnlj": 0}),
     # one key-sampled agg; pushdown carries the % filter to the scan
@@ -161,8 +162,8 @@ CASES = [
     # argmax via max_by: ONE map-side-combinable agg, no window sort
     ("events_extreme_users", 1, {"smj": 0, "bnlj": 0}),
     # distributed_ntile: range repartition + pid window + decile agg —
-    # and NO single-partition window over the fact table
-    ("lineitem_price_deciles", 5, {"smj": 0, "bnlj": 0}),
+    # sp=0 binds: NO single-partition window over the fact table
+    ("lineitem_price_deciles", 5, {"smj": 0, "bnlj": 0, "sp": 0}),
     # 1024-bucket weight table broadcasts back onto the token stream;
     # the BNLJ/singleP pair is the 1-row totals scalar
     ("doc_dsir_importance", 6, {"smj": 0, "bhj_min": 3}),
@@ -203,9 +204,9 @@ CASES = [
     # the ONE smj is the customer-key FULL OUTER join — full outer
     # cannot broadcast in Spark, shuffle join is the correct shape.
     # Quintiles come from distributed_ntile (range repartition + pid
-    # windows + persisted-subtree reprints = the exchange count); the
-    # binding assertion is below: NO single-partition exchange
-    ("customer_rfm_migration", 13, {"smj": 1, "bnlj": 0}),
+    # windows + persisted-subtree reprints = the exchange count);
+    # sp=0 is the binding assertion: NO single-partition exchange
+    ("customer_rfm_migration", 13, {"smj": 1, "bnlj": 0, "sp": 0}),
 ]
 
 
@@ -225,6 +226,10 @@ def test_plan_shape(spark, name, max_exch, req):
         )
     if "bhj_min" in req:
         assert f["bhj"] >= req["bhj_min"], f"{name}: expected broadcast join"
+    if "sp" in req:
+        assert f["sp"] <= req["sp"], (
+            f"{name}: {f['sp']} single-partition exchanges > {req['sp']}"
+        )
     if req.get("pushed"):
         assert f["pushed"], f"{name}: parquet filter pushdown missing"
 
