@@ -264,9 +264,15 @@ def ivf_topk(
     seed: int = 42,
     dims: int | None = 64,
     keep_vec: bool = False,
+    centers=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``cells``; each query scores only its ``nprobe`` nearest cells.
+
+    ``centers`` accepts a precomputed (cells x dims) numpy centroid
+    matrix (e.g. from :func:`_kmeans_centers` or a stored index) so
+    callers probing the SAME corpus at several nprobe settings — or
+    serving many query batches — fit k-means once instead of per call.
 
     The scale path when data is clustered (LSH hyperplanes are
     data-oblivious; IVF cells adapt to the distribution): corpus
@@ -282,24 +288,28 @@ def ivf_topk(
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    centers = _kmeans_centers(corpus, vec_col, cells, seed)
+    if centers is None:
+        centers = _kmeans_centers(corpus, vec_col, cells, seed)
     centers_sq = (centers**2).sum(axis=1)  # for dist2 = |v|^2 - 2 v.C + |C|^2
 
-    def _cells_fn(v, n_out):
+    def _cells_fn(v, n_out, as_list):
+        # as_list distinguishes the scalar argmin kernel from the probe
+        # kernel: nprobe == 1 must STILL return 1-element lists, or the
+        # array<int> probe UDF hands Arrow bare ints and the stage dies
         if len(v) == 0:  # empty Arrow batch: np.stack would raise
-            return pd.Series([], dtype="int32" if n_out == 1 else "object")
+            return pd.Series([], dtype="object" if as_list else "int32")
         mat = np.stack(v.to_numpy())
         d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ centers.T) + centers_sq
-        if n_out == 1:
+        if not as_list:
             return pd.Series(d2.argmin(axis=1).astype("int32"))
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_out]
         return pd.Series(list(order.astype("int32")))
 
     def _argmin_cell(v):
-        return _cells_fn(v, 1)
+        return _cells_fn(v, 1, False)
 
     def _probe_cells(v):
-        return _cells_fn(v, nprobe)
+        return _cells_fn(v, nprobe, True)
 
     # real class objects (module uses `from __future__ import annotations`)
     _argmin_cell.__annotations__ = {"v": pd.Series, "return": pd.Series}

@@ -76,6 +76,8 @@ _FIRST = [
     "events_approx_top_k",
     "events_twap",
     "events_rank_trio",
+    "embedding_ivf_nprobe_sweep",
+    "doc_length_percentiles_by_lang",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

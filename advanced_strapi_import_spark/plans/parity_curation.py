@@ -1396,3 +1396,46 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact interpolated length percentiles per language (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_length_percentiles_by_lang",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 2) AS p25,
+       round(quantile_cont(n_chars, 0.50), 2) AS p50,
+       round(quantile_cont(n_chars, 0.75), 2) AS p75,
+       round(quantile_cont(n_chars, 0.90), 2) AS p90
+FROM documents GROUP BY lang
+""",
+    doc="Exact interpolated document-length percentiles per language — "
+        "the sizing profile behind per-language chunking budgets "
+        "(approx_percentile answers the same question with error "
+        "bounds at events_approx_quantiles; this is the exact form "
+        "for the low-cardinality group case). Spark's percentile() "
+        "and DuckDB's quantile_cont interpolate identically on exact "
+        "integer inputs (the Theil-Sen precedent); inputs are BIGINT "
+        "n_chars so the rational interpolation is engine-identical "
+        "before the 2-decimal guard round. Exact percentile sorts "
+        "per group IN the aggregate — fine while per-lang rows fit a "
+        "task (languages are few and docs collapse to one value "
+        "column); the approximate sketch is the unbounded-cardinality "
+        "path.",
+)
+def doc_length_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 2).alias("p90"),
+    )

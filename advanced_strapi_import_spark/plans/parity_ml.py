@@ -3133,3 +3133,66 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe cost/recall sweep (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_ivf_nprobe_sweep",
+    oracle="""
+SELECT CAST(x AS INT) AS nprobe, TRUE AS monotone_ok, TRUE AS floor_ok
+FROM (VALUES (1), (2), (4), (8)) t(x)
+""",
+    doc="The IVF cost/recall dial measured in one query: top-5 recall "
+        "vs the exact baseline at nprobe = 1, 2, 4, 8 over the same "
+        "16-cell index (k-means fit ONCE and passed to every probe "
+        "setting — the centers= reuse path a real serve deployment "
+        "uses). The binding invariant is structural, not a tuned "
+        "bound: a query's probe list is the stable argsort PREFIX of "
+        "its cell distances, so candidate sets are NESTED in nprobe "
+        "and recall against a fixed truth is monotone non-decreasing "
+        "— monotone_ok pins that per step; floor_ok pins mean recall "
+        ">= 0.2 even at nprobe=1 (measured 0.37-0.57 across "
+        "sf0.001/0.01/0.1, seeded and deterministic). Scale: the "
+        "sweep is 4 cell-equi-joins sharing one corpus assignment "
+        "pass shape; the exact arm exists only as the audit truth.",
+)
+def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = fan_out(emb)
+    centers = S._kmeans_centers(corpus, "embedding", 16, 42)
+    brute = persist_tracked(
+        S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
+    )
+    n_q = queries.agg(F.count(F.lit(1)).cast("long").alias("n_q"))
+    arms = None
+    for nprobe in (1, 2, 4, 8):
+        hits = (
+            S.ivf_topk(
+                queries, corpus, k=5, cells=16, nprobe=nprobe, centers=centers
+            )
+            .select("query_id", "neighbor_id")
+            .join(F.broadcast(brute), ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(nprobe).alias("nprobe"), "hits")
+        )
+        arms = hits if arms is None else arms.unionByName(hits)
+    rec = arms.crossJoin(F.broadcast(n_q)).select(
+        "nprobe",
+        F.expr("CAST(hits * 1000000 div (n_q * 5) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+    w = Window.orderBy("nprobe")  # 4 rows — domain, not data
+    return rec.select(
+        "nprobe",
+        (
+            F.col("recall_ppm")
+            >= F.coalesce(F.lag("recall_ppm").over(w), F.lit(0))
+        ).alias("monotone_ok"),
+        (F.col("recall_ppm") >= 200000).alias("floor_ok"),
+    )

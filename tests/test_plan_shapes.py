@@ -188,6 +188,11 @@ CASES = [
     ("events_twap", 1, {"smj": 0, "bnlj": 0}),
     # (type, day) domain agg + type-partitioned rank windows
     ("events_rank_trio", 2, {"smj": 0, "bnlj": 0}),
+    # 4 probe arms + exact-truth arm; BNLJ/sp are the 1-row scalar
+    # recall counters and the 4-row monotonicity window (domain)
+    ("embedding_ivf_nprobe_sweep", 18, {"smj": 0}),
+    # one lang-group aggregate carrying the exact percentile sort
+    ("doc_length_percentiles_by_lang", 1, {"smj": 0, "bnlj": 0, "sp": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
