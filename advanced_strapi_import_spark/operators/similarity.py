@@ -256,7 +256,7 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     *,
-    k: int = 5,
+    k: int | None = 5,
     cells: int = 16,
     nprobe: int = 4,
     vec_col: str = "embedding",
@@ -265,6 +265,7 @@ def ivf_topk(
     dims: int | None = 64,
     keep_vec: bool = False,
     centers=None,
+    keep_probe_rank: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``cells``; each query scores only its ``nprobe`` nearest cells.
@@ -273,6 +274,12 @@ def ivf_topk(
     matrix (e.g. from :func:`_kmeans_centers` or a stored index) so
     callers probing the SAME corpus at several nprobe settings — or
     serving many query batches — fit k-means once instead of per call.
+    ``keep_probe_rank`` adds ``__probe_rank`` (0-based position of the
+    candidate's cell in the query's probe order) to the output, and
+    ``k=None`` skips the top-k cut: probe lists are stable argsort
+    PREFIXES, so one nprobe=N pass filtered on ``__probe_rank < n``
+    reproduces every n <= N arm exactly — a cost/recall sweep becomes
+    one ANN pass plus N cheap rank windows instead of N passes.
 
     The scale path when data is clustered (LSH hyperplanes are
     data-oblivious; IVF cells adapt to the distribution): corpus
@@ -325,8 +332,15 @@ def ivf_topk(
     q_probes = _width_ok(queries, vec_col, dims).select(
         F.col(id_col).alias("query_id"),
         dbl.alias("__qv"),
-        F.explode(probe_cells(dbl)).alias("cell"),
+        F.posexplode(probe_cells(dbl)).alias("__probe_rank", "cell"),
     )
+    extra = []
+    if keep_vec:
+        # carried neighbor vector for downstream rerankers (MMR):
+        # slim after the top-k cut, saves a corpus-sized re-join
+        extra.append(F.col("__cv").alias("__nv"))
+    if keep_probe_rank:
+        extra.append(F.col("__probe_rank"))
     scored = (
         F.broadcast(q_probes)
         .join(c_assigned, "cell")
@@ -335,12 +349,15 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
-            # carried neighbor vector for downstream rerankers (MMR):
-            # slim after the top-k cut, saves a corpus-sized re-join
-            *([F.col("__cv").alias("__nv")] if keep_vec else []),
+            *extra,
         )
+        # a corpus vector lives in exactly ONE cell, so (query, neighbor)
+        # is already unique per probe list — the dropDuplicates is a
+        # defensive no-op and cannot pick between probe ranks
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if k is None:
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

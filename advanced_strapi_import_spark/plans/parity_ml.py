@@ -3154,9 +3154,13 @@ FROM (VALUES (1), (2), (4), (8)) t(x)
         "and recall against a fixed truth is monotone non-decreasing "
         "— monotone_ok pins that per step; floor_ok pins mean recall "
         ">= 0.2 even at nprobe=1 (measured 0.37-0.57 across "
-        "sf0.001/0.01/0.1, seeded and deterministic). Scale: the "
-        "sweep is 4 cell-equi-joins sharing one corpus assignment "
-        "pass shape; the exact arm exists only as the audit truth.",
+        "sf0.001/0.01/0.1, seeded and deterministic). Scale: the whole "
+        "sweep is ONE nprobe=8 candidate pass (keep_probe_rank + "
+        "k=None) — the prefix property means filtering __probe_rank "
+        "< n and re-ranking reproduces every smaller arm exactly, so "
+        "four ANN passes collapse into four rank windows over one "
+        "persisted slim candidate frame; the exact arm exists only as "
+        "the audit truth.",
 )
 def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3164,18 +3168,25 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     corpus = fan_out(emb)
-    centers = S._kmeans_centers(corpus, "embedding", 16, 42)
     brute = persist_tracked(
         S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
     )
+    cand = persist_tracked(
+        S.ivf_topk(
+            queries, corpus, k=None, cells=16, nprobe=8,
+            keep_probe_rank=True,
+        ).select("query_id", "neighbor_id", "cos", "__probe_rank")
+    )
     n_q = queries.agg(F.count(F.lit(1)).cast("long").alias("n_q"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     arms = None
     for nprobe in (1, 2, 4, 8):
         hits = (
-            S.ivf_topk(
-                queries, corpus, k=5, cells=16, nprobe=nprobe, centers=centers
-            )
-            .select("query_id", "neighbor_id")
+            cand.filter(F.col("__probe_rank") < nprobe)
+            .withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= 5)
             .join(F.broadcast(brute), ["query_id", "neighbor_id"], "left_semi")
             .agg(F.count(F.lit(1)).cast("long").alias("hits"))
             .select(F.lit(nprobe).alias("nprobe"), "hits")
