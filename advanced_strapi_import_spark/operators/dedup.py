@@ -724,12 +724,11 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
 
     OUTPUT CONTRACT — this is a ``rounds``-round PEEL, not the exact
     k-core: (node, degree, converged). ``converged`` is TRUE iff the
-    last round removed no node (node-set equality between rounds
-    ``rounds-1`` and ``rounds`` — peeling only removes, so equal
-    counts mean a fixpoint and the result IS the exact k-core). When
-    FALSE, long chain graphs still contain nodes with residual
-    degree < k; callers needing the exact core re-enter with more
-    rounds until the flag flips.
+    RESULT is already a fixpoint — min residual degree >= k, i.e. one
+    more round would remove nothing and the returned subgraph IS the
+    exact k-core. When FALSE, long chain graphs still contain nodes
+    with residual degree < k; callers needing the exact core re-enter
+    with more rounds until the flag flips.
 
     The k-core is the densest-region filter used on dedup candidate
     graphs: LSH emits chains and stars whose low-degree fringe is
@@ -762,9 +761,7 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             "node", "nbr"
         )
     )
-    prev = edges
     for _ in range(rounds):
-        prev = edges
         keep = (
             edges.groupBy("node")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -776,23 +773,24 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
                 keep.withColumnRenamed("node", "nbr"), "nbr"
             ).select("node", "nbr")
         )
-    # convergence signal: the final round removed a node iff some node
-    # in the PENULTIMATE edge set still had degree < k, so the flag is
-    # min(degree over prev) >= k — ONE scalar agg over one subtree.
-    # (Comparing node counts of the last two rounds is equivalent but
-    # puts two branches of the shared persisted peel lineage in one
-    # broadcast build, and their parallel materialization races —
-    # duplicate partition computation, measured 2.5x on the whole
-    # query.) Empty graph = trivially converged.
-    flag = (
-        prev.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-        .agg(
-            F.coalesce(F.min("__deg") >= k, F.lit(True)).alias("converged")
-        )
+    # convergence flag as a WINDOW over the final degree frame — ONE
+    # linear pipeline. Every scalar-aggregate formulation (crossJoin of
+    # a broadcast min, count comparison of the last two rounds) makes
+    # the flag a SECOND consumer of the unmaterialized persisted peel
+    # chain, and Spark's broadcast-build thread then races the main
+    # job through the whole history — measured ~2x duplicate partition
+    # computation ("Block already exists" warns). The window's
+    # single-partition exchange carries only the node-domain OUTPUT
+    # (already collapsed from edges); at extreme surviving-node
+    # cardinality read min(degree) from the returned frame in a
+    # separate action instead of trusting this column.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
         edges.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .crossJoin(F.broadcast(flag))
+        .withColumn("converged", F.min("degree").over(wall) >= k)
     )

@@ -2462,8 +2462,7 @@ e0 AS (
 {_kcore_peel_sql("e1", 2)},
 {_kcore_peel_sql("e2", 3)}
 SELECT node, CAST(count(*) AS BIGINT) AS degree,
-       (SELECT coalesce(min(cnt) >= 2, TRUE) FROM (
-            SELECT count(*) AS cnt FROM e2 GROUP BY node)) AS converged
+       min(count(*)) OVER () >= 2 AS converged
 FROM e3 GROUP BY node
 """,
     doc="k-core peeling (k=2, 3 fixed rounds) over the LSH candidate "
@@ -2476,10 +2475,13 @@ FROM e3 GROUP BY node
         "aggregation plus two node-id semi-joins — O(E) shuffle per "
         "round, no driver state; the oracle unrolls the identical "
         "three peels as CTEs. The `converged` column is the operator's "
-        "output contract made visible: TRUE iff the final round "
-        "removed no node, i.e. the peel reached the exact k-core "
-        "fixpoint (on chain graphs needing more rounds it reads FALSE "
-        "and callers re-enter with a higher round count).",
+        "output contract made visible: TRUE iff the returned subgraph "
+        "is already a fixpoint (min residual degree >= k — the exact "
+        "k-core); on chain graphs needing more rounds it reads FALSE "
+        "and callers re-enter with a higher round count. Computed as "
+        "a window over the output frame — any scalar-broadcast "
+        "formulation makes the flag a second consumer of the "
+        "unmaterialized peel chain and races it (measured ~2x).",
 )
 def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = persist_tracked(
