@@ -78,6 +78,7 @@ _FIRST = [
     "events_rank_trio",
     "embedding_ivf_nprobe_sweep",
     "doc_length_percentiles_by_lang",
+    "events_hll_precision_sweep",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

@@ -193,6 +193,9 @@ CASES = [
     ("embedding_ivf_nprobe_sweep", 18, {"smj": 0}),
     # one lang-group aggregate carrying the exact percentile sort
     ("doc_length_percentiles_by_lang", 1, {"smj": 0, "bnlj": 0, "sp": 0}),
+    # 3 sketch aggs + exact audit arm share one scan; the sp exchanges
+    # are the global (1-row) aggregates themselves
+    ("events_hll_precision_sweep", 6, {"smj": 0, "bnlj": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
