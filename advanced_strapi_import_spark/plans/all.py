@@ -79,6 +79,7 @@ _FIRST = [
     "embedding_ivf_nprobe_sweep",
     "doc_length_percentiles_by_lang",
     "events_hll_precision_sweep",
+    "events_ab_srm_check",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

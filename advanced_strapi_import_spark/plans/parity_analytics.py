@@ -2839,3 +2839,85 @@ def events_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cd_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch guardrail (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "events_ab_srm_check",
+    oracle="""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS a2,
+         CAST(sum(CASE WHEN user_id % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS a10
+  FROM users),
+checks AS (
+  SELECT 'mod2_vs_50' AS arm, a2 AS oa, n, CAST(0.5 AS DOUBLE) AS pa
+  FROM counts
+  UNION ALL
+  SELECT 'mod10_vs_30', a10, n, CAST(0.3 AS DOUBLE) FROM counts
+  UNION ALL
+  SELECT 'mod10_vs_50', a10, n, CAST(0.5 AS DOUBLE) FROM counts)
+SELECT arm, oa AS n_a, n - oa AS n_b,
+       CAST(floor(((oa - n * pa) * (oa - n * pa) / (n * pa)
+                   + ((n - oa) - n * (1 - pa)) * ((n - oa) - n * (1 - pa))
+                     / (n * (1 - pa))) * 1000 + 0.5) AS BIGINT)
+           AS chi2_milli,
+       (((oa - n * pa) * (oa - n * pa) / (n * pa)
+         + ((n - oa) - n * (1 - pa)) * ((n - oa) - n * (1 - pa))
+           / (n * (1 - pa)))) <= 3.841 AS srm_ok
+FROM checks
+""",
+    doc="Sample-ratio-mismatch guardrail — the FIRST check run on any "
+        "A/B test before reading its metrics (a split that deviates "
+        "from its intended ratio means broken assignment, and every "
+        "downstream metric is garbage): 1-df chi-square of observed "
+        "group sizes against the intended ratio, flagged at the 5% "
+        "critical value (3.841). Three arms on the same user set: the "
+        "mod-2 split checked against its intended 50/50 (passes), a "
+        "30% mod-10 split against its intended 30/70 (passes), and "
+        "the SAME 30% split mis-specified as 50/50 — the detector "
+        "must FIRE (srm_ok = false), which keeps this query honest "
+        "about actually detecting mismatch rather than rubber-"
+        "stamping. All counts are exact; the chi-square is one "
+        "double expression on identical integers in both engines, "
+        "fixed-pointed to milli for display. One distinct-user "
+        "aggregate, three scalar projections — facts touched once.",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    counts = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+        F.sum(F.when(F.col("user_id") % 10 < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("a10"),
+    )
+    arms = None
+    for arm, col, pa in (
+        ("mod2_vs_50", "a2", 0.5),
+        ("mod10_vs_30", "a10", 0.3),
+        ("mod10_vs_50", "a10", 0.5),
+    ):
+        oa = F.col(col)
+        ob = F.col("n") - oa
+        ea = F.col("n") * F.lit(pa)
+        # 1 - pa computed here and `1 - pa` in the oracle SQL are the
+        # same IEEE subtraction on the same double literal
+        eb = F.col("n") * F.lit(1 - pa)
+        chi2 = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+        one = counts.select(
+            F.lit(arm).alias("arm"),
+            oa.alias("n_a"),
+            ob.alias("n_b"),
+            F.floor(chi2 * 1000 + 0.5).cast("long").alias("chi2_milli"),
+            (chi2 <= 3.841).alias("srm_ok"),
+        )
+        arms = one if arms is None else arms.unionByName(one)
+    return arms

@@ -196,6 +196,8 @@ CASES = [
     # 3 sketch aggs + exact audit arm share one scan; the sp exchanges
     # are the global (1-row) aggregates themselves
     ("events_hll_precision_sweep", 6, {"smj": 0, "bnlj": 0}),
+    # one distinct-user aggregate; three scalar projection arms
+    ("events_ab_srm_check", 6, {"smj": 0, "bnlj": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),

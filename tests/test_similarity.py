@@ -156,3 +156,38 @@ def test_mmr_rerank_greedy_and_small_pool(spark):
     assert got[(1, 3)][0] == 12 and abs(got[(1, 3)][1] - 0.33) < 1e-9
     assert got[(2, 1)] == (21, 0.70)
     assert len(got) == 4
+
+
+def test_ivf_probe_rank_prefix_derivation(spark):
+    # the nprobe sweep's core claim: filtering a keep_probe_rank=True
+    # nprobe=N pass on __probe_rank < n and re-ranking reproduces the
+    # standalone nprobe=n result EXACTLY (probe lists are stable
+    # argsort prefixes) — checked here on real data for n in {1, 2}
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.operators import similarity as S
+    from advanced_strapi_import_spark.plans.registry import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    cand = S.ivf_topk(
+        q, emb, k=None, cells=16, nprobe=4, keep_probe_rank=True
+    ).persist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    for n in (1, 2):
+        derived = {
+            (r["query_id"], r["neighbor_id"], r["__r"])
+            for r in cand.filter(F.col("__probe_rank") < n)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 5)
+            .collect()
+        }
+        standalone = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_topk(q, emb, k=5, cells=16, nprobe=n)
+            .select("query_id", "neighbor_id", "rank")
+            .collect()
+        }
+        assert derived == standalone, f"nprobe={n}"
+    cand.unpersist()
