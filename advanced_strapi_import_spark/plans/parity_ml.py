@@ -3148,9 +3148,10 @@ FROM (VALUES (1), (2), (4), (8)) t(x)
 """,
     doc="The IVF cost/recall dial measured in one query: top-5 recall "
         "vs the exact baseline at nprobe = 1, 2, 4, 8 over the same "
-        "16-cell index (k-means fit ONCE and passed to every probe "
-        "setting — the centers= reuse path a real serve deployment "
-        "uses). The binding invariant is structural, not a tuned "
+        "16-cell index — k-means fits ONCE because the whole sweep is "
+        "a single nprobe=8 candidate pass (separate per-setting calls "
+        "would instead share a fit via ivf_topk's centers= "
+        "pass-through). The binding invariant is structural, not a tuned "
         "bound: a query's probe list is the stable argsort PREFIX of "
         "its cell distances, so candidate sets are NESTED in nprobe "
         "and recall against a fixed truth is monotone non-decreasing "

@@ -172,22 +172,49 @@ def test_ivf_probe_rank_prefix_derivation(spark):
     cand = S.ivf_topk(
         q, emb, k=None, cells=16, nprobe=4, keep_probe_rank=True
     ).persist()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+    try:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        for n in (1, 2):
+            derived = {
+                (r["query_id"], r["neighbor_id"], r["__r"])
+                for r in cand.filter(F.col("__probe_rank") < n)
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= 5)
+                .collect()
+            }
+            standalone = {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in S.ivf_topk(q, emb, k=5, cells=16, nprobe=n)
+                .select("query_id", "neighbor_id", "rank")
+                .collect()
+            }
+            assert derived == standalone, f"nprobe={n}"
+    finally:
+        cand.unpersist()
+
+
+def test_ivf_precomputed_centers_match_default(spark):
+    # the centers= pass-through must reproduce the default in-call fit
+    # exactly (same seeded k-means, same corpus) — the serve-path
+    # contract for fitting once and probing many query batches
+    from advanced_strapi_import_spark.operators import similarity as S
+    from advanced_strapi_import_spark.plans.registry import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    centers = S._kmeans_centers(emb, "embedding", 16, 42)
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_topk(q, emb, k=5, cells=16, nprobe=4, centers=centers)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
     )
-    for n in (1, 2):
-        derived = {
-            (r["query_id"], r["neighbor_id"], r["__r"])
-            for r in cand.filter(F.col("__probe_rank") < n)
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= 5)
-            .collect()
-        }
-        standalone = {
-            (r["query_id"], r["neighbor_id"], r["rank"])
-            for r in S.ivf_topk(q, emb, k=5, cells=16, nprobe=n)
-            .select("query_id", "neighbor_id", "rank")
-            .collect()
-        }
-        assert derived == standalone, f"nprobe={n}"
-    cand.unpersist()
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_topk(q, emb, k=5, cells=16, nprobe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+    )
+    assert got == want and len(got) > 0
