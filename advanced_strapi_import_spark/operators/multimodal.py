@@ -473,3 +473,59 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(stage, FRAME_SCHEMA)
+
+
+def sniff_media_meta(
+    df: DataFrame, *, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Mixed-modality manifest: magic-byte dispatch + the matching REAL
+    header parser in ONE Arrow ``mapInPandas`` pass.
+
+    The ingestion shape for a bucket of mixed media: nobody tells the
+    pipeline which rows are images vs audio vs video — the payload's
+    magic bytes do (RIFF/WAVE -> :func:`audio_header_meta`, RIFF/'AVI '
+    -> :func:`video_header_meta`, anything else tried as an image
+    container via :func:`header_dimensions`). Output is one row per
+    payload: (id, media_type, primary_dim, payload_bytes), where
+    primary_dim is the type's headline number (image/video width,
+    audio sample rate). Unparseable payloads surface as
+    media_type='unknown' with NULL primary_dim — never fake numbers,
+    never a dropped row. Scale: dispatch + parse touch only the first
+    bytes of each payload, row-local, no shuffle; the rollup that
+    usually follows is a low-cardinality groupBy on media_type."""
+    import pandas as pd
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            ids, types, dims, sizes = [], [], [], []
+            for did, data in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(data) if data is not None else b""
+                mt, pdim = "unknown", None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        mt, pdim = "WAV", audio_header_meta(b)[0]
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        mt, pdim = "AVI", video_header_meta(b)[0]
+                    else:
+                        w, _h, fmt = header_dimensions(b)
+                        mt, pdim = fmt, w
+                except (UnknownContainer, ValueError):
+                    pass
+                ids.append(did)
+                types.append(mt)
+                dims.append(pdim)
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "primary_dim": pd.Series(dims, dtype="Int32"),
+                    "payload_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        stage,
+        "doc_id bigint, media_type string, primary_dim int, "
+        "payload_bytes bigint",
+    )

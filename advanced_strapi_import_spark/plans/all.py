@@ -80,6 +80,7 @@ _FIRST = [
     "doc_length_percentiles_by_lang",
     "events_hll_precision_sweep",
     "events_ab_srm_check",
+    "multimodal_mixed_manifest",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

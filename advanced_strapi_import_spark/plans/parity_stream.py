@@ -218,13 +218,9 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 1024 + 1).cast("int")
     h = (F.col("n_chars") % 1024 + 1).cast("int")
-    be32 = lambda c: F.unhex(F.lpad(F.lower(F.hex(c)), 8, "0"))  # noqa: E731
-    png = F.concat(
-        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig + len + IHDR
-        be32(w), be32(h),
-        F.unhex(F.lit("0802000000")),  # bit depth / color / rest of IHDR
+    decoded = decode_image_meta(
+        d.select("doc_id", _png_header(w, h).alias("content"))
     )
-    decoded = decode_image_meta(d.select("doc_id", png.alias("content")))
     return decoded.select(
         "doc_id",
         F.col("image_meta.width").alias("width"),
@@ -239,6 +235,50 @@ def _le_bytes(c, width: int):
     x = F.lpad(F.lower(F.hex(c)), width * 2, "0")
     parts = [F.substring(x, 1 + 2 * i, 2) for i in range(width - 1, -1, -1)]
     return F.unhex(F.concat(*parts))
+
+
+def _be32(c):
+    return F.unhex(F.lpad(F.lower(F.hex(c)), 8, "0"))
+
+
+# Shared synthetic-header builders (29/44/88 bytes): the single source
+# for every multimodal_* query that pushes real container bytes through
+# the Arrow decode stages.
+
+
+def _png_header(w, h):
+    return F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig+len+IHDR
+        _be32(w), _be32(h),
+        F.unhex(F.lit("0802000000")),  # bit depth / color / rest of IHDR
+    )
+
+
+def _wav_header(sr, ch, frames):
+    block = (ch * 2).cast("int")
+    data_size = (frames * block).cast("int")
+    return F.concat(
+        F.lit(b"RIFF"), _le_bytes(data_size + 36, 4), F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(ch, 2),
+        _le_bytes(sr, 4), _le_bytes(sr * block, 4), _le_bytes(block, 2),
+        _le_bytes(F.lit(16), 2), F.lit(b"data"), _le_bytes(data_size, 4),
+    )
+
+
+def _avi_header(w, h, frames, uspf):
+    zero4 = _le_bytes(F.lit(0), 4)
+    avih_body = F.concat(
+        _le_bytes(uspf, 4), zero4, zero4, zero4,           # usPerFrame..flags
+        _le_bytes(frames, 4), zero4, _le_bytes(F.lit(1), 2),
+        _le_bytes(F.lit(0), 2), zero4,                     # frames..bufsize
+        _le_bytes(w, 4), _le_bytes(h, 4),                  # width, height
+        zero4, zero4, zero4, zero4,                        # reserved[4]
+    )
+    return F.concat(
+        F.lit(b"RIFF"), _le_bytes(F.lit(4 + 12 + 64), 4), F.lit(b"AVI "),
+        F.lit(b"LIST"), _le_bytes(F.lit(4 + 8 + 56), 4), F.lit(b"hdrl"),
+        F.lit(b"avih"), _le_bytes(F.lit(56), 4), avih_body,
+    )
 
 
 @query(
@@ -273,16 +313,10 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"))
     sr = (F.lit(8000) * (F.col("doc_id") % 5 + 1)).cast("int")
     ch = (F.col("doc_id") % 2 + 1).cast("int")
-    block = (ch * 2).cast("int")
     frames = (F.col("n_chars") % 1000 + 1).cast("int")
-    data_size = (frames * block).cast("int")
-    wav = F.concat(
-        F.lit(b"RIFF"), _le_bytes(data_size + 36, 4), F.lit(b"WAVEfmt "),
-        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(ch, 2),
-        _le_bytes(sr, 4), _le_bytes(sr * block, 4), _le_bytes(block, 2),
-        _le_bytes(F.lit(16), 2), F.lit(b"data"), _le_bytes(data_size, 4),
+    decoded = decode_audio_meta(
+        d.select("doc_id", _wav_header(sr, ch, frames).alias("content"))
     )
-    decoded = decode_audio_meta(d.select("doc_id", wav.alias("content")))
     return decoded.select(
         "doc_id",
         F.col("audio_meta.sample_rate").alias("sample_rate"),
@@ -595,20 +629,11 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (F.col("n_chars") % 720 + 240).cast("int")
     frames = (F.col("n_chars") % 9000 + 100).cast("int")
     uspf = (F.lit(1000000) / (F.col("doc_id") % 37 + 24)).cast("int")
-    zero4 = _le_bytes(F.lit(0), 4)
-    avih_body = F.concat(
-        _le_bytes(uspf, 4), zero4, zero4, zero4,           # usPerFrame..flags
-        _le_bytes(frames, 4), zero4, _le_bytes(F.lit(1), 2),
-        _le_bytes(F.lit(0), 2), zero4,                     # frames..bufsize
-        _le_bytes(w, 4), _le_bytes(h, 4),                  # width, height
-        zero4, zero4, zero4, zero4,                        # reserved[4]
+    decoded = decode_video_meta(
+        d.select(
+            "doc_id", _avi_header(w, h, frames, uspf).alias("content")
+        )
     )
-    avi = F.concat(
-        F.lit(b"RIFF"), _le_bytes(F.lit(4 + 12 + 64), 4), F.lit(b"AVI "),
-        F.lit(b"LIST"), _le_bytes(F.lit(4 + 8 + 56), 4), F.lit(b"hdrl"),
-        F.lit(b"avih"), _le_bytes(F.lit(56), 4), avih_body,
-    )
-    decoded = decode_video_meta(d.select("doc_id", avi.alias("content")))
     return decoded.select(
         "doc_id",
         F.col("video_meta.width").alias("width"),
@@ -617,6 +642,74 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_meta.fps_millis").alias("fps_millis"),
         F.col("video_meta.duration_ms").alias("duration_ms"),
         F.col("video_meta.format").alias("format"),
+    )
+
+
+@query(
+    "multimodal_mixed_manifest",
+    oracle="""
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(pd) AS BIGINT) AS sum_primary_dim
+FROM (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'PNG' WHEN 1 THEN 'WAV'
+              ELSE 'AVI' END AS media_type,
+         CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 44
+              ELSE 88 END AS bytes,
+         CASE doc_id % 3 WHEN 0 THEN doc_id % 1024 + 1
+              WHEN 1 THEN 8000 * (doc_id % 5 + 1)
+              ELSE doc_id % 1280 + 320 END AS pd
+  FROM documents)
+GROUP BY media_type
+""",
+    doc="Mixed-modality ingestion manifest: one binary column holds "
+        "PNG, WAV and AVI payloads interleaved (doc_id % 3 picks the "
+        "container; the SAME shared header builders as the per-type "
+        "queries), and sniff_media_meta dispatches each payload by "
+        "MAGIC BYTES to the matching real header parser in one Arrow "
+        "pass — the 'nobody labels the bucket' shape every media "
+        "crawl starts with. Rolled up per detected type: file count, "
+        "total payload bytes, and the summed headline dimension "
+        "(image/video width, audio sample rate) — all exact integers "
+        "the oracle predicts arithmetically, INCLUDING the byte "
+        "totals (29/44/88 per container), so any drift in the header "
+        "synthesis or the parser dispatch breaks the hash. Scale: "
+        "sniff+parse read only leading bytes, row-local; the rollup "
+        "is a 3-group aggregate.",
+)
+def multimodal_mixed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        sniff_media_meta,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    png = _png_header(
+        (F.col("doc_id") % 1024 + 1).cast("int"),
+        (F.col("n_chars") % 1024 + 1).cast("int"),
+    )
+    wav = _wav_header(
+        (F.lit(8000) * (F.col("doc_id") % 5 + 1)).cast("int"),
+        (F.col("doc_id") % 2 + 1).cast("int"),
+        (F.col("n_chars") % 1000 + 1).cast("int"),
+    )
+    avi = _avi_header(
+        (F.col("doc_id") % 1280 + 320).cast("int"),
+        (F.col("n_chars") % 720 + 240).cast("int"),
+        (F.col("n_chars") % 9000 + 100).cast("int"),
+        (F.lit(1000000) / (F.col("doc_id") % 37 + 24)).cast("int"),
+    )
+    content = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, wav)
+        .otherwise(avi)
+    )
+    manifest = sniff_media_meta(d.select("doc_id", content.alias("content")))
+    return manifest.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("payload_bytes").cast("long").alias("total_bytes"),
+        F.sum("primary_dim").cast("long").alias("sum_primary_dim"),
     )
 
 

@@ -231,3 +231,37 @@ def test_decode_video_meta_ladder(spark):
     assert got[1]["fps_millis"] == 25000 and got[1]["format"] == "AVI"
     assert got[2] is None                # recognized, corrupt -> NULL
     assert got[3]["format"] == "fake"    # unknown -> marked stub
+
+
+def test_sniff_media_meta_dispatch_and_unknown(spark):
+    # magic-byte dispatch picks the right parser per payload; garbage
+    # and NULL payloads surface as 'unknown' with NULL primary_dim,
+    # never a dropped row or fake numbers
+    from advanced_strapi_import_spark.operators.multimodal import (
+        sniff_media_meta,
+    )
+
+    png = (
+        bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+        + (7).to_bytes(4, "big")
+        + (5).to_bytes(4, "big")
+        + bytes.fromhex("0802000000")
+    )
+    wav = (
+        b"RIFF" + (40).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little") + b"data" + (4).to_bytes(4, "little")
+    )
+    rows = [(1, png), (2, wav), (3, b"not a container"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {
+        r["doc_id"]: (r["media_type"], r["primary_dim"], r["payload_bytes"])
+        for r in sniff_media_meta(df).collect()
+    }
+    assert got[1] == ("PNG", 7, len(png))
+    assert got[2] == ("WAV", 8000, len(wav))
+    assert got[3] == ("unknown", None, 15)
+    assert got[4] == ("unknown", None, 0)
+    assert len(got) == 4

@@ -198,6 +198,8 @@ CASES = [
     ("events_hll_precision_sweep", 6, {"smj": 0, "bnlj": 0}),
     # one distinct-user aggregate; three scalar projection arms
     ("events_ab_srm_check", 6, {"smj": 0, "bnlj": 0}),
+    # sniff+parse are row-local Arrow; ONE 3-group rollup exchange
+    ("multimodal_mixed_manifest", 2, {"smj": 0, "bnlj": 0}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
