@@ -365,3 +365,128 @@ def test_systematic_sampling_exact_stratum_sizes(spark, keys):
     strata = Counter(s for _, s, _ in rows)
     want = {s: math.ceil(n / _SYS_K) for s, n in strata.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: distributed_ntile vs built-in ntile; MMR greedy
+# reference implementation
+# ---------------------------------------------------------------------------
+
+NTILE_CASE = st.tuples(
+    st.integers(min_value=1, max_value=60),   # rows
+    st.integers(min_value=1, max_value=9),    # buckets
+    st.integers(min_value=1, max_value=8),    # partitions
+)
+
+
+@given(st.lists(NTILE_CASE, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_distributed_ntile_matches_builtin_property(spark, cases):
+    from pyspark.sql import Window
+    from advanced_strapi_import_spark.operators.skew import distributed_ntile
+
+    for rows, buckets, parts in cases:
+        df = spark.range(rows).select(
+            (F.col("id") * 131 % max(rows, 1)).alias("k"),
+            F.col("id").alias("tie"),
+        )
+        got = {
+            (r["k"], r["tie"]): r["b"]
+            for r in distributed_ntile(
+                df, buckets, ["k", "tie"], out_col="b",
+                num_partitions=parts,
+            ).collect()
+        }
+        want = {
+            (r["k"], r["tie"]): r["b"]
+            for r in df.select(
+                "k", "tie",
+                F.ntile(buckets).over(Window.orderBy("k", "tie")).alias("b"),
+            ).collect()
+        }
+        assert got == want, (rows, buckets, parts)
+
+
+def _mmr_reference(cand_rows, picks=3, rw=0.7, dw=0.3):
+    """Pure-Python greedy MMR over (neighbor_id, cos, rank, vec) rows —
+    the spec the Arrow kernel must match."""
+    import math
+
+    rows = sorted(cand_rows, key=lambda r: r[2])
+    ids = [r[0] for r in rows]
+    cos = [r[1] for r in rows]
+    vecs = [r[3] for r in rows]
+
+    def sim(i, j):
+        dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        ni = math.sqrt(sum(a * a for a in vecs[i]))
+        nj = math.sqrt(sum(a * a for a in vecs[j]))
+        raw = dot / (ni * nj)
+        return math.copysign(math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw)
+
+    sel = [0]
+    out = [(ids[0], 1, cos[0])]
+    for step in range(2, picks + 1):
+        live = [i for i in range(len(ids)) if i not in sel]
+        if not live:
+            break
+        scored = []
+        for i in live:
+            pen = max(sim(i, j) for j in sel)
+            s = math.floor((rw * cos[i] - dw * pen) * 1e6 + 0.5) / 1e6
+            scored.append((-s, ids[i], i))
+        scored.sort()
+        _, vid, idx = scored[0]
+        sel.append(idx)
+        out.append((vid, step, -scored[0][0]))
+    return out
+
+
+VEC = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+              allow_infinity=False, width=32).filter(lambda x: abs(x) > 1e-3),
+    min_size=4, max_size=4,
+)
+POOL = st.lists(VEC, min_size=1, max_size=8, unique_by=tuple)
+
+
+@given(POOL)
+@settings(**SETTINGS)
+def test_mmr_rerank_matches_reference_property(spark, vecs):
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    # build a pool with cos = rounded similarity to an arbitrary probe,
+    # ranked like cosine_topk would rank it
+    import math
+
+    probe = [1.0, 0.5, -0.25, 0.125]
+
+    def rcos(v):
+        dot = sum(a * b for a, b in zip(probe, v))
+        n1 = math.sqrt(sum(a * a for a in probe))
+        n2 = math.sqrt(sum(a * a for a in v))
+        raw = dot / (n1 * n2)
+        return math.copysign(math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw)
+
+    pool = sorted(
+        [(i + 10, rcos(v), v) for i, v in enumerate(vecs)],
+        key=lambda t: (-t[1], t[0]),
+    )
+    rows = [
+        (7, nid, c, rank + 1, v) for rank, (nid, c, v) in enumerate(pool)
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "query_id bigint, neighbor_id bigint, cos double, rank int, "
+        "__nv array<double>",
+    )
+    got = sorted(
+        (r["vec_id"], r["mmr_rank"], r["mmr_score"])
+        for r in S.mmr_rerank(cand).collect()
+    )
+    want = sorted(
+        _mmr_reference([(nid, c, rank, v) for _, nid, c, rank, v in rows])
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-12
