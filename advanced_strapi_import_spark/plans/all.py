@@ -81,6 +81,8 @@ _FIRST = [
     "events_hll_precision_sweep",
     "events_ab_srm_check",
     "multimodal_mixed_manifest",
+    "stream_extreme_users",
+    "dedup_simhash_bit_balance",
 ]
 # Already driver-green expensive queries go last.
 _LAST = [

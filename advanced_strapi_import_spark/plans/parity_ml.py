@@ -3210,3 +3210,56 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("monotone_ok"),
         (F.col("recall_ppm") >= 200000).alias("floor_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash fingerprint bit-balance QA (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash_bit_balance",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_simhash_sql()},
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM fp),
+bits AS (SELECT CAST(unnest(range(0, {SIMHASH_BITS})) AS INT) AS bit)
+SELECT bits.bit,
+       CAST(sum((fp.simhash >> bits.bit) & 1) AS BIGINT) AS n_set,
+       CAST(sum((fp.simhash >> bits.bit) & 1) * 1000000 // n.n_docs
+            AS BIGINT) AS set_ppm
+FROM fp CROSS JOIN bits CROSS JOIN n
+GROUP BY bits.bit, n.n_docs
+""",
+    doc="SimHash fingerprint bit-balance QA: the fraction of documents "
+        "with each of the 32 bits set, in exact ppm — the health check "
+        "run before trusting Hamming distances (a bit stuck near 0 or "
+        "1 carries no discriminating information, silently shrinking "
+        "the effective fingerprint and inflating near-dup false "
+        "positives; healthy md5-derived bits sit near 500000 ppm). "
+        "One posexplode over the persisted fingerprint frame + a "
+        "32-group aggregate; the doc count is the usual 1-row scalar "
+        "broadcast. Shift base is the BIGINT simhash, so the 5-bit "
+        "shift-count masking trap on INT never applies.",
+)
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    fp = persist_tracked(D.simhash(corpus, "text", "id"))
+    n = fp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    bits_arr = F.array(
+        *[
+            F.shiftright("simhash", i).bitwiseAND(F.lit(1)).cast("int")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    exploded = fp.select(F.posexplode(bits_arr).alias("bit", "is_set"))
+    return (
+        exploded.groupBy(F.col("bit").cast("int").alias("bit"))
+        .agg(F.sum("is_set").cast("long").alias("n_set"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bit",
+            "n_set",
+            F.expr("CAST(n_set * 1000000 div n_docs AS BIGINT)").alias(
+                "set_ppm"
+            ),
+        )
+    )

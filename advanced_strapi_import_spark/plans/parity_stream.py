@@ -966,3 +966,46 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.hamming_pairs(fp, max_distance=3, bits=64)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+@query(
+    "stream_extreme_users",
+    oracle="""
+SELECT event_type,
+       CAST(max_u AS BIGINT) AS max_user,
+       round(max_v, 2) AS max_value,
+       CAST(min_u AS BIGINT) AS min_user,
+       round(min_v, 2) AS min_value
+FROM (
+  SELECT event_type,
+         first(user_id ORDER BY value DESC, event_id DESC) AS max_u,
+         first(value   ORDER BY value DESC, event_id DESC) AS max_v,
+         first(user_id ORDER BY value ASC,  event_id ASC)  AS min_u,
+         first(value   ORDER BY value ASC,  event_id ASC)  AS min_v
+  FROM events GROUP BY event_type)
+""",
+    doc="Streaming argmax/argmin: the continuous face of "
+        "events_extreme_users — per-type max_by/min_by with the "
+        "struct(value, event_id) tie-broken key run as a streaming "
+        "aggregate in update mode (argmax aggregates are mergeable "
+        "across micro-batches: each batch carries one candidate per "
+        "key, exactly why the window+filter form is illegal on "
+        "streams but max_by is not). The drained final state equals "
+        "the batch answer, checked against the same ORDER-BY-first "
+        "oracle as the batch query.",
+)
+def stream_extreme_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.expr("max_by(user_id, struct(value, event_id))")
+        .cast("long")
+        .alias("max_user"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.expr("min_by(user_id, struct(value, event_id))")
+        .cast("long")
+        .alias("min_user"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+    return ST.run_available_now(
+        agg, output_mode="update", update_key=["event_type"]
+    )

@@ -200,6 +200,9 @@ CASES = [
     ("events_ab_srm_check", 6, {"smj": 0, "bnlj": 0}),
     # sniff+parse are row-local Arrow; ONE 3-group rollup exchange
     ("multimodal_mixed_manifest", 2, {"smj": 0, "bnlj": 0}),
+    # fingerprint agg + 32-group bit rollup; the BNLJ is the 1-row
+    # doc-count scalar
+    ("dedup_simhash_bit_balance", 4, {"smj": 0, "bnlj": 1}),
     # signature agg (window total, one payload scan) + hamming_pairs
     # chunk union reprints the hash subtree per branch
     ("multimodal_ahash_pairs", 8, {"smj": 0, "bnlj": 0}),
