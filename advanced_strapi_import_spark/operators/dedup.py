@@ -737,7 +737,11 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     count (peeling converges geometrically; 3 rounds settles all but
     adversarial chains) keeps the plan static and oracle-matchable —
     the exact fixpoint variant is this same loop driven until the
-    count stops moving.
+    count stops moving. An EMPTY result is also terminal: the peel
+    removed every node, the exact k-core is the empty graph, and —
+    since zero rows carry no ``converged`` column value to observe —
+    callers of the re-enter loop must treat zero rows as converged
+    (more rounds can never resurrect a node).
 
     Edges are canonicalized/deduped/self-loop-filtered like
     label_propagation (a duplicate or reversed pair would double a

@@ -495,6 +495,19 @@ def sniff_media_meta(
     usually follows is a low-cardinality groupBy on media_type."""
     import pandas as pd
 
+    # the id column passes through under ITS OWN name and Spark type
+    # (a string/int32 id must not come back relabeled 'doc_id' bigint,
+    # which would mislabel the column or fail the Arrow schema check)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("primary_dim", T.IntegerType()),
+            T.StructField("payload_bytes", T.LongType()),
+        ]
+    )
+
     def stage(batches) -> Iterator:
         for pdf in batches:
             ids, types, dims, sizes = [], [], [], []
@@ -517,15 +530,11 @@ def sniff_media_meta(
                 sizes.append(len(b))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids),
                     "media_type": pd.Series(types, dtype="object"),
                     "primary_dim": pd.Series(dims, dtype="Int32"),
                     "payload_bytes": pd.Series(sizes, dtype="int64"),
                 }
             )
 
-    return df.mapInPandas(
-        stage,
-        "doc_id bigint, media_type string, primary_dim int, "
-        "payload_bytes bigint",
-    )
+    return df.mapInPandas(stage, out_schema)

@@ -107,7 +107,13 @@ def distributed_ntile(
     )
     # tracked persist: the frame feeds the offsets collect AND the rank
     # pass; a raw .persist() would outlive release_tracked()/release_all()
-    # and pin the range-shuffled input for the rest of the session
+    # and pin the range-shuffled input for the rest of the session.
+    # LOAD-BEARING for correctness, not just cost: both consumers must
+    # see IDENTICAL __pid assignments, and the MEMORY_AND_DISK persist
+    # is what guarantees that — a recompute (serialized-to-nothing
+    # storage level, executor loss) would re-run RangePartitioner
+    # boundary SAMPLING and could re-deal rows to different partitions
+    # between the two passes. Do not "optimize away" this persist.
     from advanced_strapi_import_spark.caching import persist_tracked
 
     part = persist_tracked(part)

@@ -1783,6 +1783,14 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
         ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
     )
+    # Eager-materialize BEFORE composing: n_truth below is a broadcast
+    # scalar whose subtree would otherwise share the unmaterialized
+    # persisted truth/lsh/pf chains with the main plan — the broadcast
+    # build thread then races the main job through the whole lineage
+    # (the round-5 kcore lesson, ~2x duplicate partitions). One count()
+    # fills all three persists in a single linear job; every consumer
+    # after this reads cache.
+    truth.count()
     fam = lsh.select(F.lit("lsh").alias("family"), "id_a", "id_b").unionByName(
         pf.select(F.lit("prefix").alias("family"), "id_a", "id_b")
     )
@@ -2187,7 +2195,15 @@ GROUP BY doc_id
         "boundary could flip the last digit; the single divide at the "
         "end and the floor(x*1e4+0.5) half-up are identical IEEE ops "
         "on identical inputs in both engines (same pattern as "
-        "doc_tfidf_cosine_pairs' milli-nat idf).",
+        "doc_tfidf_cosine_pairs' milli-nat idf). ULP CAVEAT: the "
+        "per-token floor(ln(p)*1e6) itself assumes Spark's Math.log "
+        "and DuckDB's libm log agree to the last bit; neither is "
+        "correctly rounded, so a probability whose scaled log lands "
+        "within ~1 ulp of an integer COULD floor apart across engines "
+        "on other data — if this query's hash ever mismatches on a new "
+        "dataset with rows off by exactly 1 micro-nat, this is why "
+        "(same caveat as the 2^53 notes; doc_dsir_importance's w_mil "
+        "shares it).",
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -2886,7 +2902,9 @@ FROM embeddings WHERE vec_id % 97 = 0
         "brute-force arm exists ONLY to measure recall — it is the "
         "audit, not the serve path.",
 )
-def embedding_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_mmr_ivf(
+    spark: SparkSession, sf_dir: str, *, emit_metrics: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -2938,6 +2956,14 @@ def embedding_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_pool = F.avg(F.col("pool_hits") / 10.0).over(Window.partitionBy())
     mean_pick = F.avg(F.col("pick_hits") / 3.0).over(Window.partitionBy())
+    if emit_metrics:
+        # recalibration surface (tools/recalibrate.py): the measured
+        # values the pinned booleans threshold — NOT oracle-compared
+        return per_q.select(
+            "query_id", "pool_hits", "pool_size", "n_picks", "pick_hits",
+            F.floor(mean_pool * 1000000).cast("long").alias("mean_pool_ppm"),
+            F.floor(mean_pick * 1000000).cast("long").alias("mean_pick_ppm"),
+        )
     return per_q.select(
         "query_id",
         (F.col("pool_hits") >= 1).alias("pool_floor_ok"),
@@ -3149,58 +3175,99 @@ FROM (VALUES (1), (2), (4), (8)) t(x)
     doc="The IVF cost/recall dial measured in one query: top-5 recall "
         "vs the exact baseline at nprobe = 1, 2, 4, 8 over the same "
         "16-cell index — k-means fits ONCE because the whole sweep is "
-        "a single nprobe=8 candidate pass (separate per-setting calls "
-        "would instead share a fit via ivf_topk's centers= "
-        "pass-through). The binding invariant is structural, not a tuned "
-        "bound: a query's probe list is the stable argsort PREFIX of "
-        "its cell distances, so candidate sets are NESTED in nprobe "
-        "and recall against a fixed truth is monotone non-decreasing "
-        "— monotone_ok pins that per step; floor_ok pins mean recall "
-        ">= 0.2 even at nprobe=1 (measured 0.37-0.57 across "
-        "sf0.001/0.01/0.1, seeded and deterministic). Scale: the whole "
-        "sweep is ONE nprobe=8 candidate pass (keep_probe_rank + "
-        "k=None) — the prefix property means filtering __probe_rank "
-        "< n and re-ranking reproduces every smaller arm exactly, so "
-        "four ANN passes collapse into four rank windows over one "
-        "persisted slim candidate frame; the exact arm exists only as "
-        "the audit truth.",
+        "a single nprobe=16 candidate pass (keep_probe_rank + k=None). "
+        "Probing all 16 cells covers the ENTIRE corpus with the exact "
+        "pair domain, round-6 cosine, and tie-break of cosine_topk, so "
+        "the overall per-query rank IS the brute-force truth and no "
+        "separate exact pass exists at all. The binding invariant is "
+        "structural, not a tuned bound: a query's probe list is the "
+        "stable argsort PREFIX of its cell distances, so candidate "
+        "sets are NESTED in nprobe and recall against the fixed truth "
+        "is monotone non-decreasing — monotone_ok pins that per step; "
+        "floor_ok pins mean recall >= 0.2 even at nprobe=1 (measured "
+        "0.37-0.57 across sf0.001/0.01/0.1, seeded and deterministic). "
+        "Scale: ONE ANN pass, ONE WindowExec (truth rank + all four "
+        "nested-prefix arm ranks as running conditional counts in the "
+        "same total order), one conditional aggregate unpivoted to 4 "
+        "rows. At production scale you would NOT probe all cells for "
+        "truth — you'd reuse a stored exact-truth sample; full "
+        "coverage here is what makes the audit exact.",
 )
-def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ivf_nprobe_sweep(
+    spark: SparkSession, sf_dir: str, *, emit_metrics: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     corpus = fan_out(emb)
-    brute = persist_tracked(
-        S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
-    )
-    cand = persist_tracked(
-        S.ivf_topk(
-            queries, corpus, k=None, cells=16, nprobe=8,
-            keep_probe_rank=True,
-        ).select("query_id", "neighbor_id", "cos", "__probe_rank")
-    )
+    # ONE pass serves both the four arms AND the exact truth: probing
+    # ALL 16 cells covers the entire corpus (minus self, same pair
+    # domain, same round-6 cosine and tie-break as cosine_topk), so the
+    # overall per-query rank IS the brute-force rank, and within the
+    # same total order the running count of rows with __probe_rank < n
+    # IS the row_number a separate nprobe=n pass would assign
+    # (candidate sets are nested prefixes). One WindowExec evaluates
+    # the truth rank plus all four arm ranks; one conditional aggregate
+    # replaces the former separate brute pass + four
+    # filter/rank/semi-join/agg job chains.
+    cand = S.ivf_topk(
+        queries, corpus, k=None, cells=16, nprobe=16, keep_probe_rank=True,
+    ).select("query_id", "neighbor_id", "cos", "__probe_rank")
     n_q = queries.agg(F.count(F.lit(1)).cast("long").alias("n_q"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+    wq = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    arms = None
-    for nprobe in (1, 2, 4, 8):
-        hits = (
-            cand.filter(F.col("__probe_rank") < nprobe)
-            .withColumn("__r", F.row_number().over(wq))
-            .filter(F.col("__r") <= 5)
-            .join(F.broadcast(brute), ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-            .select(F.lit(nprobe).alias("nprobe"), "hits")
-        )
-        arms = hits if arms is None else arms.unionByName(hits)
+    ranked = cand.select(
+        "__probe_rank",
+        F.sum(F.lit(1)).over(wq).alias("__rt"),  # exact (full-coverage) rank
+        *[
+            F.sum(F.when(F.col("__probe_rank") < n, 1).otherwise(0))
+            .over(wq)
+            .alias(f"__r{n}")
+            for n in (1, 2, 4, 8)
+        ],
+    )
+    agg = ranked.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("__probe_rank") < n)
+                    & (F.col(f"__r{n}") <= 5)
+                    & (F.col("__rt") <= 5),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"__h{n}")
+            for n in (1, 2, 4, 8)
+        ]
+    )
+    arms = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("nprobe"),
+                        F.col(f"__h{n}").alias("hits"),
+                    )
+                    for n in (1, 2, 4, 8)
+                ]
+            )
+        ).alias("a")
+    ).select("a.nprobe", "a.hits")
     rec = arms.crossJoin(F.broadcast(n_q)).select(
         "nprobe",
         F.expr("CAST(hits * 1000000 div (n_q * 5) AS BIGINT)").alias(
             "recall_ppm"
         ),
     )
+    if emit_metrics:
+        # recalibration surface (tools/recalibrate.py): the measured
+        # recall the pinned booleans threshold — NOT oracle-compared
+        return rec
     w = Window.orderBy("nprobe")  # 4 rows — domain, not data
     return rec.select(
         "nprobe",

@@ -354,7 +354,9 @@ FROM (VALUES (9), (12), (14)) t(x)
         "map-side while exact distinct pays the full expand shuffle — "
         "which is the point of having the sketch.",
 )
-def events_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hll_precision_sweep(
+    spark: SparkSession, sf_dir: str, *, emit_metrics: bool = False
+) -> DataFrame:
     from advanced_strapi_import_spark.plans.registry import load_events
 
     e = load_events(spark, sf_dir)
@@ -372,12 +374,26 @@ def events_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = None
     for lgk in (9, 12, 14):
         bound_ppm = int(5 * 1.04e6 / math.sqrt(2**lgk))
-        arm = agg.select(
-            F.lit(lgk).alias("lg_k"),
-            (
-                F.abs(F.col(f"est_{lgk}") - F.col("exact")) * 1000000
-                <= F.lit(bound_ppm) * F.col("exact")
-            ).alias("within_bound"),
-        )
+        if emit_metrics:
+            # recalibration surface (tools/recalibrate.py): measured
+            # error vs the pinned bound — NOT oracle-compared
+            arm = agg.select(
+                F.lit(lgk).alias("lg_k"),
+                "exact",
+                F.col(f"est_{lgk}").alias("est"),
+                F.expr(
+                    f"CAST(abs(est_{lgk} - exact) * 1000000 div "
+                    "greatest(exact, 1) AS BIGINT)"
+                ).alias("err_ppm"),
+                F.lit(bound_ppm).cast("long").alias("bound_ppm"),
+            )
+        else:
+            arm = agg.select(
+                F.lit(lgk).alias("lg_k"),
+                (
+                    F.abs(F.col(f"est_{lgk}") - F.col("exact")) * 1000000
+                    <= F.lit(bound_ppm) * F.col("exact")
+                ).alias("within_bound"),
+            )
         arms = arm if arms is None else arms.unionByName(arm)
     return arms
