@@ -1085,6 +1085,156 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary induction: ITERATIVE merges (round 6 — completes the
+# bpe_merge_candidates story: recount between rounds, 3 merges learned)
+# ---------------------------------------------------------------------------
+_BPE_SEP = chr(31)  # symbol delimiter; words containing it are filtered
+_BPE_SS = _BPE_SEP * 2
+
+
+def _bpe_iter_oracle(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of the Spark merge loop. Symbol sequences
+    live as SEP SEP-delimited padded strings (``⟂⟂a⟂⟂b⟂⟂``), so applying
+    merge (a,b) is plain replace('⟂a⟂⟂b⟂' -> '⟂ab⟂') — leftmost
+    non-overlapping in BOTH engines, which IS greedy BPE application
+    (verified on aaa/aaaa/llll/abab)."""
+    sep, ss = _BPE_SEP, _BPE_SS
+    sql = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[ \t\n\r]+')) AS term
+  FROM documents),
+wordtab1 AS (
+  SELECT '{ss}' || array_to_string(regexp_extract_all(term, '.'), '{ss}')
+         || '{ss}' AS s,
+         CAST(count(*) AS BIGINT) AS wn
+  FROM toks WHERE term <> '' AND term NOT LIKE '%{sep}%'
+  GROUP BY 1)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+pairs{r} AS (
+  SELECT wn,
+         unnest(list_transform(range(1, len(sy)),
+                               i -> sy[i] || '{sep}' || sy[i + 1])) AS pair
+  FROM (SELECT wn,
+               list_filter(string_split(s, '{ss}'), x -> x <> '') AS sy
+        FROM wordtab{r})
+  WHERE len(sy) >= 2),
+cnt{r} AS (
+  SELECT string_split(pair, '{sep}')[1] AS a,
+         string_split(pair, '{sep}')[2] AS b,
+         CAST(sum(wn) AS BIGINT) AS n
+  FROM pairs{r} GROUP BY pair),
+best{r} AS (SELECT a, b, n FROM cnt{r} ORDER BY n DESC, a, b LIMIT 1),
+wordtab{r + 1} AS (
+  SELECT replace(w.s, '{sep}' || b.a || '{ss}' || b.b || '{sep}',
+                 '{sep}' || b.a || b.b || '{sep}') AS s, w.wn
+  FROM wordtab{r} w CROSS JOIN best{r} b)"""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rnd, a AS sym_a, b AS sym_b, n "
+        f"FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + "\n" + arms
+
+
+@query(
+    "bpe_iterative_merges",
+    oracle=_bpe_iter_oracle(3),
+    doc="BPE vocabulary induction, the ITERATIVE loop: 3 merge rounds "
+        "with a full pair-recount between rounds — completes "
+        "bpe_merge_candidates (which computes only the first argmax). "
+        "The training state is the distinct-WORD frequency table (the "
+        "classic Sennrich setup: vocab-sized, not corpus-sized — at "
+        "100 TB the corpus tokenize+count happens once and every merge "
+        "round touches only |vocab| rows). Symbol sequences are padded "
+        "SEP SEP-joined strings, so applying a merge is one replace() "
+        "with the same leftmost non-overlapping semantics in Spark and "
+        "DuckDB == greedy BPE application; symbols can never contain "
+        "the delimiter (filtered at ingest). Each round: adjacent-pair "
+        "explode weighted by word count, one aggregate, a 1-row argmax "
+        "(n desc, a, b) that is persisted+counted BEFORE the broadcast "
+        "apply — the round-5 lesson: an unmaterialized scalar subtree "
+        "shared with the main plan makes the broadcast build race the "
+        "main job. Output: (rnd, sym_a, sym_b, n) per learned merge.",
+)
+def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep, ss = _BPE_SEP, _BPE_SS
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), "[ \t\n\r]+")).alias("term")
+    ).filter((F.col("term") != "") & (~F.col("term").contains(sep)))
+    cur = persist_tracked(
+        words.select(
+            F.concat(
+                F.lit(ss), F.array_join(F.split("term", ""), ss), F.lit(ss)
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+    cur.count()  # materialize before the scalar argmax derives from it
+    merges = []
+    for r in (1, 2, 3):
+        sy = F.filter(F.split("s", ss), lambda x: x != F.lit(""))
+        pairs = cur.select(
+            "wn",
+            F.explode(
+                F.when(
+                    F.size(sy) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sy) - 1),
+                        lambda i: F.struct(
+                            F.element_at(sy, i).alias("a"),
+                            F.element_at(sy, i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy("p.a", "p.b").agg(
+            F.sum("wn").cast("long").alias("n")
+        )
+        best = persist_tracked(
+            cnt.orderBy(F.col("n").desc(), "a", "b").limit(1)
+        )
+        best.count()  # 1-row frame: fill the persist before both uses
+        merges.append(
+            best.select(
+                F.lit(r).cast("int").alias("rnd"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                "n",
+            )
+        )
+        if r < 3:
+            nxt = cur.crossJoin(
+                F.broadcast(best.select("a", "b"))
+            ).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(sep), F.col("a"), F.lit(ss), F.col("b"),
+                        F.lit(sep),
+                    ),
+                    F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)),
+                ).alias("s"),
+                "wn",
+            )
+            # re-aggregate: two words can COLLIDE onto one symbol string
+            # after a merge only if they were equal pre-merge (replace is
+            # injective on the padded form), so grouping again is a no-op
+            # logically but keeps the frame slim if that ever changes
+            cur = persist_tracked(nxt)
+            cur.count()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # classifier evaluation: language-ID confusion matrix
 # ---------------------------------------------------------------------------
 @query(

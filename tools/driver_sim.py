@@ -4,7 +4,7 @@ Usage: python tools/driver_sim.py [name-substring ...]
 With args, only queries whose name contains any substring are run.
 Exit code is nonzero if any query errors or mismatches.
 """
-import sys, hashlib, time, traceback
+import os, sys, hashlib, time, traceback
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -26,8 +26,11 @@ if not only:
     rows = df.collect()
     print("ENTRY: rows =", len(rows), "schema =", df.schema.simpleString())
 
-# 2. correctness at sf0.01
-SF = "/root/testdata/sf0.01"
+# 2. correctness at sf0.01 (the driver's SF); DRIVER_SIM_SF_DIR
+# overrides for local 3-SF parity sweeps — note SPARK_GRAFT_SF_DIR is
+# deliberately NOT honored here (it belongs to bench.py; honoring it
+# would silently shrink the oracle gate when both are exported)
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
