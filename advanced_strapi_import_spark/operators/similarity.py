@@ -726,6 +726,9 @@ def build_ivf_index(
         corpus.select(
             F.col(id_col), F.col(vec_col), argmin_cell(dbl).alias("cell")
         )
+        # cluster by cell first: one file per cell instead of one per
+        # (write task x cell) — same reasoning as build_lsh_index
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/cells")
@@ -802,6 +805,114 @@ def ivf_query_index(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> None:
+    """Persist an LSH (random-hyperplane) ANN index: the corpus
+    partitioned BY BUCKET on disk (``path/vectors``). Unlike IVF there
+    is NOTHING to train and no metadata to store: the bucket function
+    is a pure deterministic expression (md5-derived hyperplane signs,
+    :func:`lsh_bucket`), so any reader recomputes a query's bucket
+    without touching the index — the centroid-read step of
+    :func:`ivf_query_index` disappears entirely. Build once, serve
+    many; the serve path reads only the probed buckets' partition
+    directories via parquet partition pruning."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket(dbl, planes=planes, dims=dims).alias("bucket"),
+        )
+        # cluster by the partition key first: without this every write
+        # task emits a file into every bucket directory (tasks x 2^planes
+        # small files — measured 2x the whole build+serve time at bench
+        # scale, and the serve's footer reads scale with file count)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def lsh_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = 64,
+) -> DataFrame:
+    """Serve ANN top-k from a stored LSH index: each query's bucket is
+    recomputed from the deterministic hyperplane expression, the scan
+    carries ``bucket IN (...)`` (at most ``2**planes`` values, collected
+    from the serving-sized query batch) so parquet partition pruning
+    skips every unprobed bucket directory, and candidates are the
+    bucket-mates only — never the full corpus. Output: (query_id,
+    neighbor_id, cos, rnk) with the usual round-6 cosine and
+    neighbor-id tie-break."""
+    from pyspark.sql import types as _T
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    q = q.withColumn(
+        "bucket", lsh_bucket(F.col("__qv"), planes=planes, dims=dims or 64)
+    )
+    # bounded collect: distinct bucket ids of THIS query batch, <= 2^planes
+    wanted = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    id_type = queries.schema[id_col].dataType
+    if not wanted:
+        return spark.createDataFrame(
+            [],
+            _T.StructType(
+                [
+                    _T.StructField("query_id", id_type),
+                    _T.StructField("neighbor_id", id_type),
+                    _T.StructField("cos", _T.DoubleType()),
+                    _T.StructField("rnk", _T.IntegerType()),
+                ]
+            ),
+        )
+    cand = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("bucket").isin(wanted)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(
+                    F.col("__qv"),
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    dims,
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )
 
 

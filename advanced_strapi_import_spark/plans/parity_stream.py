@@ -1009,3 +1009,156 @@ def stream_extreme_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_available_now(
         agg, output_mode="update", update_key=["event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN serve from stored indexes (round 6)
+# ---------------------------------------------------------------------------
+_ANN_PLANES = 6
+
+
+def _ann_serve_sql(*, bucket_gated: bool) -> str:
+    """Exact DuckDB twin of the streamed serve. With ``bucket_gated``
+    the candidate set is bucket-mates under the SAME deterministic
+    6-plane hyperplane function the Spark index partitions by (the
+    md5-derived sign constants are embedded as literals); without it
+    the candidates are the whole corpus — the exact-truth oracle for
+    the full-probe IVF serve."""
+    bucket_expr = ML._table_bucket_sql(0, _ANN_PLANES)
+    gate = "JOIN b c USING (bucket)" if bucket_gated else "CROSS JOIN b c"
+    return f"""
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+         {bucket_expr} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv, bucket FROM b
+      WHERE vec_id % 97 = 0),
+cand AS (
+  SELECT q.query_id, q.qv, c.vec_id AS neighbor_id, c.emb AS cv
+  FROM q {gate} WHERE c.vec_id <> q.query_id),
+expl AS (
+  SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+  FROM cand),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM expl GROUP BY query_id, neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+  FROM dots),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS INT)
+           AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def _ann_empty_schema(spark: SparkSession):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rnk", T.IntegerType()),
+        ]
+    )
+
+
+# session-scoped stored-index cache: build ONCE per (session, sf_dir,
+# kind), serve from every subsequent call — the actual index lifecycle
+# (offline build job, always-on serving stream); rebuilding a static
+# index per serving run would model nothing real. Same discipline as
+# parity_ml._SHARED, but the artifact is a DIRECTORY, not a persisted
+# frame, so there is nothing to unpersist — atexit reaps the tmpdirs.
+_ANN_IDX: dict = {}
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _ANN_IDX:
+        path = tempfile.mkdtemp(prefix=f"{kind}_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build(path)
+        _ANN_IDX[key] = path
+    return _ANN_IDX[key]
+
+
+@query(
+    "stream_ann_serve",
+    oracle=_ann_serve_sql(bucket_gated=True),
+    doc="Streaming ANN serve from a STORED LSH index: the corpus is "
+        "written ONCE partitioned by its 6-plane hyperplane bucket "
+        "(nothing to train, nothing to load — the bucket function is a "
+        "deterministic md5-sign expression any reader recomputes), "
+        "then the query stream is answered per micro-batch via "
+        "foreachBatch: each batch's buckets become a `bucket IN (...)` "
+        "scan predicate, parquet partition pruning skips every "
+        "unprobed bucket directory, and the batch's top-5 append to a "
+        "results table — never the driver. The oracle replicates the "
+        "gating EXACTLY (the same sign constants as SQL literals) and "
+        "the exact round-6 cosine ranking, so this is a hash-exact "
+        "stream==batch twin, not a pinned recall bound. Scale: serve "
+        "cost per batch is |batch| x bucket size; the corpus is "
+        "scanned 0 times outside its probed partitions.",
+)
+def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = _ann_index_dir(
+        spark, sf_dir, "lsh",
+        lambda p: S.build_lsh_index(emb, p, planes=_ANN_PLANES),
+    )
+    qstream = ST.read_documents_stream(
+        spark, sf_dir, glob="embeddings.parquet"
+    ).filter(F.col("vec_id") % 97 == 0)
+    return ST.ann_serve_stream(
+        qstream,
+        lambda batch: S.lsh_query_index(
+            spark, idx, batch, k=5, planes=_ANN_PLANES
+        ),
+        empty_schema=_ann_empty_schema(spark),
+    )
+
+
+@query(
+    "stream_ann_serve_ivf",
+    oracle=_ann_serve_sql(bucket_gated=False),
+    doc="Streaming ANN serve composed from the stored IVF index "
+        "(build_ivf_index + ivf_query_index) and the foreachBatch "
+        "serve harness: centroids load once per batch (KBs), each "
+        "query's probe list becomes a `cell IN (...)` partition-pruned "
+        "scan, top-5 append to the results table. Probing ALL 16 cells "
+        "makes the served answer the EXACT top-5 (every vector lives "
+        "in exactly one cell), so the oracle is the exact brute-force "
+        "ranking — hash-exact, no pinned recall; the pruned-probe "
+        "cost/recall dial is covered by embedding_ivf_nprobe_sweep and "
+        "the bucket-pruned twin stream_ann_serve above.",
+)
+def stream_ann_serve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = _ann_index_dir(
+        spark, sf_dir, "ivf", lambda p: S.build_ivf_index(emb, p, cells=16)
+    )
+    qstream = ST.read_documents_stream(
+        spark, sf_dir, glob="embeddings.parquet"
+    ).filter(F.col("vec_id") % 97 == 0)
+    return ST.ann_serve_stream(
+        qstream,
+        lambda batch: S.ivf_query_index(
+            spark, idx, batch, k=5, nprobe=16
+        ).withColumnRenamed("rank", "rnk"),
+        empty_schema=_ann_empty_schema(spark),
+    )

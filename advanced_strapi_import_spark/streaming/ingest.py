@@ -563,6 +563,54 @@ def incremental_dedup_stream(
     return spark.createDataFrame([], schema)
 
 
+def ann_serve_stream(
+    query_stream: DataFrame,
+    serve,
+    *,
+    empty_schema: T.StructType,
+) -> DataFrame:
+    """Streaming ANN serve from a STORED index: each arriving
+    micro-batch of query vectors is answered by ``serve(batch_df)`` —
+    ordinary batch ANN against the index (e.g.
+    :func:`similarity.lsh_query_index` /
+    :func:`similarity.ivf_query_index`), whose scan probes ONLY the
+    buckets/cells of the queries in that batch via parquet partition
+    pruning — and the top-k results APPEND to a parquet sink table per
+    batch, never the driver. This is the online-retrieval maintenance
+    shape: the index is built once offline, the serving job is a thin
+    always-on stream whose per-batch cost scales with |batch| x
+    probed-partition size, not corpus size. foreachBatch is the right
+    tool — index probe + top-k is ordinary batch work per batch and no
+    stateful streaming operator is involved. The sink is read back as
+    the returned DataFrame (drained-run harness; a production serve
+    would keep running)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = query_stream.sparkSession
+    out_path = tempfile.mkdtemp(prefix="ann_serve_")
+    atexit.register(shutil.rmtree, out_path, ignore_errors=True)
+    state = {"wrote": False}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        serve(batch_df).write.mode("append").parquet(out_path)
+        state["wrote"] = True
+
+    q = (
+        query_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["wrote"]:
+        return spark.read.parquet(out_path)
+    return spark.createDataFrame([], empty_schema)
+
+
 def enrich_with_dim(
     events: DataFrame, dim: DataFrame, on, *, broadcast: bool = True
 ) -> DataFrame:
