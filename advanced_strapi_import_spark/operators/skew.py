@@ -153,3 +153,56 @@ def distributed_ntile(
     return part.withColumn(
         out_col, F.floor(bucket).cast("int")
     ).drop("__pid")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    *,
+    out_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global running sum of ``sum_col`` (INCLUSIVE of the current
+    row) under the total order ``order_cols`` — without funnelling the
+    frame through a single-partition window.
+
+    Same distributed-rank recipe as :func:`distributed_ntile`:
+    range-repartition on the order key, per-partition local running
+    sums, then add each partition's global offset (``num_partitions``
+    scalar rows collected once, folded back as a broadcast map
+    literal). ``order_cols`` must be a TOTAL order — within ties the
+    local running sum is row-order dependent.
+
+    As in distributed_ntile, the persist is LOAD-BEARING for
+    correctness, not just cost: the offsets collect and the cumsum pass
+    must see IDENTICAL ``__pid`` assignments, which a recompute through
+    fresh RangePartitioner boundary sampling would not guarantee."""
+    from pyspark.sql import Window
+
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    part = persist_tracked(
+        df.repartitionByRange(num_partitions, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    sums = sorted(
+        (r["__pid"], r["s"])
+        for r in part.groupBy("__pid").agg(F.sum(sum_col).alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.extend((F.lit(pid), F.lit(acc)))
+        acc += int(s or 0)
+    if not offsets:  # empty frame: no partitions reported
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.element_at(F.create_map(*offsets), F.col("__pid")) + F.sum(
+        sum_col
+    ).over(w)
+    return part.withColumn(out_col, cum.cast("long")).drop("__pid")

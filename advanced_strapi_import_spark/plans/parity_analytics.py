@@ -2921,3 +2921,183 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         arms = one if arms is None else arms.unionByName(one)
     return arms
+
+
+# ---------------------------------------------------------------------------
+# model evaluation: exact tie-aware AUC + calibration bins (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_model_auc",
+    oracle="""
+WITH s AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events GROUP BY value),
+c AS (
+  SELECT np, n,
+         CAST(sum(n) OVER (ORDER BY value) AS BIGINT) AS cum_end
+  FROM s),
+a AS (
+  SELECT CAST(sum(np * (2 * cum_end - n + 1)) AS BIGINT) AS s2,
+         CAST(sum(np) AS BIGINT) AS npos,
+         CAST(sum(n) AS BIGINT) AS ntot
+  FROM c)
+SELECT npos, ntot - npos AS nneg,
+       CAST((s2 - npos * (npos + 1)) * 1000000
+            // (2 * npos * (ntot - npos)) AS BIGINT) AS auc_ppm
+FROM a
+""",
+    doc="EXACT tie-aware ROC AUC ('is value predictive of purchase?') "
+        "via the Mann-Whitney rank-sum identity, fully distributed: "
+        "scores collapse to (value, n, n_pos) — |distinct scores| "
+        "rows — and the global tie-group rank bounds come from "
+        "skew.distributed_cumsum (range repartition + partition-local "
+        "running sums + broadcast offsets), so NO single-partition "
+        "window touches a data-sized frame at any point. Tie handling "
+        "is the textbook average-rank: a tie group spanning global "
+        "ranks [lo, hi] contributes (lo + hi) per positive in DOUBLED "
+        "units, so 2U = sum(np * (2*cum_end - n + 1)) - npos*(npos+1) "
+        "stays exactly integer; auc_ppm = 2U * 1e6 div (2*npos*nneg). "
+        "Overflow headroom: s2 <= npos * 2 * ntot ~ 2e18 at 1e9 rows, "
+        "inside BIGINT. The oracle mirrors with a plain window (DuckDB "
+        "runs single-node; the distributed recipe is the Spark side's "
+        "point).",
+)
+def events_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import skew as SK
+
+    e = load_events(spark, sf_dir)
+    s = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    c = SK.distributed_cumsum(s, ["value"], "n", out_col="cum_end")
+    a = c.agg(
+        F.sum(F.expr("np * (2 * cum_end - n + 1)")).cast("long").alias("s2"),
+        F.sum("np").cast("long").alias("npos"),
+        F.sum("n").cast("long").alias("ntot"),
+    )
+    return a.select(
+        "npos",
+        (F.col("ntot") - F.col("npos")).alias("nneg"),
+        F.expr(
+            "CAST((s2 - npos * (npos + 1)) * 1000000 "
+            "div (2 * npos * (ntot - npos)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "events_score_calibration",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+m AS (SELECT CAST(max(cents) AS BIGINT) AS maxc FROM c),
+b AS (
+  SELECT least(9, (cents * 10) // (maxc + 1)) AS bin, cents, pos
+  FROM c CROSS JOIN m)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+FROM b GROUP BY bin
+""",
+    doc="Calibration / reliability bins for the value-predicts-purchase "
+        "model read: scores land in 10 equal-width bins over [0, max] "
+        "and each bin reports its exact mean score and positive rate — "
+        "the companion read to events_model_auc (AUC says the ranking "
+        "is good; calibration says the magnitudes are honest). Numeric "
+        "discipline: the 2-decimal value column is fixed-pointed to "
+        "BIGINT cents (floor(x*100+0.5), identical IEEE ops both "
+        "engines) so bin assignment ((cents*10) div (maxc+1)) and both "
+        "per-bin means are pure integer arithmetic — no float "
+        "summation-order hazard. The max-cents scalar is a broadcast "
+        "over a plain parquet scan (no shared persisted chain, so no "
+        "broadcast-race exposure); one low-cardinality groupBy ends "
+        "the plan.",
+)
+def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    c = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    m = c.agg(F.max("cents").alias("maxc"))
+    b = c.crossJoin(F.broadcast(m)).select(
+        F.least(F.lit(9), F.expr("(cents * 10) div (maxc + 1)")).alias("bin"),
+        "cents",
+        "pos",
+    )
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mean_cents"),
+        F.expr("CAST(sum(pos) * 1000000 div count(1) AS BIGINT)").alias(
+            "pos_rate_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohort matrix (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+coh AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id),
+act AS (
+  SELECT c.cw, CAST(date_diff('day', c.cw, u.w) // 7 AS INT) AS week_offset
+  FROM uw u JOIN coh c USING (user_id)),
+sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM coh GROUP BY cw)
+SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week, a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active, s.cohort_size,
+       CAST(count(*) * 1000000 // s.cohort_size AS BIGINT)
+           AS retention_ppm
+FROM act a JOIN sz s USING (cw)
+GROUP BY a.cw, a.week_offset, s.cohort_size
+""",
+    doc="Weekly retention cohort matrix — the product-analytics staple: "
+        "users cohorted by the ISO week of their FIRST event, each "
+        "(cohort, week-offset) cell counting users active that week, "
+        "as an exact ppm share of the cohort. The heavy input "
+        "collapses IMMEDIATELY to distinct (user, week) rows — at "
+        "100 TB that first distinct is the only event-sized shuffle; "
+        "cohort assignment, the offset join and the matrix aggregate "
+        "all run on |users x active-weeks| rows, hash-partitioned by "
+        "user. Week truncation is Monday-based in both engines and the "
+        "offset is integer floor-division of aligned day differences, "
+        "so every cell is bit-exact.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = uw.join(coh, "user_id").select(
+        "cw",
+        F.expr("CAST(datediff(w, cw) div 7 AS INT)").alias("week_offset"),
+    )
+    sz = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        act.groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sz, "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("CAST(n_active * 1000000 div cohort_size AS BIGINT)")
+            .alias("retention_ppm"),
+        )
+    )

@@ -1439,3 +1439,91 @@ def doc_length_percentiles_by_lang(
         F.round(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75"),
         F.round(F.expr("percentile(n_chars, 0.90)"), 2).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture plan (round 6)
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = [
+    ("en", 400000), ("fr", 200000), ("es", 200000),
+    ("de", 100000), ("zh", 100000),
+]
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+WITH w(lang, weight_ppm) AS (VALUES
+  {", ".join(f"('{lang}', {w}::BIGINT)" for lang, w in _MIX_WEIGHTS)}),
+avail AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))) AS BIGINT)
+             AS avail_tokens
+  FROM documents GROUP BY lang),
+j AS (
+  SELECT w.lang, w.weight_ppm, a.avail_tokens,
+         avail_tokens * 1000000 // weight_ppm AS cap
+  FROM w JOIN avail a USING (lang)),
+b AS (SELECT *, min(cap) OVER () AS budget FROM j)
+SELECT lang, weight_ppm, avail_tokens,
+       CAST(budget AS BIGINT) AS budget_tokens,
+       CAST(budget * weight_ppm // 1000000 AS BIGINT) AS need_tokens,
+       CAST((budget * weight_ppm // 1000000) * 1000000 // avail_tokens
+            AS BIGINT) AS rate_ppm,
+       cap = budget AS binding
+FROM b
+""",
+    doc="Token-budget mixture plan — the data-mixing solver run before "
+        "every pretraining job: given target language weights (ppm) "
+        "and the measured per-language token supply, find the LARGEST "
+        "total budget B with every sampling rate <= 1 (no upsampling): "
+        "B = min over languages of avail/weight, the binding language "
+        "saturates (rate 1e6 ppm) and every other language downsamples "
+        "to exactly B*w tokens. One corpus pass computes supply "
+        "(in-row token count, low-cardinality groupBy); the solver "
+        "itself is pure integer arithmetic over |languages| rows — the "
+        "min is a window over the DOMAIN-sized plan frame, not data. "
+        "All divisions are floor (`div` / `//`) so the plan is "
+        "bit-identical across engines; rate_ppm of the binding row "
+        "can sit just under 1e6 from double flooring (budget*w//1e6 "
+        "then *1e6//avail) — that is the spec, not error.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    avail = d.groupBy("lang").agg(
+        F.sum(n_toks).cast("long").alias("avail_tokens")
+    )
+    weights = F.create_map(
+        *[F.lit(x) for pair in _MIX_WEIGHTS for x in pair]
+    )
+    j = avail.select(
+        "lang",
+        F.element_at(weights, F.col("lang")).cast("long").alias("weight_ppm"),
+        "avail_tokens",
+        F.expr("avail_tokens * 1000000 div "
+               "CAST(element_at(map("
+               + ", ".join(f"'{lang}', {w}" for lang, w in _MIX_WEIGHTS)
+               + "), lang) AS BIGINT)").alias("cap"),
+    ).filter(F.col("weight_ppm").isNotNull())
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = j.withColumn("budget", F.min("cap").over(wall))
+    return b.select(
+        "lang",
+        "weight_ppm",
+        "avail_tokens",
+        F.col("budget").cast("long").alias("budget_tokens"),
+        F.expr("CAST(budget * weight_ppm div 1000000 AS BIGINT)").alias(
+            "need_tokens"
+        ),
+        F.expr(
+            "CAST((budget * weight_ppm div 1000000) * 1000000 "
+            "div avail_tokens AS BIGINT)"
+        ).alias("rate_ppm"),
+        (F.col("cap") == F.col("budget")).alias("binding"),
+    )

@@ -2529,6 +2529,140 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bigram LM with stupid backoff, held-out scoring (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bigram_backoff_logprob",
+    oracle="""
+WITH tt AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents),
+train_toks AS (
+  SELECT unnest(ts) AS term FROM tt WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cu FROM train_toks GROUP BY term),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_total,
+         CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM train_toks),
+train_bg AS (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+  FROM tt WHERE doc_id % 2 = 0 AND len(ts) >= 2),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM train_bg GROUP BY w1, w2),
+score_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+  FROM tt WHERE len(ts) >= 2),
+mn AS (
+  SELECT s.doc_id,
+         CASE WHEN b.cb IS NOT NULL
+              THEN CAST(floor(ln(b.cb * 1.0 / u1.cu) * 1000000) AS BIGINT)
+              ELSE CAST(floor(ln(0.4 * (coalesce(u2.cu, 0) + 1)
+                                 / (t.t_total + t.v)) * 1000000) AS BIGINT)
+         END AS m,
+         CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS backed
+  FROM score_bg s
+  LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+  LEFT JOIN uni u1 ON u1.term = s.w1
+  LEFT JOIN uni u2 ON u2.term = s.w2
+  CROSS JOIN tot t)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m) AS BIGINT) AS lp_micro,
+       CAST(sum(backed) * 1000000 // count(*) AS BIGINT) AS backoff_ppm
+FROM mn GROUP BY doc_id
+""",
+    doc="Bigram language model with stupid backoff, HELD-OUT scoring — "
+        "the KenLM-shaped quality pass one level above "
+        "doc_unigram_logprob: the model (bigram counts + unigram "
+        "counts) trains on the EVEN-doc_id half of the corpus and "
+        "scores EVERY document, so unseen bigrams genuinely exercise "
+        "the backoff arm (p = cb/cu(w1) when the bigram was seen, else "
+        "0.4 * add-one-unigram(w2) — Brants et al.'s stupid backoff, "
+        "the web-scale choice exactly because counts need no "
+        "discounting renormalization and shard-sum trivially). "
+        "Bigrams come from an in-row transform over the filtered token "
+        "array (no window, no self-join); both count tables broadcast "
+        "back onto the scoring stream; per-bigram log-probs are BIGINT "
+        "micro-nats so the per-doc sum is order-independent and "
+        "bit-identical across engines (ULP caveat as in "
+        "doc_unigram_logprob). backoff_ppm per doc doubles as drift "
+        "telemetry: a doc whose bigrams are mostly unseen by the "
+        "reference half is out-of-domain.",
+)
+def doc_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    base = persist_tracked(d.select("doc_id", ts.alias("ts")))
+    train_toks = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("ts").alias("term")
+    )
+    uni = train_toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    tot = train_toks.agg(
+        F.count(F.lit(1)).cast("long").alias("t_total"),
+        F.countDistinct("term").cast("long").alias("v"),
+    )
+    bg = F.explode(
+        F.when(
+            F.size("ts") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    )
+    train_bg = base.filter(F.col("doc_id") % 2 == 0).select(bg.alias("p"))
+    bi = train_bg.groupBy("p.w1", "p.w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    score = base.select("doc_id", bg.alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    joined = (
+        score.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    m = F.when(
+        F.col("cb").isNotNull(),
+        F.floor(F.log(F.col("cb") * 1.0 / F.col("cu1")) * 1000000),
+    ).otherwise(
+        F.floor(
+            F.log(
+                F.lit(0.4)
+                * (F.coalesce(F.col("cu2"), F.lit(0)) + 1)
+                / (F.col("t_total") + F.col("v"))
+            )
+            * 1000000
+        )
+    ).cast("long")
+    backed = F.when(F.col("cb").isNull(), 1).otherwise(0)
+    return (
+        joined.select("doc_id", m.alias("m"), backed.alias("backed"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("m").cast("long").alias("lp_micro"),
+            F.expr("CAST(sum(backed) * 1000000 div count(1) AS BIGINT)")
+            .alias("backoff_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sparse tf-idf cosine pairs via inverted-index join (round 4)
 # ---------------------------------------------------------------------------
 @query(
@@ -3444,6 +3578,148 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.coalesce("__hit", F.lit(0))) * 200000)
         .cast("long")
         .alias("recall_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) binary quantization recall audit (round 6)
+# ---------------------------------------------------------------------------
+def _bincode_sql(lo: int, hi: int) -> str:
+    """BIGINT sign-bit code over embedding dims [lo, hi] (1-based)."""
+    return (
+        f"list_sum(list_transform(range({lo}, {hi + 1}), "
+        f"i -> CASE WHEN embedding[i] >= 0 "
+        f"THEN (1::BIGINT << (i - {lo})) ELSE 0::BIGINT END))::BIGINT"
+    )
+
+
+@query(
+    "embedding_binary_quantize_recall",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+         {_bincode_sql(1, 32)} AS lo, {_bincode_sql(33, 64)} AS hi
+  FROM embeddings),
+q AS (SELECT * FROM codes WHERE vec_id % 97 = 0),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming
+  FROM q CROSS JOIN codes c WHERE c.vec_id <> q.vec_id),
+btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rn
+    FROM ham) WHERE rn <= 5),
+expl AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         unnest(q.emb) AS x, unnest(c.emb) AS y
+  FROM q CROSS JOIN codes c WHERE c.vec_id <> q.vec_id),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM expl GROUP BY query_id, neighbor_id),
+ctop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6)
+                                       DESC, neighbor_id) AS rn
+    FROM dots) WHERE rn <= 5)
+SELECT c.query_id,
+       CAST(count(b.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(count(b.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+FROM ctop c
+LEFT JOIN btop b
+  ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id
+GROUP BY c.query_id
+""",
+    doc="1-bit binary-quantization recall audit: each 64-dim float "
+        "vector compresses to 64 SIGN BITS (two BIGINT halves, 8 bytes "
+        "total — a 32x compression), candidates rank by Hamming "
+        "distance (bit_count of xor, pure codegen — no float math at "
+        "all on the scan side), and the audit reports per-query top-5 "
+        "overlap with the exact cosine ranking in exact ppm, the same "
+        "output shape as embedding_matryoshka_recall. This is the "
+        "cheapest vector-search rung (BQ/RaBitQ-style sign codes, "
+        "SRP-LSH's code used as a DISTANCE, not just a bucket): at "
+        "1e9 vectors the code table is 8 GB where floats are 256 GB, "
+        "and the Hamming scan is SIMD-able integer work. The two-half "
+        "layout dodges the BIGINT sign bit (bit 63 never set, so "
+        "ordering and xor semantics are identical across engines); "
+        "ham/cosine tie-break both end on neighbor_id. Exact oracle — "
+        "no pinned booleans; the measured recall IS the output.",
+)
+def embedding_binary_quantize_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def code(lo: int, hi: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN element_at(embedding, i) >= 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i - {lo}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    codes = fan_out(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            code(1, 32).alias("lo"),
+            code(33, 64).alias("hi"),
+        )
+    )
+    q = codes.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("__qv"),
+        F.col("lo").alias("__qlo"),
+        F.col("hi").alias("__qhi"),
+    )
+    pairs = F.broadcast(q).crossJoin(
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("__cv"),
+            F.col("lo").alias("__clo"),
+            F.col("hi").alias("__chi"),
+        )
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # ONE pass scores both rankings (the float cosine exists only for
+    # the audit; a production BQ scan would carry the codes alone)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr("bit_count(__qlo ^ __clo) + bit_count(__qhi ^ __chi)")
+        ).alias("hamming"),
+        F.round(S.cosine(F.col("__qv"), F.col("__cv"), EMB_DIMS), 6).alias(
+            "cos"
+        ),
+    )
+    wb = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        (F.row_number().over(wb) <= 5).alias("__in_b"),
+        (F.row_number().over(wc) <= 5).alias("__in_c"),
+    )
+    return (
+        ranked.filter(F.col("__in_c"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("__in_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (F.sum(F.when(F.col("__in_b"), 1).otherwise(0)) * 200000)
+            .cast("long")
+            .alias("recall_ppm"),
+        )
     )
 
 
