@@ -26,12 +26,27 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-5 rotation: the 29 queries with NO driver correctness row in
-# r01-r04 (union = 198 of 227 sampled; recomputed from the
-# CORRECTNESS_r0{1..4}.json union at round-5 start).  All 29 fit in the
-# driver's 50-query window; round-5 additions are appended at position
-# 30+ once locally oracle-verified so they share the same window.
+# Round-6 rotation: union(r01-r05) covers the ENTIRE 248-query round-5
+# registry (never-sampled is empty), so the window leads with the
+# round-6 ADDITIONS plus the two queries whose plans materially changed
+# this round (embedding_ivf_nprobe_sweep single-pass fold,
+# dedup_family_recall eager truth materialization); the remainder of
+# the 50 slots re-verifies the round-5 rotation tail.
 _FIRST = [
+    # --- round-6 additions / materially changed ---
+    "embedding_ivf_nprobe_sweep",
+    "dedup_family_recall",
+    "bpe_iterative_merges",
+    "stream_ann_serve",
+    "stream_ann_serve_ivf",
+    "dedup_weighted_pagerank",
+    "events_model_auc",
+    "events_score_calibration",
+    "doc_bigram_backoff_logprob",
+    "embedding_binary_quantize_recall",
+    "events_retention_cohorts",
+    "corpus_mixture_plan",
+    # --- re-verified round-5 window (driver-green in r05) ---
     "events_dp_noise_counts",
     "customer_t_closeness",
     "events_bitmap_distinct",
@@ -76,7 +91,6 @@ _FIRST = [
     "events_approx_top_k",
     "events_twap",
     "events_rank_trio",
-    "embedding_ivf_nprobe_sweep",
     "doc_length_percentiles_by_lang",
     "events_hll_precision_sweep",
     "events_ab_srm_check",

@@ -180,3 +180,36 @@ def test_distributed_ntile_matches_builtin(spark):
     # empty frame: no rows, no crash
     empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("tie"))
     assert distributed_ntile(empty, 5, ["k", "tie"]).count() == 0
+
+
+def test_distributed_cumsum_matches_window(spark):
+    """distributed_cumsum must equal sum() OVER (ORDER BY k ROWS
+    UNBOUNDED PRECEDING..CURRENT) on a total order, for partition
+    counts below, at, and above the row count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.caching import release_tracked
+    from advanced_strapi_import_spark.operators.skew import distributed_cumsum
+
+    df = spark.range(101).select(
+        (F.col("id") * 37 % 101).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    want = sorted(
+        (r.k, r.c) for r in df.select(
+            "k", F.sum("v").over(w).cast("long").alias("c")).collect()
+    )
+    for p in (4, 101, 200):
+        got = sorted(
+            (r.k, r.cum)
+            for r in distributed_cumsum(
+                df, ["k"], "v", num_partitions=p
+            ).select("k", "cum").collect()
+        )
+        assert got == want, f"num_partitions={p}"
+        release_tracked()
+    empty = df.filter("k < 0")
+    assert distributed_cumsum(empty, ["k"], "v").count() == 0
+    release_tracked()

@@ -265,3 +265,24 @@ def test_sniff_media_meta_dispatch_and_unknown(spark):
     assert got[3] == ("unknown", None, 15)
     assert got[4] == ("unknown", None, 0)
     assert len(got) == 4
+
+
+def test_sniff_media_meta_custom_id_col(spark):
+    """The id column must pass through under its own name and Spark
+    type (string here), not relabeled doc_id/bigint."""
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.operators.multimodal import (
+        sniff_media_meta,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"\x89PNG\r\n\x1a\x0anot-a-real-header"), ("b", b"junk")],
+        "name string, payload binary",
+    )
+    out = sniff_media_meta(df, id_col="name", content_col="payload")
+    assert out.schema["name"].dataType.simpleString() == "string"
+    rows = {r["name"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["media_type"] == "unknown"
+    assert rows["b"]["payload_bytes"] == 4

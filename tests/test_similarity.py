@@ -218,3 +218,62 @@ def test_ivf_precomputed_centers_match_default(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_lsh_index_build_and_serve(spark, tmp_path):
+    """Stored LSH index: deterministic bucket function, partition-pruned
+    serve, results equal a direct bucket-gated brute force."""
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lsh")
+    S.build_lsh_index(corpus, idx, planes=4)
+    queries = corpus.limit(5)
+    served = S.lsh_query_index(spark, idx, queries, k=5, planes=4)
+    # reference: same bucket gating computed inline
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    withb = corpus.select(
+        "vec_id", dbl.alias("v"),
+        S.lsh_bucket(dbl, planes=4, dims=64).alias("bucket"),
+    )
+    q = withb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    ref = (
+        q.join(withb, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(S.cosine(F.col("qv"), F.col("v"), 64), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    ref_top = ref.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+    got = sorted(map(tuple, served.select(
+        "query_id", "neighbor_id", "cos", "rnk").collect()))
+    want = sorted(map(tuple, ref_top.select(
+        "query_id", "neighbor_id", "cos", "rnk").collect()))
+    assert got == want and len(got) > 0
+    # serve plan reads only probed bucket partitions
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_lsh_query_index_empty_queries(spark, tmp_path):
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lsh_e")
+    S.build_lsh_index(corpus, idx, planes=4)
+    empty = corpus.filter("vec_id < 0")
+    out = S.lsh_query_index(spark, idx, empty, k=5, planes=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rnk"]
