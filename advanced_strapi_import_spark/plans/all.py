@@ -46,6 +46,9 @@ _FIRST = [
     "embedding_binary_quantize_recall",
     "events_retention_cohorts",
     "corpus_mixture_plan",
+    "doc_lang_kappa",
+    "stream_ann_index_update",
+    "events_anomaly_robust_z",
     # --- re-verified round-5 window (driver-green in r05) ---
     "events_dp_noise_counts",
     "customer_t_closeness",

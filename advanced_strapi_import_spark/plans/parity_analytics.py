@@ -3101,3 +3101,71 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) anomaly days (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_robust_z",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med
+  FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS ad
+  FROM daily d JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+       CAST(2 * (d.n - d.med) AS BIGINT) AS dev_x2,
+       CAST(4 * m.mad AS BIGINT) AS mad_x4,
+       6745 * 2 * abs(CAST(2 * (d.n - d.med) AS BIGINT))
+         >= 35000 * CAST(4 * m.mad AS BIGINT) AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+""",
+    doc="Robust anomaly detection on daily event volumes: per-type "
+        "median and MAD (median absolute deviation) replace mean/std "
+        "— one broken day cannot drag the baseline the way it drags a "
+        "z-score — and a day is anomalous when the modified z-score "
+        "0.6745*|x-med|/MAD >= 3.5 (Iglewicz-Hoaglin). Numeric "
+        "discipline: medians of BIGINT counts land on exact halves "
+        "and MADs on exact quarters, so dev_x2 = 2*(x-med) and mad_x4 "
+        "= 4*MAD are exactly-integral doubles (cast identically in "
+        "both engines despite their different inexact-cast rules) and "
+        "the threshold test becomes pure BIGINT: 6745*2*|dev_x2| >= "
+        "35000*mad_x4 — the same inequality scaled by 4, no float "
+        "compare at the decision boundary. The heavy input collapses "
+        "to |types x days| rows in one partial-agg shuffle; "
+        "medians/MADs aggregate per type over domain-sized groups.",
+)
+def events_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        (2 * (F.col("n") - F.col("med"))).cast("long").alias("dev_x2"),
+        (4 * F.col("mad")).cast("long").alias("mad_x4"),
+        F.expr(
+            "6745 * 2 * abs(CAST(2 * (n - med) AS BIGINT)) "
+            ">= 35000 * CAST(4 * mad AS BIGINT)"
+        ).alias("is_anomaly"),
+    )

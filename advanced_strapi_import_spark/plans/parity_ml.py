@@ -1272,6 +1272,93 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# classifier agreement: Cohen's kappa (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_lang_kappa",
+    oracle=(
+        _lang_sql().rsplit("\nSELECT", 1)[0]
+        + ",\npred AS (SELECT"
+        + _lang_sql().rsplit("\nSELECT", 1)[1]
+        + """),
+conf AS (
+  SELECT d.lang AS label, p.lang_pred AS pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.lang_pred),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS BIGINT) AS po
+  FROM conf),
+rm AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS r
+       FROM conf GROUP BY label),
+cm AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS c
+       FROM conf GROUP BY pred),
+sm AS (SELECT CAST(sum(r.r * c.c) AS BIGINT) AS s
+       FROM rm r JOIN cm c USING (cls))
+SELECT nn AS n_docs,
+       CAST(po * 1000000 // nn AS BIGINT) AS po_ppm,
+       CAST(s * 1000000 // (nn * nn) AS BIGINT) AS pe_ppm,
+       CAST((nn * po - s) * 1000000 // (nn * nn - s) AS BIGINT)
+           AS kappa_ppm
+FROM tot, sm
+"""
+    ),
+    doc="Cohen's kappa between the labeled lang column and the "
+        "stopword-argmax predictor — chance-corrected agreement, the "
+        "one-number summary of lang_id_confusion (raw accuracy "
+        "flatters a classifier on skewed label mixes; kappa subtracts "
+        "the marginal-product chance rate). Entirely BIGINT: kappa = "
+        "(N*po - S) / (N^2 - S) with S = sum of row*column marginal "
+        "products, emitted in ppm with truncating integer division — "
+        "Spark's `div` and DuckDB's `//` agree on negatives (verified "
+        "-7/2 = -3 both), so even a worse-than-chance kappa hashes "
+        "identically. The confusion matrix is one partial-agg shuffle "
+        "over label x pred (25 cells); everything after is "
+        "domain-sized.",
+)
+def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"))
+    conf = persist_tracked(
+        d.select(
+            F.col("lang").alias("label"),
+            TX.lang_id(F.col("text")).alias("pred"),
+        )
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    conf.count()  # 25-cell frame: fill before the three derived aggs
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("po"),
+    )
+    rm = conf.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    cm = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    sm = rm.join(cm, "cls").agg(
+        F.sum(F.col("r") * F.col("c")).cast("long").alias("s")
+    )
+    return (
+        tot.crossJoin(F.broadcast(sm))
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.expr("CAST(po * 1000000 div nn AS BIGINT)").alias("po_ppm"),
+            F.expr("CAST(s * 1000000 div (nn * nn) AS BIGINT)").alias(
+                "pe_ppm"
+            ),
+            F.expr(
+                "CAST((nn * po - s) * 1000000 div (nn * nn - s) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # containment dedup: docs that are substrings of another doc
 # ---------------------------------------------------------------------------
 @query(

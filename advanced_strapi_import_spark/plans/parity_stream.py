@@ -1017,22 +1017,30 @@ def stream_extreme_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_PLANES = 6
 
 
-def _ann_serve_sql(*, bucket_gated: bool) -> str:
+def _ann_serve_sql(
+    *,
+    bucket_gated: bool,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_pred: str = "vec_id % 97 = 0",
+) -> str:
     """Exact DuckDB twin of the streamed serve. With ``bucket_gated``
     the candidate set is bucket-mates under the SAME deterministic
     6-plane hyperplane function the Spark index partitions by (the
     md5-derived sign constants are embedded as literals); without it
     the candidates are the whole corpus — the exact-truth oracle for
-    the full-probe IVF serve."""
+    the full-probe IVF serve. ``corpus_sql``/``query_pred`` let the
+    index-maintenance twin define an appended corpus and restrict the
+    queries to the base vectors."""
     bucket_expr = ML._table_bucket_sql(0, _ANN_PLANES)
     gate = "JOIN b c USING (bucket)" if bucket_gated else "CROSS JOIN b c"
     return f"""
-WITH b AS (
+WITH allv AS ({corpus_sql}),
+b AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
          {bucket_expr} AS bucket
-  FROM embeddings),
+  FROM allv),
 q AS (SELECT vec_id AS query_id, emb AS qv, bucket FROM b
-      WHERE vec_id % 97 = 0),
+      WHERE {query_pred}),
 cand AS (
   SELECT q.query_id, q.qv, c.vec_id AS neighbor_id, c.emb AS cv
   FROM q {gate} WHERE c.vec_id <> q.query_id),
@@ -1162,3 +1170,83 @@ def stream_ann_serve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("rank", "rnk"),
         empty_schema=_ann_empty_schema(spark),
     )
+
+
+@query(
+    "stream_ann_index_update",
+    oracle=_ann_serve_sql(
+        bucket_gated=True,
+        corpus_sql="""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0""",
+        query_pred="vec_id % 97 = 0 AND vec_id < 100000",
+    ),
+    doc="Streaming ANN index MAINTENANCE: the stored LSH index is "
+        "built offline over the base corpus, then a stream of NEW "
+        "vectors (planted exact-duplicate arrivals, id+100000) appends "
+        "per micro-batch INTO the index's bucket partitions — the same "
+        "deterministic bucket expression routes each arrival to its "
+        "directory, so an append is a partition-local file add with "
+        "zero index rebuild and zero reshuffle of the existing corpus. "
+        "A serve pass after the drain proves freshness: every query "
+        "whose twin arrived now ranks it at cos 1.0. Oracle = the "
+        "hash-exact bucket-gated ranking over base UNION arrivals "
+        "(queries restricted to base ids). This is the online-index "
+        "upkeep shape: build once, append forever, rebuild only to "
+        "re-balance planes/cells.",
+)
+def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    # a PRIVATE index dir — this query mutates it, so the session-scoped
+    # serve cache must not share it; clone the cached build (a file
+    # copy) instead of re-fitting, the same cost a real maintenance job
+    # pays to fork a staging index
+    src = _ann_index_dir(
+        spark, sf_dir, "lsh",
+        lambda p: S.build_lsh_index(emb, p, planes=_ANN_PLANES),
+    )
+    idx = tempfile.mkdtemp(prefix="lshu_idx_")
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    shutil.rmtree(idx)
+    shutil.copytree(src, idx)
+
+    arriving = (
+        ST.read_documents_stream(spark, sf_dir, glob="embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+
+    def update(batch_df, batch_id) -> None:
+        if not batch_df.head(1):
+            return
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        (
+            batch_df.select(
+                "vec_id",
+                "embedding",
+                S.lsh_bucket(dbl, planes=_ANN_PLANES, dims=64).alias(
+                    "bucket"
+                ),
+            )
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{idx}/vectors")
+        )
+
+    q = (
+        arriving.writeStream.foreachBatch(update)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.lsh_query_index(spark, idx, queries, k=5, planes=_ANN_PLANES)
