@@ -1579,25 +1579,26 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", matches.cast("long").alias("matches"))
     )
-    shh = sh.select("id", F.col("sh64").alias("sh"))
-    sizes = shh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = shh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
-    b = shh.select(F.col("id").alias("__idb"), F.col("sh").alias("__shb"))
-    inter = (
-        est.select("id_a", "id_b")
-        .join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("__idb"))
-              & (F.col("__sha") == F.col("__shb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # set-array layout (jaccard_on_pairs's trick): shingles are DISTINCT
+    # per id, so one array row per doc + a JVM array_intersect moves
+    # |docs| join rows instead of |shingles| — values identical to the
+    # exploded count-join, ~2x less wall time (same rewrite as
+    # dedup_weighted_pagerank)
+    sets_df = sh.groupBy("id").agg(F.collect_list("sh64").alias("__shs"))
+    a = sets_df.select(
+        F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
+        F.size("__shs").alias("na"),
+    )
+    b = sets_df.select(
+        F.col("id").alias("id_b"), F.col("__shs").alias("__sb"),
+        F.size("__shs").alias("nb"),
     )
     out = (
-        est.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
-              "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
-              "id_b")
-        .withColumn("__i", F.coalesce(F.col("i"), F.lit(0)))
+        est.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "__i", F.size(F.array_intersect("__sa", "__sb")).cast("long")
+        )
     )
     return out.select(
         "id_a", "id_b",

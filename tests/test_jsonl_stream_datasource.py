@@ -72,3 +72,57 @@ def test_stream_end_to_end(spark, tmp_path):
     # offsets are the real byte positions of each line
     assert out[0].offset == 0
     assert all(b.offset > a.offset for a, b in zip(out, out[1:]))
+
+
+def test_jsonl_atomic_writer_roundtrip(spark, tmp_path):
+    """Two-phase commit: committed dir has part-* + _SUCCESS manifest,
+    no staged leftovers; rows round-trip through spark.read.json."""
+    import json
+    import os
+
+    from advanced_strapi_import_spark.sources.jsonl_sink_datasource import (
+        register_jsonl_sink_datasource,
+    )
+
+    register_jsonl_sink_datasource(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id",
+        "concat('name-', id) AS name",
+        "CAST(id * 1.5 AS DOUBLE) AS score",
+    )
+    df.write.format("jsonl_atomic").option("path", out).mode(
+        "append"
+    ).save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert all(not n.startswith(".staged-") for n in names)
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(e["n_rows"] for e in manifest["files"]) == 100
+    assert {e["file"] for e in manifest["files"]} == set(parts)
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
+    got = {(r.id, r.name, r.score) for r in back.collect()}
+    want = {(r.id, r.name, r.score) for r in df.collect()}
+    assert got == want
+
+
+def test_jsonl_atomic_writer_overwrite(spark, tmp_path):
+    import os
+
+    from advanced_strapi_import_spark.sources.jsonl_sink_datasource import (
+        register_jsonl_sink_datasource,
+    )
+
+    register_jsonl_sink_datasource(spark)
+    out = str(tmp_path / "sink_ow")
+    spark.range(10).write.format("jsonl_atomic").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(3).write.format("jsonl_atomic").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 3
