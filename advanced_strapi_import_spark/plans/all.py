@@ -49,6 +49,10 @@ _FIRST = [
     "doc_lang_kappa",
     "stream_ann_index_update",
     "events_anomaly_robust_z",
+    "minhash_est_error",  # set-array rewrite this round
+    "lineitem_weighted_percentiles",
+    "corpus_vocab_kl_divergence",
+    "dedup_landmark_distances",
     # --- re-verified round-5 window (driver-green in r05) ---
     "events_dp_noise_counts",
     "customer_t_closeness",

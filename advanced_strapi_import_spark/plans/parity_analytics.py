@@ -3169,3 +3169,85 @@ def events_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ">= 35000 * CAST(4 * mad AS BIGINT)"
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed exact WEIGHTED percentiles (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_weighted_percentiles",
+    oracle="""
+WITH s AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT cents, CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cw FROM s),
+t AS (SELECT CAST(max(cw) AS BIGINT) AS tw FROM c),
+qs(q_ppm) AS (VALUES (500000::BIGINT), (900000::BIGINT), (990000::BIGINT))
+SELECT q.q_ppm, t.tw AS total_weight,
+       CAST(min(CASE WHEN c.cw * 1000000 >= t.tw * q.q_ppm
+                     THEN c.cents END) AS BIGINT) AS value_cents
+FROM c CROSS JOIN t CROSS JOIN qs q
+GROUP BY q.q_ppm, t.tw
+""",
+    doc="Exact QUANTITY-WEIGHTED price percentiles (p50/p90/p99), fully "
+        "distributed: prices collapse to (cents, total-quantity) rows, "
+        "skew.distributed_cumsum produces the global weighted running "
+        "total without a single-partition window, and each percentile "
+        "is the smallest value whose cumulative weight reaches "
+        "ceil(q*W) — evaluated as the pure-integer inequality "
+        "cw*1e6 >= W*q (no ceil, no float), all three quantiles in ONE "
+        "conditional aggregate unpivoted to rows. This is the exact "
+        "form of what percentile_approx(weighted) cannot even express; "
+        "at 100 TB the only data-sized motion is the groupBy(cents) "
+        "partial agg and one range shuffle. Quantities are integral "
+        "doubles so their BIGINT cast agrees across engines (round-vs-"
+        "truncate moot); prices fixed-point to cents (floor(x*100+.5)). "
+        "Overflow: cw*1e6 <= W*1e6 ~ 2.5e16 at 1e9 rows — inside "
+        "BIGINT.",
+)
+def lineitem_weighted_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from advanced_strapi_import_spark.operators import skew as SK
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    c = SK.distributed_cumsum(s, ["cents"], "w", out_col="cw")
+    # c's underlying range-partitioned frame is already materialized by
+    # the cumsum's offsets collect, so this scalar broadcast reads cache
+    # (no unmaterialized-chain broadcast race)
+    tw = c.agg(F.max("cw").cast("long").alias("tw"))
+    qs = (500000, 900000, 990000)
+    agg = c.crossJoin(F.broadcast(tw)).agg(
+        F.max("tw").alias("__tw"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cw") * 1000000 >= F.col("tw") * q, F.col("cents")
+                )
+            )
+            .cast("long")
+            .alias(f"__v{q}")
+            for q in qs
+        ],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("q_ppm"),
+                        F.col("__tw").alias("total_weight"),
+                        F.col(f"__v{q}").alias("value_cents"),
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("a")
+    ).select("a.q_ppm", "a.total_weight", "a.value_cents")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from advanced_strapi_import_spark.operators import curation as CU
 from advanced_strapi_import_spark.operators import text as TX
+from advanced_strapi_import_spark.caching import persist_tracked
 from advanced_strapi_import_spark.plans.registry import load, query
 
 
@@ -1526,4 +1527,104 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div avail_tokens AS BIGINT)"
         ).alias("rate_ppm"),
         (F.col("cap") == F.col("budget")).alias("binding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-half vocabulary KL divergence (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_vocab_kl_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT length(source) = 4 AS half_p,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS term
+  FROM documents),
+cp AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       FROM toks WHERE half_p GROUP BY term),
+cq AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       FROM toks WHERE NOT half_p GROUP BY term),
+vocab AS (
+  SELECT term FROM cp UNION SELECT term FROM cq),
+tot AS (
+  SELECT CAST((SELECT coalesce(sum(c), 0) FROM cp) AS BIGINT) AS np,
+         CAST((SELECT coalesce(sum(c), 0) FROM cq) AS BIGINT) AS nq,
+         CAST((SELECT count(*) FROM vocab) AS BIGINT) AS v),
+contrib AS (
+  SELECT CAST(floor(
+           ((coalesce(p.c, 0) + 1) * 1.0 / (t.np + t.v))
+           * (ln((coalesce(p.c, 0) + 1) * 1.0 / (t.np + t.v))
+              - ln((coalesce(q.c, 0) + 1) * 1.0 / (t.nq + t.v)))
+           * 1000000000) AS BIGINT) AS kn
+  FROM vocab
+  LEFT JOIN cp p USING (term)
+  LEFT JOIN cq q USING (term)
+  CROSS JOIN tot t)
+SELECT (SELECT v FROM tot) AS vocab_size,
+       (SELECT np FROM tot) AS np_tokens,
+       (SELECT nq FROM tot) AS nq_tokens,
+       CAST(sum(kn) AS BIGINT) AS kl_nano
+FROM contrib
+""",
+    doc="Vocabulary-level KL divergence KL(P||Q) between the two source "
+        "halves of the corpus (src0-9 vs src10-19, split by the "
+        "length-4 source name): add-one-smoothed unigram distributions "
+        "over the UNION vocabulary, per-term contribution "
+        "p*(ln p - ln q) fixed-pointed to BIGINT nano-nats so the "
+        "reduction is order-independent and engine-exact (the "
+        "unigram-logprob micro-nat discipline, one level finer because "
+        "per-term p is tiny). This is the distribution-shift audit "
+        "behind mixture decisions — DSIR's importance weights "
+        "(doc_dsir_importance) are the per-document face of the same "
+        "ratio; this is the corpus-level number. One token pass, two "
+        "count tables, a vocab-sized three-way hash join; nothing "
+        "data-sized after the first shuffle. ULP caveat as in "
+        "doc_unigram_logprob.",
+)
+def corpus_vocab_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        d.select(
+            (F.length("source") == 4).alias("half_p"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("term"),
+        )
+    )
+    toks.count()  # materialize before the scalar-total broadcasts derive
+    cp = toks.filter("half_p").groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cp")
+    )
+    cq = toks.filter("NOT half_p").groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cq")
+    )
+    vocab = persist_tracked(
+        cp.select("term").union(cq.select("term")).distinct()
+    )
+    vocab.count()
+    tot = (
+        vocab.join(cp, "term", "left")
+        .join(cq, "term", "left")
+        .agg(
+            F.sum(F.coalesce("cp", F.lit(0))).cast("long").alias("np"),
+            F.sum(F.coalesce("cq", F.lit(0))).cast("long").alias("nq"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+    )
+    joined = (
+        vocab.join(cp, "term", "left")
+        .join(cq, "term", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.coalesce("cp", F.lit(0)) + 1) * 1.0 / (F.col("np") + F.col("v"))
+    q = (F.coalesce("cq", F.lit(0)) + 1) * 1.0 / (F.col("nq") + F.col("v"))
+    kn = F.floor(p * (F.log(p) - F.log(q)) * 1000000000).cast("long")
+    return joined.agg(
+        F.max("v").alias("vocab_size"),
+        F.max("np").alias("np_tokens"),
+        F.max("nq").alias("nq_tokens"),
+        F.sum(kn).cast("long").alias("kl_nano"),
     )

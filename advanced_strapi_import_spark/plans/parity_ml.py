@@ -1786,6 +1786,84 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# landmark BFS distances over the candidate graph (round 6)
+# ---------------------------------------------------------------------------
+def _bfs_round_sql(r: int) -> str:
+    return f"""
+f{r} AS (
+  SELECT d.landmark, e.nbr AS node, {r} AS d
+  FROM d{r - 1} d JOIN edges e ON e.node = d.node
+  WHERE d.d = {r - 1}),
+d{r} AS (
+  SELECT landmark, node, CAST(min(d) AS INT) AS d
+  FROM (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM f{r})
+  GROUP BY landmark, node)"""
+
+
+@query(
+    "dedup_landmark_distances",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_hash = b.band_hash AND a.id < b.id),
+edges AS (
+  SELECT id_a AS node, id_b AS nbr FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand),
+lm AS (SELECT DISTINCT node FROM edges ORDER BY node LIMIT 3),
+d0 AS (SELECT node AS landmark, node, CAST(0 AS INT) AS d FROM lm),
+{_bfs_round_sql(1)},
+{_bfs_round_sql(2)},
+{_bfs_round_sql(3)}
+SELECT landmark, node, d AS dist FROM d3
+""",
+    doc="Landmark BFS over the LSH candidate graph: exact shortest-path "
+        "distances (<= 3 hops) from the 3 lowest-id connected nodes — "
+        "the landmark/pivot primitive behind closeness-centrality "
+        "estimates and 'how far is this doc from the template hub' "
+        "triage. Each round is one frontier-edges equi-join plus a "
+        "min-distance groupBy, both hash-partitioned on node — O(E)/"
+        "round with no driver state, the same bounded-loop shape as "
+        "dedup_pagerank; the frontier filter (d = r-1) keeps "
+        "re-exploration from settled nodes out of the join. The oracle "
+        "unrolls the same three rounds; distances are small INTs so "
+        "every row is engine-exact by construction.",
+)
+def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    edges = persist_tracked(
+        cand.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
+        .unionByName(
+            cand.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+        )
+    )
+    lm = edges.select("node").distinct().orderBy("node").limit(3)
+    dist = lm.select(
+        F.col("node").alias("landmark"),
+        "node",
+        F.lit(0).cast("int").alias("d"),
+    )
+    for r in (1, 2, 3):
+        frontier = dist.filter(F.col("d") == r - 1)
+        nd = (
+            frontier.join(edges, "node")
+            .select("landmark", F.col("nbr").alias("node"),
+                    F.lit(r).cast("int").alias("d"))
+        )
+        dist = persist_tracked(
+            dist.unionByName(nd)
+            .groupBy("landmark", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+        )
+    return dist.select("landmark", "node", F.col("d").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
 # WEIGHTED PageRank over the candidate graph (round 6): edge weight =
 # exact shingle Jaccard in ppm — closes the unweighted-only caveat on
 # the centrality story.
