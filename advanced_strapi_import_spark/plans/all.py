@@ -53,6 +53,8 @@ _FIRST = [
     "lineitem_weighted_percentiles",
     "corpus_vocab_kl_divergence",
     "dedup_landmark_distances",
+    "doc_stratified_neyman",
+    "events_bootstrap_ci",
     # --- re-verified round-5 window (driver-green in r05) ---
     "events_dp_noise_counts",
     "customer_t_closeness",

@@ -3251,3 +3251,111 @@ def lineitem_weighted_percentiles(
             )
         ).alias("a")
     ).select("a.q_ppm", "a.total_weight", "a.value_cents")
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap CI (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_bootstrap_ci",
+    oracle="""
+WITH m AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         b.b,
+         ((event_id % 2147483647) * 2654435761 + b.b * 40503 + 7)
+           % 1000000 AS h
+  FROM events CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+w AS (
+  SELECT b, cents,
+         CASE WHEN h < 367879 THEN 0
+              WHEN h < 735759 THEN 1
+              WHEN h < 919699 THEN 2
+              WHEN h < 981012 THEN 3
+              ELSE 4 END AS mult
+  FROM m),
+reps AS (
+  SELECT b,
+         CAST(sum(mult * cents) // greatest(sum(mult), 1) AS BIGINT)
+             AS mean_cents
+  FROM w GROUP BY b),
+rr AS (
+  SELECT mean_cents,
+         row_number() OVER (ORDER BY mean_cents, b) AS rn
+  FROM reps)
+SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       CAST(min(mean_cents) AS BIGINT) AS lo,
+       CAST(max(mean_cents) AS BIGINT) AS hi,
+       CAST(max(CASE WHEN rn = 2 THEN mean_cents END) AS BIGINT) AS ci_lo,
+       CAST(max(CASE WHEN rn = 31 THEN mean_cents END) AS BIGINT) AS ci_hi
+FROM rr
+""",
+    doc="Poisson bootstrap confidence interval for the mean event "
+        "value — THE distributed bootstrap: classic resampling needs "
+        "n draws from n rows (a global shuffle per replicate), but "
+        "Binomial(n, 1/n) -> Poisson(1), so each row independently "
+        "decides its own multiplicity in each of 32 replicates and a "
+        "replicate mean is one weighted aggregate; no row ever moves. "
+        "Multiplicities are DETERMINISTIC (Knuth-hash of event_id x "
+        "replicate mapped through exact integer Poisson(1) cdf "
+        "thresholds out of 1e6 — the embedding_triplets pre-reduction "
+        "bounds the product under 2^63), values fixed-point to cents, "
+        "each replicate mean is floor-integer — so all 32 means are "
+        "bit-exact across engines; the CI bounds are NEAREST-RANK "
+        "order statistics (2nd and 31st of 32), not interpolated "
+        "quantiles — interpolation at fraction .775 floors apart "
+        "across engines (formula-order IEEE), which 3-SF parity "
+        "caught at sf0.001. Scale: the 32x "
+        "explode is map-local; the only shuffle is 32 groups of "
+        "partials.",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    m = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "cents",
+        "b",
+        F.expr(
+            "((event_id % 2147483647) * 2654435761 + b * 40503 + 7) "
+            "% 1000000"
+        ).alias("h"),
+    )
+    mult = (
+        F.when(F.col("h") < 367879, 0)
+        .when(F.col("h") < 735759, 1)
+        .when(F.col("h") < 919699, 2)
+        .when(F.col("h") < 981012, 3)
+        .otherwise(4)
+    )
+    reps = (
+        m.select("b", "cents", mult.alias("mult"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST(sum(mult * cents) div greatest(sum(mult), 1)"
+                " AS BIGINT)"
+            ).alias("mean_cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    # nearest-rank CI bounds (2nd / 31st of 32) — exact order statistics
+    # on BIGINT replicate means; interpolated quantiles at fraction
+    # .775 floor apart across engines (formula-order IEEE difference),
+    # which a 3-SF parity run caught
+    rr = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_cents", "b"))
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min("mean_cents").cast("long").alias("lo"),
+        F.max("mean_cents").cast("long").alias("hi"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 31, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_hi"),
+    )

@@ -1628,3 +1628,82 @@ def corpus_vocab_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nq").alias("nq_tokens"),
         F.sum(kn).cast("long").alias("kl_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling design (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_stratified_neyman",
+    oracle="""
+WITH g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         sum(n_chars::HUGEINT * n_chars) AS ss
+  FROM documents GROUP BY lang),
+sc AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n::HUGEINT * ss - s::HUGEINT * s AS DOUBLE))
+                    * 1000 + 0.5) AS BIGINT) AS score_milli
+  FROM g),
+t AS (SELECT CAST(sum(score_milli) AS BIGINT) AS tot FROM sc)
+SELECT lang, n AS n_docs, score_milli,
+       CAST(score_milli * 1000000 // t.tot AS BIGINT) AS alloc_ppm,
+       CAST((score_milli * 1000000 // t.tot) * 10000 // 1000000 AS BIGINT)
+           AS sample_n
+FROM sc CROSS JOIN t
+""",
+    doc="Neyman-allocation stratified sampling design over language "
+        "strata: the optimal share of a fixed labeling/eval budget for "
+        "stratum h is proportional to N_h * sigma_h of the target "
+        "metric (doc length) — equal-allocation wastes budget on "
+        "homogeneous strata. The identity N_h*sigma_h = "
+        "sqrt(n*sum(x^2) - sum(x)^2) lets the whole score come from "
+        "EXACT integer accumulations (HUGEINT/DECIMAL(38,0) squared "
+        "sums, the embedding_dim_stats discipline) with one sqrt on "
+        "the same exact value in both engines, fixed-pointed to milli "
+        "before the integer normalization — so allocation ppm and the "
+        "budget-10000 sample counts are bit-exact. One corpus pass, "
+        "|strata| rows after; floor allocation means sample_n sums to "
+        "<= budget (the deliberate remainder goes to a manual "
+        "largest-remainder pass at apply time).",
+)
+def doc_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    num = (
+        F.col("ss") * F.col("n")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    sc = g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.floor(F.sqrt(num.cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("score_milli"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = sc.withColumn("tot", F.sum("score_milli").over(wall))
+    return b.select(
+        "lang",
+        "n_docs",
+        "score_milli",
+        F.expr("CAST(score_milli * 1000000 div tot AS BIGINT)").alias(
+            "alloc_ppm"
+        ),
+        F.expr(
+            "CAST((score_milli * 1000000 div tot) * 10000 div 1000000"
+            " AS BIGINT)"
+        ).alias("sample_n"),
+    )
