@@ -1842,6 +1842,7 @@ def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
         )
     )
+    edges.count()  # 3 rounds consume this — fill the persist first
     lm = edges.select("node").distinct().orderBy("node").limit(3)
     dist = lm.select(
         F.col("node").alias("landmark"),
@@ -1860,6 +1861,12 @@ def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("landmark", "node")
             .agg(F.min("d").cast("int").alias("d"))
         )
+        # each round reads the PREVIOUS dist twice (frontier filter +
+        # union); an unmaterialized persisted chain under two consumers
+        # duplicates partition computation through the whole peel
+        # history (the kcore race class) — measured 7.5s -> ~3s with
+        # the eager fill
+        dist.count()
     return dist.select("landmark", "node", F.col("d").alias("dist"))
 
 
@@ -1975,7 +1982,13 @@ def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_w = persist_tracked(
         edges.join(wdeg, "src").select("src", "dst", "w", "tw")
     )
+    # edges has two consumers (wdeg + the join) and src_w/nodes feed
+    # every iteration — fill the persists before the loop fans out over
+    # them (unmaterialized multi-consumer chains duplicate partitions,
+    # the kcore race class)
+    src_w.count()
     nodes = persist_tracked(_corpus(spark, sf_dir).select("id"))
+    nodes.count()
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     n_iters, ckpt_every = 3, 8
     for i in range(n_iters):

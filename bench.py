@@ -209,18 +209,21 @@ def main() -> None:
             "shuffle_bytes_total": sum(v for v in shuffles.values() if v >= 0),
             "best_of_2_samples": reruns,
             "notes": {
-                "shared_persist_warmth": (
-                    "Several dedup/embedding queries share session-scoped "
-                    "persisted frames (shingle hashes, minhash bands, LSH "
-                    "buckets — parity_ml._SHARED); the FIRST suite-order "
-                    "consumer pays their materialization. Registry "
-                    "reorders therefore move wall-time between queries "
-                    "without any plan change: r5's apparent 2x regressions "
-                    "of dedup_containment (3.78s) and embedding_semdedup "
-                    "(3.01s) were exactly this — measured standalone-warm "
-                    "in r6 at 1.2-1.9s (== r4), cold-first-consumer "
-                    "6.3/4.5s. Compare per-query times only at equal "
-                    "suite positions, or against the warm standalone."
+                "full_pipeline_charging": (
+                    "release_all() runs between timed queries (since r2), "
+                    "so every dedup/embedding query pays its FULL pipeline "
+                    "incl. the shared shingle/band build — shared persists "
+                    "only amortize WITHIN one query. r5's apparent 2x "
+                    "regressions of dedup_containment (3.78s) and "
+                    "embedding_semdedup (3.01s) did NOT reproduce in r6 "
+                    "(1.90/1.54s, == r4 levels, different suite "
+                    "positions): single-JVM heap-state variance over a "
+                    "suite region, the documented 2-3x band for >3s "
+                    "queries. Separately, within ONE query a persisted "
+                    "frame consumed twice BEFORE materialization "
+                    "duplicates its whole cold lineage (kcore race "
+                    "class) — iterative graph queries eager-fill each "
+                    "round's persist for exactly this reason."
                 ),
             }}
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
