@@ -55,6 +55,7 @@ _FIRST = [
     "dedup_landmark_distances",
     "doc_stratified_neyman",
     "events_bootstrap_ci",
+    "events_cuped_adjustment",
     # --- re-verified round-5 window (driver-green in r05) ---
     "events_dp_noise_counts",
     "customer_t_closeness",
