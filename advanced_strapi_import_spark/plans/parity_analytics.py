@@ -2946,7 +2946,7 @@ a AS (
   FROM c)
 SELECT npos, ntot - npos AS nneg,
        CAST((s2 - npos * (npos + 1)) * 1000000
-            // (2 * npos * (ntot - npos)) AS BIGINT) AS auc_ppm
+            // greatest(2 * npos * (ntot - npos), 1) AS BIGINT) AS auc_ppm
 FROM a
 """,
     doc="EXACT tie-aware ROC AUC ('is value predictive of purchase?') "
@@ -2985,8 +2985,11 @@ def events_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npos",
         (F.col("ntot") - F.col("npos")).alias("nneg"),
         F.expr(
+            # greatest(...,1): degenerate single-class data would hit
+            # ANSI DIVIDE_BY_ZERO in Spark vs NULL in DuckDB; with the
+            # guard both engines emit 0 (numerator is 0 there too)
             "CAST((s2 - npos * (npos + 1)) * 1000000 "
-            "div (2 * npos * (ntot - npos)) AS BIGINT)"
+            "div greatest(2 * npos * (ntot - npos), 1) AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -3452,10 +3455,14 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary_n = (
         F.col("syy") * F.col("n") - F.col("sy").cast(dec) * F.col("sy")
     ).cast("double")
+    # try_divide: a zero-variance pre or post period (degenerate data)
+    # must yield NULL like DuckDB's x/0, not an ANSI DIVIDE_BY_ZERO
     th = m.select(
         "n", "sx",
-        (cov_n / varx_n).alias("theta"),
-        (cov_n * cov_n / varx_n / vary_n).alias("rho2"),
+        F.try_divide(cov_n, varx_n).alias("theta"),
+        F.try_divide(F.try_divide(cov_n * cov_n, varx_n), vary_n).alias(
+            "rho2"
+        ),
     )
     j = u.crossJoin(F.broadcast(th))
     adj = F.col("y") - F.col("theta") * (

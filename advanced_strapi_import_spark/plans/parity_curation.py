@@ -1470,8 +1470,8 @@ b AS (SELECT *, min(cap) OVER () AS budget FROM j)
 SELECT lang, weight_ppm, avail_tokens,
        CAST(budget AS BIGINT) AS budget_tokens,
        CAST(budget * weight_ppm // 1000000 AS BIGINT) AS need_tokens,
-       CAST((budget * weight_ppm // 1000000) * 1000000 // avail_tokens
-            AS BIGINT) AS rate_ppm,
+       CAST((budget * weight_ppm // 1000000) * 1000000
+            // greatest(avail_tokens, 1) AS BIGINT) AS rate_ppm,
        cap = budget AS binding
 FROM b
 """,
@@ -1523,8 +1523,10 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "need_tokens"
         ),
         F.expr(
+            # greatest(...,1): a stratum of empty texts has 0 supply ->
+            # budget 0 -> 0/0; guarded, both engines emit rate 0
             "CAST((budget * weight_ppm div 1000000) * 1000000 "
-            "div avail_tokens AS BIGINT)"
+            "div greatest(avail_tokens, 1) AS BIGINT)"
         ).alias("rate_ppm"),
         (F.col("cap") == F.col("budget")).alias("binding"),
     )
@@ -1649,9 +1651,10 @@ sc AS (
   FROM g),
 t AS (SELECT CAST(sum(score_milli) AS BIGINT) AS tot FROM sc)
 SELECT lang, n AS n_docs, score_milli,
-       CAST(score_milli * 1000000 // t.tot AS BIGINT) AS alloc_ppm,
-       CAST((score_milli * 1000000 // t.tot) * 10000 // 1000000 AS BIGINT)
-           AS sample_n
+       CAST(score_milli * 1000000 // greatest(t.tot, 1) AS BIGINT)
+           AS alloc_ppm,
+       CAST((score_milli * 1000000 // greatest(t.tot, 1)) * 10000
+            // 1000000 AS BIGINT) AS sample_n
 FROM sc CROSS JOIN t
 """,
     doc="Neyman-allocation stratified sampling design over language "
@@ -1699,11 +1702,13 @@ def doc_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "score_milli",
-        F.expr("CAST(score_milli * 1000000 div tot AS BIGINT)").alias(
-            "alloc_ppm"
-        ),
         F.expr(
-            "CAST((score_milli * 1000000 div tot) * 10000 div 1000000"
-            " AS BIGINT)"
+            # greatest(tot,1): all-zero-variance strata zero every
+            # score; guarded, allocation is 0 in both engines
+            "CAST(score_milli * 1000000 div greatest(tot, 1) AS BIGINT)"
+        ).alias("alloc_ppm"),
+        F.expr(
+            "CAST((score_milli * 1000000 div greatest(tot, 1)) * 10000 "
+            "div 1000000 AS BIGINT)"
         ).alias("sample_n"),
     )

@@ -1299,8 +1299,8 @@ sm AS (SELECT CAST(sum(r.r * c.c) AS BIGINT) AS s
 SELECT nn AS n_docs,
        CAST(po * 1000000 // nn AS BIGINT) AS po_ppm,
        CAST(s * 1000000 // (nn * nn) AS BIGINT) AS pe_ppm,
-       CAST((nn * po - s) * 1000000 // (nn * nn - s) AS BIGINT)
-           AS kappa_ppm
+       CAST((nn * po - s) * 1000000 // greatest(nn * nn - s, 1)
+            AS BIGINT) AS kappa_ppm
 FROM tot, sm
 """
     ),
@@ -1352,7 +1352,11 @@ def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pe_ppm"
             ),
             F.expr(
-                "CAST((nn * po - s) * 1000000 div (nn * nn - s) AS BIGINT)"
+                # greatest(...,1): pe=1 (single class on both sides)
+                # zeroes the numerator too, so both engines emit 0
+                # instead of ANSI-error-vs-NULL divergence
+                "CAST((nn * po - s) * 1000000 "
+                "div greatest(nn * nn - s, 1) AS BIGINT)"
             ).alias("kappa_ppm"),
         )
     )
@@ -2742,7 +2746,8 @@ mn AS (
          CASE WHEN b.cb IS NOT NULL
               THEN CAST(floor(ln(b.cb * 1.0 / u1.cu) * 1000000) AS BIGINT)
               ELSE CAST(floor(ln(0.4 * (coalesce(u2.cu, 0) + 1)
-                                 / (t.t_total + t.v)) * 1000000) AS BIGINT)
+                                 / greatest(t.t_total + t.v, 1))
+                              * 1000000) AS BIGINT)
          END AS m,
          CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS backed
   FROM score_bg s
@@ -2823,7 +2828,9 @@ def doc_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(
                 F.lit(0.4)
                 * (F.coalesce(F.col("cu2"), F.lit(0)) + 1)
-                / (F.col("t_total") + F.col("v"))
+                # greatest(...,1): an empty training half must not hit
+                # ANSI DIVIDE_BY_ZERO (degenerate-data guard, both sides)
+                / F.greatest(F.col("t_total") + F.col("v"), F.lit(1))
             )
             * 1000000
         )
