@@ -490,3 +490,103 @@ def test_mmr_rerank_matches_reference_property(spark, vecs):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     for (_, _, gs), (_, _, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round 6: distributed_cumsum vs the built-in window on arbitrary shapes
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([1, 3, 32, 150]),
+)
+@settings(max_examples=5, deadline=None)
+def test_distributed_cumsum_matches_window_property(spark, rows, parts):
+    """Exact global running sums under a total order, for any mix of
+    duplicate-free keys and any partition count (below / at / above
+    the row count)."""
+    from pyspark.sql import Window
+
+    from advanced_strapi_import_spark.caching import release_tracked
+    from advanced_strapi_import_spark.operators.skew import distributed_cumsum
+
+    # keys must form a TOTAL order (documented contract): dedupe them
+    seen: dict[int, int] = {}
+    for k, v in rows:
+        seen.setdefault(k, v)
+    data = sorted(seen.items())
+    df = spark.createDataFrame(data, "k long, v long")
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = [
+        (r.k, r.c)
+        for r in df.select(
+            "k", F.sum("v").over(w).cast("long").alias("c")
+        ).collect()
+    ]
+    got = sorted(
+        (r.k, r.cum)
+        for r in distributed_cumsum(df, ["k"], "v", num_partitions=parts)
+        .select("k", "cum")
+        .collect()
+    )
+    release_tracked()
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# round 6: padded-string BPE merge application vs a pure-Python greedy
+# reference (the parity core of bpe_iterative_merges)
+# ---------------------------------------------------------------------------
+def _greedy_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge application."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]),
+                 min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a"),
+                     ("a", "ab"), ("c", "c")]),
+)
+@settings(max_examples=5, deadline=None)
+def test_bpe_padded_replace_matches_greedy_merge(spark, words, pair):
+    """replace() on the SEP SEP-padded symbol string must equal the
+    pure-Python greedy left-to-right merge for adversarial symbol
+    sequences (overlaps, merged-token lookalikes like 'ab' next to
+    'a','b')."""
+    from advanced_strapi_import_spark.plans.parity_ml import (
+        _BPE_SEP as sep,
+        _BPE_SS as ss,
+    )
+
+    a, b = pair
+    padded = [ss + ss.join(wsyms) + ss for wsyms in words]
+    df = spark.createDataFrame([(s,) for s in padded], "s string")
+    rep = F.replace(
+        F.col("s"),
+        F.lit(sep + a + ss + b + sep),
+        F.lit(sep + a + b + sep),
+    )
+    got = [r["out"] for r in df.select(rep.alias("out")).collect()]
+    want = [
+        ss + ss.join(_greedy_merge(wsyms, a, b)) + ss for wsyms in words
+    ]
+    assert got == want
