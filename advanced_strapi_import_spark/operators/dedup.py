@@ -535,6 +535,23 @@ def jaccard_on_pairs(
     # and the set intersection runs as a JVM array op per pair. Array
     # size is bounded by document length, the same bound the exploded
     # form's per-doc row count already had.
+    j = set_overlap_on_pairs(sh, pairs).withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def set_overlap_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(pairs columns, na, nb, inter) for candidate pairs via the
+    set-array layout: ``sh`` is (id, sh) DISTINCT-element rows; one
+    groupBy collapses each doc to an array row, the pair joins move
+    one row per doc instead of one per element, and the intersection
+    runs as a JVM array op per pair. Single source of truth for
+    jaccard_on_pairs, minhash_est_error's exact arm, and
+    dedup_weighted_pagerank's edge weights — elements must be DISTINCT
+    per id (array_intersect is set semantics) and hashed (63-bit) so a
+    collision stays consistent cross-engine."""
     sets_df = sh.groupBy("id").agg(F.collect_list("sh").alias("__shs"))
     a = sets_df.select(
         F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
@@ -544,16 +561,12 @@ def jaccard_on_pairs(
         F.col("id").alias("id_b"), F.col("__shs").alias("__sb"),
         F.size("__shs").alias("nb"),
     )
-    j = (
+    return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
-        )
+        .drop("__sa", "__sb")
     )
-    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def jaccard_pairs(

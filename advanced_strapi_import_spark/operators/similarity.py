@@ -163,6 +163,18 @@ def lsh_bucket(vec: Column, *, planes: int = 8, dims: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def lsh_bucket_id(vec: Column, *, planes: int = 6, dims: int = 64) -> Column:
+    """INTEGER bucket id (the bit string base-2-decoded). The stored
+    LSH index partitions by THIS, not the bit string: partition
+    directory values round-trip through path-string type inference,
+    which would silently strip a bit string's leading zeros (bucket
+    '010110' reads back as int 10110 and only matches queries through
+    accidental numeric coercion). An int is inference-stable."""
+    return F.conv(lsh_bucket(vec, planes=planes, dims=dims), 2, 10).cast(
+        "int"
+    )
+
+
 def _multi_buckets(
     df: DataFrame, vec_col: str, out_id: str, *, tables: int, planes: int, dims: int
 ) -> DataFrame:
@@ -831,7 +843,7 @@ def build_lsh_index(
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
-            lsh_bucket(dbl, planes=planes, dims=dims).alias("bucket"),
+            lsh_bucket_id(dbl, planes=planes, dims=dims).alias("bucket"),
         )
         # cluster by the partition key first: without this every write
         # task emits a file into every bucket directory (tasks x 2^planes
@@ -870,7 +882,8 @@ def lsh_query_index(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     )
     q = q.withColumn(
-        "bucket", lsh_bucket(F.col("__qv"), planes=planes, dims=dims or 64)
+        "bucket",
+        lsh_bucket_id(F.col("__qv"), planes=planes, dims=dims or 64),
     )
     # bounded collect: distinct bucket ids of THIS query batch, <= 2^planes
     wanted = [r["bucket"] for r in q.select("bucket").distinct().collect()]

@@ -2943,11 +2943,17 @@ a AS (
   SELECT CAST(sum(np * (2 * cum_end - n + 1)) AS BIGINT) AS s2,
          CAST(sum(np) AS BIGINT) AS npos,
          CAST(sum(n) AS BIGINT) AS ntot
-  FROM c)
+  FROM c),
+b AS (
+  SELECT npos, ntot,
+         s2 - npos * (npos + 1) AS x,
+         greatest(2 * npos * (ntot - npos), 1) AS d
+  FROM a)
 SELECT npos, ntot - npos AS nneg,
-       CAST((s2 - npos * (npos + 1)) * 1000000
-            // greatest(2 * npos * (ntot - npos), 1) AS BIGINT) AS auc_ppm
-FROM a
+       CAST(x // d * 1000000
+            + (x % d) * 1000 // d * 1000
+            + ((x % d) * 1000 % d) * 1000 // d AS BIGINT) AS auc_ppm
+FROM b
 """,
     doc="EXACT tie-aware ROC AUC ('is value predictive of purchase?') "
         "via the Mann-Whitney rank-sum identity, fully distributed: "
@@ -2960,8 +2966,11 @@ FROM a
         "ranks [lo, hi] contributes (lo + hi) per positive in DOUBLED "
         "units, so 2U = sum(np * (2*cum_end - n + 1)) - npos*(npos+1) "
         "stays exactly integer; auc_ppm = 2U * 1e6 div (2*npos*nneg). "
-        "Overflow headroom: s2 <= npos * 2 * ntot ~ 2e18 at 1e9 rows, "
-        "inside BIGINT. The oracle mirrors with a plain window (DuckDB "
+        "Overflow headroom: s2 <= npos * 2 * ntot ~ 2e18 at 1e9 rows "
+        "and the ppm step uses the chained-remainder identity (never "
+        "forms 2U*1e6), so the whole query is BIGINT-exact to ~1.9e8 "
+        "balanced events; beyond that widen the ppm step to "
+        "HUGEINT/DECIMAL(38,0). The oracle mirrors with a plain window (DuckDB "
         "runs single-node; the distributed recipe is the Spark side's "
         "point).",
 )
@@ -2984,12 +2993,23 @@ def events_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "npos",
         (F.col("ntot") - F.col("npos")).alias("nneg"),
+        # chained-remainder exact ppm: floor(x*1e6/d) = (x div d)*1e6
+        # + (x%d * 1000 div d)*1000 + ((x%d * 1000) % d)*1000 div d —
+        # algebraically identical but never forms x*1e6 (which would
+        # overflow BIGINT at ~3e6 balanced events); exact while
+        # d*1000 < 2^63, i.e. ~1.9e8 events balanced. greatest(...,1):
+        # degenerate single-class data would hit ANSI DIVIDE_BY_ZERO in
+        # Spark vs NULL in DuckDB; guarded, both emit 0 (x is 0 there).
         F.expr(
-            # greatest(...,1): degenerate single-class data would hit
-            # ANSI DIVIDE_BY_ZERO in Spark vs NULL in DuckDB; with the
-            # guard both engines emit 0 (numerator is 0 there too)
-            "CAST((s2 - npos * (npos + 1)) * 1000000 "
-            "div greatest(2 * npos * (ntot - npos), 1) AS BIGINT)"
+            "CAST((s2 - npos * (npos + 1)) "
+            "div greatest(2 * npos * (ntot - npos), 1) * 1000000 "
+            "+ ((s2 - npos * (npos + 1)) "
+            "   % greatest(2 * npos * (ntot - npos), 1)) * 1000 "
+            "  div greatest(2 * npos * (ntot - npos), 1) * 1000 "
+            "+ (((s2 - npos * (npos + 1)) "
+            "    % greatest(2 * npos * (ntot - npos), 1)) * 1000 "
+            "   % greatest(2 * npos * (ntot - npos), 1)) * 1000 "
+            "  div greatest(2 * npos * (ntot - npos), 1) AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -3394,23 +3414,28 @@ th AS (
            * CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
            / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE)
            / CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS DOUBLE) AS rho2
-  FROM m)
-SELECT u.arm,
-       CAST(count(*) AS BIGINT) AS n_users,
-       floor((sum(u.y) * 1.0 / count(*)) * 100 + 0.5) / 100 AS mean_post,
-       floor((sum(u.y - th.theta * (u.x - th.sx * 1.0 / th.n))
-              * 1.0 / count(*)) * 100 + 0.5) / 100 AS mean_cuped,
+  FROM m),
+arm AS (
+  SELECT u.arm, CAST(count(*) AS BIGINT) AS na,
+         CAST(sum(u.x) AS BIGINT) AS sxa, CAST(sum(u.y) AS BIGINT) AS sya
+  FROM u GROUP BY u.arm)
+SELECT a.arm, a.na AS n_users,
+       floor((a.sya * 1.0 / a.na) * 100 + 0.5) / 100 AS mean_post,
+       floor(((a.sya - th.theta * (a.sxa - a.na * (th.sx * 1.0 / th.n)))
+              / a.na) * 100 + 0.5) / 100 AS mean_cuped,
        CAST(floor(th.rho2 * 1000000) AS BIGINT) AS var_reduction_ppm,
        floor(th.theta * 10000 + 0.5) / 10000 AS theta
-FROM u CROSS JOIN th
-GROUP BY u.arm, th.theta, th.rho2, th.sx, th.n
+FROM arm a CROSS JOIN th
 """,
     doc="CUPED variance-reduced experiment readout — the industry-"
         "standard pre-period covariate adjustment: per user, pre-period "
         "(days 1-14) spend x and post-period y in BIGINT cents; theta "
         "= cov(x,y)/var(x) from EXACT integer moments (HUGEINT/"
         "DECIMAL(38,0) cross-products — the dim_stats discipline), "
-        "then each arm reports raw vs CUPED-adjusted post means, plus "
+        "then each arm reports raw vs CUPED-adjusted post means (from "
+        "the identity mean(y - theta*(x - mu_x)) = (Sy - theta*(Sx - "
+        "n*mu_x))/n over exact integer arm sums — no order-dependent "
+        "float reduction anywhere), plus "
         "the theoretical variance-reduction rho^2 = cov^2/(var_x var_y)"
         " in ppm (the fraction of variance the adjustment removes — "
         "here arms are user_id parity, so rho^2 is the whole story: "
@@ -3464,17 +3489,29 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rho2"
         ),
     )
-    j = u.crossJoin(F.broadcast(th))
-    adj = F.col("y") - F.col("theta") * (
-        F.col("x") - F.col("sx") * 1.0 / F.col("n")
+    # per-arm sums stay EXACT integers; the CUPED-adjusted mean uses
+    # the identity mean(y - theta*(x - mu_x)) = (Sy - theta*(Sx -
+    # n*mu_x))/n so float enters only as ONE fixed expression over
+    # exact sums in both engines — a per-row double sum would reduce
+    # in partition-dependent order and could flip the cent guard
+    arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("na"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
     )
-    return j.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        (F.floor((F.sum("y") * 1.0 / F.count(F.lit(1))) * 100 + 0.5) / 100)
+    j = arm.crossJoin(F.broadcast(th))
+    cuped_mean = (
+        F.col("sya")
+        - F.col("theta")
+        * (F.col("sxa") - F.col("na") * (F.col("sx") * 1.0 / F.col("n")))
+    ) / F.col("na")
+    return j.select(
+        "arm",
+        F.col("na").alias("n_users"),
+        (F.floor((F.col("sya") * 1.0 / F.col("na")) * 100 + 0.5) / 100)
         .alias("mean_post"),
-        (F.floor((F.sum(adj) * 1.0 / F.count(F.lit(1))) * 100 + 0.5) / 100)
-        .alias("mean_cuped"),
-        F.floor(F.max("rho2") * 1000000).cast("long")
+        (F.floor(cuped_mean * 100 + 0.5) / 100).alias("mean_cuped"),
+        F.floor(F.col("rho2") * 1000000).cast("long")
         .alias("var_reduction_ppm"),
-        (F.floor(F.max("theta") * 10000 + 0.5) / 10000).alias("theta"),
+        (F.floor(F.col("theta") * 10000 + 0.5) / 10000).alias("theta"),
     )

@@ -1501,15 +1501,19 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = F.create_map(
         *[F.lit(x) for pair in _MIX_WEIGHTS for x in pair]
     )
-    j = avail.select(
-        "lang",
-        F.element_at(weights, F.col("lang")).cast("long").alias("weight_ppm"),
-        "avail_tokens",
-        F.expr("avail_tokens * 1000000 div "
-               "CAST(element_at(map("
-               + ", ".join(f"'{lang}', {w}" for lang, w in _MIX_WEIGHTS)
-               + "), lang) AS BIGINT)").alias("cap"),
-    ).filter(F.col("weight_ppm").isNotNull())
+    j = (
+        avail.select(
+            "lang",
+            F.element_at(weights, F.col("lang"))
+            .cast("long")
+            .alias("weight_ppm"),
+            "avail_tokens",
+        )
+        .filter(F.col("weight_ppm").isNotNull())
+        .withColumn(
+            "cap", F.expr("avail_tokens * 1000000 div weight_ppm")
+        )
+    )
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1603,24 +1607,20 @@ def corpus_vocab_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq = toks.filter("NOT half_p").groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("cq")
     )
-    vocab = persist_tracked(
-        cp.select("term").union(cq.select("term")).distinct()
+    vocab = cp.select("term").union(cq.select("term")).distinct()
+    # ONE three-way join, persisted and filled: both the totals and the
+    # contribution pass read it (building it twice would redo the cp/cq
+    # aggregations and the vocab join)
+    j0 = persist_tracked(
+        vocab.join(cp, "term", "left").join(cq, "term", "left")
     )
-    vocab.count()
-    tot = (
-        vocab.join(cp, "term", "left")
-        .join(cq, "term", "left")
-        .agg(
-            F.sum(F.coalesce("cp", F.lit(0))).cast("long").alias("np"),
-            F.sum(F.coalesce("cq", F.lit(0))).cast("long").alias("nq"),
-            F.count(F.lit(1)).cast("long").alias("v"),
-        )
+    j0.count()
+    tot = j0.agg(
+        F.sum(F.coalesce("cp", F.lit(0))).cast("long").alias("np"),
+        F.sum(F.coalesce("cq", F.lit(0))).cast("long").alias("nq"),
+        F.count(F.lit(1)).cast("long").alias("v"),
     )
-    joined = (
-        vocab.join(cp, "term", "left")
-        .join(cq, "term", "left")
-        .crossJoin(F.broadcast(tot))
-    )
+    joined = j0.crossJoin(F.broadcast(tot))
     p = (F.coalesce("cp", F.lit(0)) + 1) * 1.0 / (F.col("np") + F.col("v"))
     q = (F.coalesce("cq", F.lit(0)) + 1) * 1.0 / (F.col("nq") + F.col("v"))
     kn = F.floor(p * (F.log(p) - F.log(q)) * 1000000000).cast("long")

@@ -1295,13 +1295,24 @@ rm AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS r
 cm AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS c
        FROM conf GROUP BY pred),
 sm AS (SELECT CAST(sum(r.r * c.c) AS BIGINT) AS s
-       FROM rm r JOIN cm c USING (cls))
+       FROM rm r JOIN cm c USING (cls)),
+k AS (
+  SELECT nn, po, s,
+         abs(nn * po - s) AS kx,
+         CASE WHEN nn * po - s < 0 THEN -1 ELSE 1 END AS ksign,
+         greatest(nn * nn - s, 1) AS kd
+  FROM tot, sm)
 SELECT nn AS n_docs,
        CAST(po * 1000000 // nn AS BIGINT) AS po_ppm,
-       CAST(s * 1000000 // (nn * nn) AS BIGINT) AS pe_ppm,
-       CAST((nn * po - s) * 1000000 // greatest(nn * nn - s, 1)
+       CAST(s // (nn * nn) * 1000000
+            + (s % (nn * nn)) * 1000 // (nn * nn) * 1000
+            + ((s % (nn * nn)) * 1000 % (nn * nn)) * 1000 // (nn * nn)
+            AS BIGINT) AS pe_ppm,
+       CAST(ksign * (kx // kd * 1000000
+                     + (kx % kd) * 1000 // kd * 1000
+                     + ((kx % kd) * 1000 % kd) * 1000 // kd)
             AS BIGINT) AS kappa_ppm
-FROM tot, sm
+FROM k
 """
     ),
     doc="Cohen's kappa between the labeled lang column and the "
@@ -1313,7 +1324,10 @@ FROM tot, sm
         "products, emitted in ppm with truncating integer division — "
         "Spark's `div` and DuckDB's `//` agree on negatives (verified "
         "-7/2 = -3 both), so even a worse-than-chance kappa hashes "
-        "identically. The confusion matrix is one partial-agg shuffle "
+        "identically. The ppm steps use the chained-remainder identity "
+        "(never forming X*1e6 over the quadratic marginal products), "
+        "exact while nn^2*1000 < 2^63 (~9.6e7 docs; widen to DECIMAL "
+        "beyond). The confusion matrix is one partial-agg shuffle "
         "over label x pred (25 cells); everything after is "
         "domain-sized.",
 )
@@ -1343,22 +1357,37 @@ def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = rm.join(cm, "cls").agg(
         F.sum(F.col("r") * F.col("c")).cast("long").alias("s")
     )
-    return (
-        tot.crossJoin(F.broadcast(sm))
-        .select(
-            F.col("nn").alias("n_docs"),
-            F.expr("CAST(po * 1000000 div nn AS BIGINT)").alias("po_ppm"),
-            F.expr("CAST(s * 1000000 div (nn * nn) AS BIGINT)").alias(
-                "pe_ppm"
-            ),
-            F.expr(
-                # greatest(...,1): pe=1 (single class on both sides)
-                # zeroes the numerator too, so both engines emit 0
-                # instead of ANSI-error-vs-NULL divergence
-                "CAST((nn * po - s) * 1000000 "
-                "div greatest(nn * nn - s, 1) AS BIGINT)"
-            ).alias("kappa_ppm"),
-        )
+    # chained-remainder exact ppm (see events_model_auc): s and
+    # |nn*po - s| are <= nn^2, so forming X*1e6 would overflow BIGINT
+    # past ~3e6 docs; the identity never does, staying exact while
+    # nn^2 * 1000 < 2^63 (~9.6e7 docs; widen to DECIMAL beyond).
+    # kappa can be NEGATIVE: chain on |X| and re-apply the sign (both
+    # engines' % and integer division truncate toward zero on the
+    # non-negative operands used here). greatest(...,1): pe=1 (single
+    # class on both sides) zeroes the numerator too, so both engines
+    # emit 0 instead of ANSI-error-vs-NULL divergence.
+    k = tot.crossJoin(F.broadcast(sm)).select(
+        "nn", "po", "s",
+        F.expr("abs(nn * po - s)").alias("kx"),
+        F.expr("CASE WHEN nn * po - s < 0 THEN -1 ELSE 1 END").alias(
+            "ksign"
+        ),
+        F.expr("greatest(nn * nn - s, 1)").alias("kd"),
+    )
+    return k.select(
+        F.col("nn").alias("n_docs"),
+        F.expr("CAST(po * 1000000 div nn AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST(s div (nn * nn) * 1000000 "
+            "+ (s % (nn * nn)) * 1000 div (nn * nn) * 1000 "
+            "+ ((s % (nn * nn)) * 1000 % (nn * nn)) * 1000 "
+            "  div (nn * nn) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST(ksign * (kx div kd * 1000000 "
+            "+ (kx % kd) * 1000 div kd * 1000 "
+            "+ ((kx % kd) * 1000 % kd) * 1000 div kd) AS BIGINT)"
+        ).alias("kappa_ppm"),
     )
 
 
@@ -1583,27 +1612,12 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", matches.cast("long").alias("matches"))
     )
-    # set-array layout (jaccard_on_pairs's trick): shingles are DISTINCT
-    # per id, so one array row per doc + a JVM array_intersect moves
-    # |docs| join rows instead of |shingles| — values identical to the
-    # exploded count-join, ~2x less wall time (same rewrite as
-    # dedup_weighted_pagerank)
-    sets_df = sh.groupBy("id").agg(F.collect_list("sh64").alias("__shs"))
-    a = sets_df.select(
-        F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
-        F.size("__shs").alias("na"),
-    )
-    b = sets_df.select(
-        F.col("id").alias("id_b"), F.col("__shs").alias("__sb"),
-        F.size("__shs").alias("nb"),
-    )
-    out = (
-        est.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "__i", F.size(F.array_intersect("__sa", "__sb")).cast("long")
-        )
-    )
+    # set-array layout via the shared helper (one array row per doc
+    # instead of per-shingle join rows): values identical to the
+    # exploded count-join, ~2x less wall time
+    out = D.set_overlap_on_pairs(
+        sh.select("id", F.col("sh64").alias("sh")), est
+    ).withColumn("__i", F.col("inter").cast("long"))
     return out.select(
         "id_a", "id_b",
         F.expr(f"matches * 1000000 div {NUM_HASHES}").cast("long")
@@ -1950,26 +1964,15 @@ SELECT id, r AS rank_ppm FROM it3
 def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shared_shingles(spark, sf_dir)
     cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
-    # set-array layout (jaccard_on_pairs's trick): shingles are DISTINCT
-    # per id on both engines, so collapsing to one array row per doc and
-    # intersecting JVM-side moves |docs| join rows instead of |shingles|
-    # — measured ~2x on the whole query vs the exploded count-join
-    sets_df = sh.groupBy("id").agg(F.collect_list("sh64").alias("__shs"))
-    a = sets_df.select(
-        F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
-        F.size("__shs").alias("na"),
-    )
-    b = sets_df.select(
-        F.col("id").alias("id_b"), F.col("__shs").alias("__sb"),
-        F.size("__shs").alias("nb"),
-    )
+    # set-array layout via the shared helper (one array row per doc
+    # instead of per-shingle join rows) — measured ~2x on the whole
+    # query vs the exploded count-join
     wpairs = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__sa", "__sb")))
+        D.set_overlap_on_pairs(sh.select("id", F.col("sh64").alias("sh")),
+                               cand)
         .select(
             "id_a", "id_b",
-            F.expr("__i * 1000000 div (na + nb - __i)")
+            F.expr("inter * 1000000 div (na + nb - inter)")
             .cast("long")
             .alias("w"),
         )
@@ -2783,6 +2786,10 @@ def doc_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ts = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
     base = persist_tracked(d.select("doc_id", ts.alias("ts")))
+    # four broadcast count tables + the scoring scan all consume base;
+    # fill the persist first or their build threads race the cold
+    # tokenize lineage (kcore race class)
+    base.count()
     train_toks = base.filter(F.col("doc_id") % 2 == 0).select(
         F.explode("ts").alias("term")
     )

@@ -1231,7 +1231,7 @@ def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.select(
                 "vec_id",
                 "embedding",
-                S.lsh_bucket(dbl, planes=_ANN_PLANES, dims=64).alias(
+                S.lsh_bucket_id(dbl, planes=_ANN_PLANES, dims=64).alias(
                     "bucket"
                 ),
             )

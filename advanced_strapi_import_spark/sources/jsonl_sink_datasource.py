@@ -18,8 +18,12 @@ must get right:
   plus writes a ``_SUCCESS`` manifest (JSON: files + row counts) —
   rename-within-directory is atomic on POSIX, so readers see either
   none or all of a task's rows;
-- ``abort()`` deletes whatever staged files the failed run left, so a
-  crashed job leaves the directory exactly as it found it.
+- ``abort()`` (and ``commit()``, for earlier crashed runs) reaps every
+  unpublished ``.staged-*`` file by prefix glob — including files of
+  tasks that died MID-write and therefore never returned a commit
+  message — so a crashed job leaves the directory exactly as it found
+  it (single-writer contract, like FileOutputCommitter's temporary-dir
+  cleanup).
 
 This mirrors Hadoop's FileOutputCommitter v1 semantics at 1/100th the
 surface: at real scale the rename step becomes a metastore/manifest
@@ -82,6 +86,7 @@ class JsonlAtomicWriter(DataSourceWriter):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
         manifest = []
+        published = set()
         for i, m in enumerate(messages):
             if m is None:
                 continue
@@ -91,17 +96,31 @@ class JsonlAtomicWriter(DataSourceWriter):
                 os.path.join(self.path, final),
             )
             manifest.append({"file": final, "n_rows": m.n_rows})
+            published.add(m.staged_name)
+        # reap orphaned staged files: a task that crashed MID-write (or
+        # a prior aborted run) never returned a commit message, so its
+        # .staged-* file is referenced nowhere — single-writer contract,
+        # like FileOutputCommitter's temporary-dir cleanup
+        self._reap_staged(keep=published)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump({"files": manifest}, f)
 
     def abort(self, messages) -> None:
-        for m in messages or []:
-            if m is None:
-                continue
-            try:
-                os.remove(os.path.join(self.path, m.staged_name))
-            except OSError:
-                pass
+        # messages only cover tasks that RETURNED; glob the staged
+        # prefix so mid-write crashes leave nothing behind either
+        self._reap_staged(keep=set())
+
+    def _reap_staged(self, *, keep: set) -> None:
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            return
+        for name in names:
+            if name.startswith(".staged-") and name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
 
 class JsonlAtomicDataSource(DataSource):

@@ -17,8 +17,9 @@ Defaults to all three testdata SFs.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from advanced_strapi_import_spark.session import get_spark  # noqa: E402
 import advanced_strapi_import_spark.plans.all  # noqa: F401,E402
