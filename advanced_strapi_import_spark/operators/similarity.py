@@ -831,13 +831,23 @@ def build_lsh_index(
 ) -> None:
     """Persist an LSH (random-hyperplane) ANN index: the corpus
     partitioned BY BUCKET on disk (``path/vectors``). Unlike IVF there
-    is NOTHING to train and no metadata to store: the bucket function
-    is a pure deterministic expression (md5-derived hyperplane signs,
-    :func:`lsh_bucket`), so any reader recomputes a query's bucket
-    without touching the index — the centroid-read step of
-    :func:`ivf_query_index` disappears entirely. Build once, serve
-    many; the serve path reads only the probed buckets' partition
-    directories via parquet partition pruning."""
+    is NOTHING to train: the bucket function is a pure deterministic
+    expression (md5-derived hyperplane signs, :func:`lsh_bucket`), so
+    any reader recomputes a query's bucket without touching the index —
+    the centroid-read step of :func:`ivf_query_index` disappears
+    entirely. Build once, serve many; the serve path reads only the
+    probed buckets' partition directories via parquet partition
+    pruning.
+
+    The hash PARAMETERS do have to match between build and serve,
+    though — a mismatched ``planes`` silently lands queries in the
+    wrong buckets (wrong/empty candidates, no error). So the build
+    writes a tiny ``path/meta.json`` recording planes/dims;
+    :func:`lsh_query_index` defaults from it and raises on an explicit
+    mismatch."""
+    import json as _json
+    import os as _os
+
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     (
         corpus.select(
@@ -854,6 +864,9 @@ def build_lsh_index(
         .partitionBy("bucket")
         .parquet(f"{path}/vectors")
     )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fh:
+        _json.dump({"planes": planes, "dims": dims}, fh)
 
 
 def lsh_query_index(
@@ -862,10 +875,10 @@ def lsh_query_index(
     queries: DataFrame,
     *,
     k: int = 5,
-    planes: int = 6,
+    planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dims: int | None = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a stored LSH index: each query's bucket is
     recomputed from the deterministic hyperplane expression, the scan
@@ -874,8 +887,30 @@ def lsh_query_index(
     skips every unprobed bucket directory, and candidates are the
     bucket-mates only — never the full corpus. Output: (query_id,
     neighbor_id, cos, rnk) with the usual round-6 cosine and
-    neighbor-id tie-break."""
+    neighbor-id tie-break.
+
+    ``planes``/``dims`` default from the index's ``meta.json`` (written
+    by :func:`build_lsh_index`); passing a value that CONTRADICTS the
+    meta raises instead of silently probing the wrong buckets."""
+    import json as _json
+    import os as _os
+
     from pyspark.sql import types as _T
+
+    meta = {}
+    if _os.path.exists(f"{path}/meta.json"):
+        with open(f"{path}/meta.json") as fh:
+            meta = _json.load(fh)
+    for name, given in (("planes", planes), ("dims", dims)):
+        if given is not None and name in meta and meta[name] != given:
+            raise ValueError(
+                f"lsh_query_index {name}={given} contradicts the stored "
+                f"index ({path}/meta.json says {name}={meta[name]}); "
+                f"serving with mismatched hash parameters would probe "
+                f"the wrong buckets"
+            )
+    planes = planes if planes is not None else meta.get("planes", 6)
+    dims = dims if dims is not None else meta.get("dims", 64)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -174,6 +174,12 @@ def distributed_cumsum(
     literal). ``order_cols`` must be a TOTAL order — within ties the
     local running sum is row-order dependent.
 
+    INTEGRAL CONTRACT: ``sum_col`` must be an integral Spark type
+    (byte/short/int/long). The partition offsets round-trip through
+    Python ``int`` and the result is cast to BIGINT, so a fractional
+    column would be silently truncated with per-partition compounding
+    error; we raise instead of guessing.
+
     As in distributed_ntile, the persist is LOAD-BEARING for
     correctness, not just cost: the offsets collect and the cumsum pass
     must see IDENTICAL ``__pid`` assignments, which a recompute through
@@ -182,6 +188,13 @@ def distributed_cumsum(
 
     from advanced_strapi_import_spark.caching import persist_tracked
 
+    sum_type = df.schema[sum_col].dataType.typeName()
+    if sum_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"distributed_cumsum requires an integral sum_col; "
+            f"{sum_col!r} is {sum_type} (scale fractional inputs to "
+            f"integer units — e.g. micro-units — before calling)"
+        )
     part = persist_tracked(
         df.repartitionByRange(num_partitions, *order_cols).withColumn(
             "__pid", F.spark_partition_id()

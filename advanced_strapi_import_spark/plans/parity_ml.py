@@ -2778,9 +2778,17 @@ FROM mn GROUP BY doc_id
         "back onto the scoring stream; per-bigram log-probs are BIGINT "
         "micro-nats so the per-doc sum is order-independent and "
         "bit-identical across engines (ULP caveat as in "
-        "doc_unigram_logprob). backoff_ppm per doc doubles as drift "
-        "telemetry: a doc whose bigrams are mostly unseen by the "
-        "reference half is out-of-domain.",
+        "doc_unigram_logprob). SCALE CAVEAT: the count tables grow "
+        "with model vocabulary, not corpus size, so the broadcasts "
+        "hold only while |unigrams|+|bigrams| fits the driver (real "
+        "natural-language vocabularies plateau in the low millions — "
+        "hundreds of MB — but an unbounded/pruned-nothing bigram "
+        "table would not); past that threshold drop the broadcast "
+        "hints and let AQE plan shuffle joins keyed on (w1,w2)/w1/w2, "
+        "or prune the bigram table by min-count as KenLM does. "
+        "backoff_ppm per doc doubles as drift telemetry: a doc whose "
+        "bigrams are mostly unseen by the reference half is "
+        "out-of-domain.",
 )
 def doc_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -35,6 +35,17 @@ JSON encoding notes: keys follow the input schema order; values go
 through ``json.dumps`` with ``default=str`` so timestamps/decimals
 serialize deterministically; binary columns are not supported (the
 reference sink is CSV/JSONL-shaped text).
+
+SHARED-FILESYSTEM CONTRACT (single-node / NFS only): ``write()`` stages
+files via local ``os.open`` on EXECUTORS while ``commit()`` renames
+them on the DRIVER — correct here because local[N] shares one
+filesystem, and on any deployment where ``path`` is a shared POSIX
+mount. On a multi-node cluster with executor-local disks the staged
+files would be invisible to the driver and ``os.rename`` would fail;
+there the staging target must itself be the shared store (HDFS/S3
+object-put + manifest swap), which is exactly the Iceberg/Delta commit
+shape noted above. This sits beside the existing single-writer
+contract: one concurrent committer per directory.
 """
 
 from __future__ import annotations

@@ -583,7 +583,14 @@ def ann_serve_stream(
     tool — index probe + top-k is ordinary batch work per batch and no
     stateful streaming operator is involved. The sink is read back as
     the returned DataFrame (drained-run harness; a production serve
-    would keep running)."""
+    would keep running).
+
+    Exactly-once sink: foreachBatch is at-least-once, so each batch
+    writes mode("overwrite") into its OWN ``batch-<id>`` subdirectory —
+    a retried micro-batch replaces its earlier (possibly partial)
+    output instead of appending duplicates, keeping the stream==batch
+    hash oracle exact (same batch_id-keyed idempotency discipline as
+    the exactly-once parquet sink in this module)."""
     import atexit
     import shutil
     import tempfile
@@ -596,7 +603,9 @@ def ann_serve_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        serve(batch_df).write.mode("append").parquet(out_path)
+        serve(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/batch-{batch_id:09d}"
+        )
         state["wrote"] = True
 
     q = (
@@ -607,7 +616,7 @@ def ann_serve_stream(
     )
     q.awaitTermination()
     if state["wrote"]:
-        return spark.read.parquet(out_path)
+        return spark.read.parquet(f"{out_path}/batch-*")
     return spark.createDataFrame([], empty_schema)
 
 
