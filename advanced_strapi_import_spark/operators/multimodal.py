@@ -2,11 +2,18 @@
 columns + typed metadata, with decode / feature-extract / resize /
 frame-sample as Arrow-batched Pandas UDF stages over mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(STUB: deterministic fake or NotImplementedError per the build spec);
-everything Spark-side — schemas, partitioning, UDF signatures, Arrow
-batch shapes — is real and tested. Swap `_fake_decode` for
-PIL/libav in production; the plan shape does not change.
+Decode reality in this container (no PIL/libav, no pip installs):
+
+- FULL pixel/sample decode — REAL, no library needed: PNG (stdlib
+  zlib DEFLATE + all five spec predictor filters,
+  :func:`png_decode_pixels`), 24bpp BMP (raw padded BGR rows,
+  :func:`bmp_decode_pixels`), PCM16 WAV (:func:`wav_decode_samples`).
+- Header-only metadata — REAL for PNG/JPEG/GIF/BMP, RIFF/WAVE,
+  RIFF/AVI (:func:`header_dimensions` and friends).
+- STUBBED — only bitstreams that genuinely require an external codec
+  (JPEG DCT entropy coding, GIF LZW, video codecs): the clearly-marked
+  deterministic `_fake_decode` keeps the Arrow plumbing exercisable;
+  swap it for PIL/libav in production — the plan shape is unchanged.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest (payload-sized
@@ -538,3 +545,437 @@ def sniff_media_meta(
             )
 
     return df.mapInPandas(stage, out_schema)
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode. "No codecs in the container" is only true for
+# formats whose bitstreams need an external library (JPEG's DCT entropy
+# coding, GIF's LZW, video codecs): PNG's sole compression is DEFLATE —
+# stdlib zlib — plus five byte-level predictor filters; 24bpp BMP and PCM
+# WAV are raw bytes. Those three therefore get FULL decode here (public
+# specs: PNG RFC 2083 / W3C, BITMAPINFOHEADER, RIFF/WAVE), and only the
+# genuinely codec-bound formats keep the documented header-only stub.
+
+
+def png_decode_pixels(data: bytes):
+    """REAL PNG pixel decode with stdlib zlib + numpy: chunk walk ->
+    IDAT concat -> DEFLATE decompress -> per-row unfilter (all five
+    spec filter types: None/Sub/Up/Average/Paeth). Supports bit depth
+    8, color types 0 (grayscale) and 2 (RGB), non-interlaced — the
+    variants a pixel-stats/pHash pipeline feeds on.
+
+    Sub rows unfilter as a per-channel-lane prefix sum mod 256
+    (vectorized cumsum); Up rows as prev-row adds (vectorized);
+    Average/Paeth are inherently sequential along x and take the
+    scalar loop. Returns ``(width, height, channels, ndarray)`` with
+    the array shaped ``(height, width*channels)`` uint8.
+
+    Raises :class:`UnknownContainer` for non-PNG bytes, ValueError for
+    a recognized-but-corrupt or unsupported PNG (NULL upstream, never
+    fake pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data is None or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise UnknownContainer("not PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp or filt_m or interlace:
+        raise ValueError("unsupported PNG variant")
+    ch = 3 if color == 2 else 1
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT payload length")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    bpp = ch
+    for y in range(h):
+        f = int(rows[y, 0])
+        row = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = (np.cumsum(row.reshape(w, bpp), axis=0) & 255).reshape(
+                stride
+            )
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f == 3:  # Average: sequential along x
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) & 255
+        elif f == 4:  # Paeth: sequential along x
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) & 255
+        else:
+            raise ValueError("bad PNG filter type")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return w, h, ch, out
+
+
+def png_encode_pixels(pixels, *, color: int = 2, filters=None) -> bytes:
+    """Spec-valid PNG ENCODER (stdlib zlib): ``(h, w*ch)`` uint8 array
+    -> complete PNG bytes (signature, IHDR, one zlib IDAT, IEND, real
+    CRCs), applying a per-row filter type (default ``y % 5``, so every
+    spec filter is exercised end-to-end against the decoder). This is
+    the synthesis side of the multimodal queries and the round-trip
+    half of the decoder's tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, stride = pixels.shape
+    ch = 3 if color == 2 else 1
+    w = stride // ch
+    bpp = ch
+    px = pixels.astype(np.int32)
+    prev = np.zeros(stride, np.int32)
+    lines = []
+    for y in range(h):
+        f = int(filters[y]) if filters is not None else y % 5
+        row = px[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = (row - left) & 255
+        elif f == 2:
+            filt = (row - prev) & 255
+        elif f == 3:
+            filt = (row - (left + prev) // 2) & 255
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (row - pred) & 255
+        else:
+            raise ValueError("bad filter type")
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def bmp_decode_pixels(data: bytes):
+    """REAL BMP pixel decode — 24bpp uncompressed BMP is raw BGR rows,
+    each padded to a 4-byte boundary, stored bottom-up unless the
+    header height is negative. Returns ``(width, height, 3, ndarray)``
+    shaped ``(height, width*3)`` uint8 in top-down RGB order (rows
+    re-flipped, channels reordered from the on-disk BGR)."""
+    import struct
+
+    import numpy as np
+
+    if data is None or len(data) < 2 or data[:2] != b"BM":
+        raise UnknownContainer("not BMP")
+    if len(data) < 54:
+        raise ValueError("bad BMP header")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsz,) = struct.unpack("<I", data[14:18])
+    if hsz < 40:
+        raise ValueError("unsupported BMP header variant")
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp_bits = struct.unpack("<HH", data[26:30])[1]
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp_bits != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP encoding")
+    topdown, h = h < 0, abs(h)
+    rowsz = (w * 3 + 3) & ~3
+    if len(data) < off + rowsz * h:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(data[off:off + rowsz * h], np.uint8).reshape(
+        h, rowsz
+    )[:, : w * 3]
+    if not topdown:
+        arr = arr[::-1]
+    rgb = arr.reshape(h, w, 3)[:, :, ::-1].reshape(h, w * 3)
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
+def bmp_encode_pixels(pixels) -> bytes:
+    """24bpp BMP ENCODER: ``(h, w*3)`` uint8 RGB array -> complete
+    bottom-up BMP bytes (BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    BGR rows) — the synthesis/round-trip half of
+    :func:`bmp_decode_pixels`."""
+    import struct
+
+    import numpy as np
+
+    h, stride = pixels.shape
+    w = stride // 3
+    rowsz = (w * 3 + 3) & ~3
+    bgr = pixels.reshape(h, w, 3)[:, :, ::-1].reshape(h, w * 3)
+    body = np.concatenate(
+        [bgr, np.zeros((h, rowsz - w * 3), np.uint8)], axis=1
+    )[::-1].tobytes()
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return head + info + body
+
+
+def wav_decode_samples(data: bytes):
+    """REAL PCM sample demux — 16-bit PCM WAV needs no codec, only the
+    chunk walk :func:`audio_header_meta` already does plus a
+    little-endian int16 reinterpret of the ``data`` payload. Returns
+    ``(sample_rate, channels, ndarray)`` with the array shaped
+    ``(frames, channels)`` int16."""
+    import struct
+
+    import numpy as np
+
+    if data is None or len(data) < 12:
+        raise UnknownContainer("too short")
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise UnknownContainer("not RIFF/WAVE")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            if clen < 16 or pos + 24 > len(data):
+                raise ValueError("bad fmt chunk")
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+        elif cid == b"data":
+            payload = data[pos + 8:pos + 8 + clen]
+            if len(payload) != clen:
+                raise ValueError("truncated data chunk")
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or not channels:
+        raise ValueError("unsupported WAV encoding (PCM16 only)")
+    frames = len(payload) // block_align
+    samples = np.frombuffer(
+        payload[: frames * block_align], "<i2"
+    ).reshape(frames, channels)
+    return sample_rate, channels, samples
+
+
+def wav_encode_samples(sample_rate: int, samples) -> bytes:
+    """PCM16 WAV ENCODER: ``(frames, channels)`` int16 array ->
+    complete RIFF/WAVE bytes — the synthesis/round-trip half of
+    :func:`wav_decode_samples`."""
+    import struct
+
+    import numpy as np
+
+    frames, channels = samples.shape
+    payload = np.asarray(samples, "<i2").tobytes()
+    block = channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * block, block, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+PIXEL_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_vals", T.LongType()),
+        T.StructField("sum_c0", T.LongType()),
+        T.StructField("sum_c1", T.LongType()),
+        T.StructField("sum_c2", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, *, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """FULL image decode + per-channel pixel statistics in one Arrow
+    ``mapInPandas`` stage: magic-byte dispatch to the REAL pixel
+    decoders (PNG via :func:`png_decode_pixels`, BMP via
+    :func:`bmp_decode_pixels`), then integer channel sums / min / max
+    over the decoded array — all BIGINT-exact, so an arithmetic oracle
+    can predict them bit-for-bit. Unsupported or corrupt payloads keep
+    their row with NULL stats and format 'unknown' (never fake
+    pixels). Row-local, no shuffle; at scale this is the
+    decode-and-featurize map pass of an image-dedup/quality pipeline,
+    and the stats stand where an embedding extractor would run."""
+    import numpy as np
+    import pandas as pd
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            rows = {k.name: [] for k in PIXEL_STATS.fields}
+            for did, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                rows["doc_id"].append(did)
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, ch, px = png_decode_pixels(b)
+                        fmt = "PNG"
+                    elif b[:2] == b"BM":
+                        w, h, ch, px = bmp_decode_pixels(b)
+                        fmt = "BMP"
+                    else:
+                        raise UnknownContainer("no pixel decoder")
+                    lanes = px.reshape(h * w, ch).astype(np.int64)
+                    sums = lanes.sum(axis=0)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(ch)
+                    rows["format"].append(fmt)
+                    rows["n_vals"].append(int(h * w * ch))
+                    rows["sum_c0"].append(int(sums[0]))
+                    rows["sum_c1"].append(int(sums[1]) if ch > 1 else None)
+                    rows["sum_c2"].append(int(sums[2]) if ch > 2 else None)
+                    rows["px_min"].append(int(px.min()))
+                    rows["px_max"].append(int(px.max()))
+                except Exception:
+                    for k in PIXEL_STATS.fieldNames():
+                        if k == "doc_id":
+                            continue
+                        rows[k].append("unknown" if k == "format" else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="Int32"),
+                    "height": pd.Series(rows["height"], dtype="Int32"),
+                    "channels": pd.Series(rows["channels"], dtype="Int32"),
+                    "format": pd.Series(rows["format"], dtype="object"),
+                    "n_vals": pd.Series(rows["n_vals"], dtype="Int64"),
+                    "sum_c0": pd.Series(rows["sum_c0"], dtype="Int64"),
+                    "sum_c1": pd.Series(rows["sum_c1"], dtype="Int64"),
+                    "sum_c2": pd.Series(rows["sum_c2"], dtype="Int64"),
+                    "px_min": pd.Series(rows["px_min"], dtype="Int32"),
+                    "px_max": pd.Series(rows["px_max"], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(stage, PIXEL_STATS)
+
+
+PCM_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_pcm_features(
+    df: DataFrame, *, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """FULL PCM decode + sample-level features in one Arrow
+    ``mapInPandas`` stage: :func:`wav_decode_samples` demuxes the raw
+    int16 stream, then energy (exact BIGINT sum of squares), peak
+    amplitude, and channel-0 zero crossings (count of adjacent sample
+    pairs with strictly negative product) come off the numpy array —
+    all integer, so the arithmetic oracle matches bit-for-bit.
+    Corrupt/non-WAV payloads keep their row with NULL features. This is
+    the audio twin of :func:`image_pixel_stats`: the decode-and-
+    featurize map pass (VAD/loudness gates, silence trimming) of an
+    audio curation pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            rows = {k.name: [] for k in PCM_FEATURES.fields}
+            for did, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                rows["doc_id"].append(did)
+                try:
+                    sr, ch, samples = wav_decode_samples(b)
+                    s64 = samples.astype(np.int64)
+                    c0 = s64[:, 0]
+                    rows["sample_rate"].append(sr)
+                    rows["channels"].append(ch)
+                    rows["n_frames"].append(int(len(samples)))
+                    rows["sum_sq"].append(int((s64 * s64).sum()))
+                    rows["peak"].append(
+                        int(np.abs(s64).max()) if len(s64) else 0
+                    )
+                    rows["zero_crossings"].append(
+                        int((c0[1:] * c0[:-1] < 0).sum())
+                    )
+                except Exception:
+                    for k in PCM_FEATURES.fieldNames():
+                        if k != "doc_id":
+                            rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="Int32"
+                    ),
+                    "channels": pd.Series(rows["channels"], dtype="Int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="Int64"),
+                    "sum_sq": pd.Series(rows["sum_sq"], dtype="Int64"),
+                    "peak": pd.Series(rows["peak"], dtype="Int32"),
+                    "zero_crossings": pd.Series(
+                        rows["zero_crossings"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(stage, PCM_FEATURES)

@@ -1250,3 +1250,210 @@ def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     return S.lsh_query_index(spark, idx, queries, k=5, planes=_ANN_PLANES)
+
+
+@query(
+    "multimodal_png_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(n_chars % 11 + 4 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + ((i // 3) % w) * 7
+          + (i // (3 * w)) * 13 + (i % 3) * 101) % 256 AS val,
+         i % 3 AS c
+  FROM px)
+SELECT doc_id, w AS width, h AS height,
+       CAST(3 AS INT) AS channels, 'PNG' AS format,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="FULL PNG pixel decode — REAL, library-free: per doc a complete "
+        "spec-valid RGB8 PNG is synthesized (deterministic gradient "
+        "pixels, per-row filter type y %% 5 so ALL FIVE spec predictor "
+        "filters — None/Sub/Up/Average/Paeth — are exercised on disk), "
+        "then png_decode_pixels chunk-walks it, zlib-inflates the IDAT "
+        "(DEFLATE is PNG's only compression and zlib is stdlib), "
+        "unfilters every row, and image_pixel_stats reduces the pixel "
+        "array to BIGINT-exact per-channel sums/min/max that the "
+        "arithmetic oracle predicts from the generator formula. This "
+        "retires the 'pixel decode is environment-blocked' caveat for "
+        "PNG: only genuinely codec-bound bitstreams (JPEG DCT, GIF "
+        "LZW) remain stubbed. Scale: encode+decode+stats are one "
+        "row-local Arrow pipeline per partition — no shuffle until the "
+        "12-column stats frame.",
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        png_encode_pixels,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
+        (F.col("n_chars") % 11 + 4).cast("int").alias("h"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                px = ((did * 31 + xs * 7 + ys * 13 + cs * 101) % 256).astype(
+                    np.uint8
+                )
+                outs.append(png_encode_pixels(px.reshape(h, w * 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
+
+
+@query(
+    "multimodal_bmp_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INT) AS w,
+         CAST(n_chars % 7 + 2 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 17 + ((i // 3) % w) * 5
+          + (i // (3 * w)) * 3 + (i % 3) * 29) % 256 AS val,
+         i % 3 AS c
+  FROM px)
+SELECT doc_id, w AS width, h AS height,
+       CAST(3 AS INT) AS channels, 'BMP' AS format,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="FULL BMP pixel decode — REAL, library-free (24bpp BMP is raw "
+        "BGR rows, 4-byte padded, bottom-up): widths 2..10 guarantee "
+        "rows with nonzero padding, and the per-CHANNEL oracle sums "
+        "(c*29 makes channels distinguishable) prove the decoder "
+        "re-flips bottom-up rows and reorders BGR->RGB correctly — a "
+        "byte-order bug would swap sum_c0/sum_c2 and hash-mismatch. "
+        "Same Arrow pipeline shape as multimodal_png_pixels.",
+)
+def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        bmp_encode_pixels,
+        image_pixel_stats,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 2).cast("int").alias("w"),
+        (F.col("n_chars") % 7 + 2).cast("int").alias("h"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                px = ((did * 17 + xs * 5 + ys * 3 + cs * 29) % 256).astype(
+                    np.uint8
+                )
+                outs.append(bmp_encode_pixels(px.reshape(h, w * 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
+
+
+@query(
+    "multimodal_wav_pcm",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8000 * (doc_id % 3 + 1) AS INT) AS sr,
+         CAST(n_chars % 200 + 16 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM dims),
+v AS (
+  SELECT doc_id, sr, n, i,
+         (doc_id * 7 + i * 11) % 4001 - 2000 AS cur,
+         CASE WHEN i >= 1
+              THEN (doc_id * 7 + (i - 1) * 11) % 4001 - 2000 END AS prv
+  FROM s)
+SELECT doc_id, sr AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(max(n) AS BIGINT) AS n_frames,
+       CAST(sum(cur * cur) AS BIGINT) AS sum_sq,
+       CAST(max(abs(cur)) AS INT) AS peak,
+       CAST(sum(CASE WHEN cur * prv < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM v GROUP BY doc_id, sr
+""",
+    doc="FULL PCM sample demux — REAL, library-free (16-bit PCM WAV is "
+        "raw little-endian int16 after the chunk walk): per doc a "
+        "complete mono WAV with a deterministic sawtooth-ish sample "
+        "stream is synthesized, wav_decode_samples demuxes it, and "
+        "audio_pcm_features reduces to BIGINT-exact energy (sum of "
+        "squares), peak amplitude, and strict-sign zero crossings — "
+        "the VAD/loudness-gate features of an audio curation pipeline "
+        "— all predicted arithmetically by the oracle. Retires the "
+        "'sample demux is environment-blocked' caveat for PCM.",
+)
+def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        audio_pcm_features,
+        wav_encode_samples,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.lit(8000) * (F.col("doc_id") % 3 + 1)).cast("int").alias("sr"),
+        (F.col("n_chars") % 200 + 16).cast("long").alias("n"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, sr, n in zip(pdf["doc_id"], pdf["sr"], pdf["n"]):
+                did, sr, n = int(did), int(sr), int(n)
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7 + i * 11) % 4001 - 2000).astype(np.int16)
+                outs.append(wav_encode_samples(sr, s.reshape(n, 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return audio_pcm_features(payload)

@@ -286,3 +286,124 @@ def test_sniff_media_meta_custom_id_col(spark):
     assert set(rows) == {"a", "b"}
     assert rows["b"]["media_type"] == "unknown"
     assert rows["b"]["payload_bytes"] == 4
+
+
+# --- real pixel/sample decode ------------------------------------------------
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """Encoder filters y%5 exercise None/Sub/Up/Average/Paeth; decode
+    must reproduce every pixel bit-for-bit, RGB and grayscale, odd
+    widths included."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for w, h, color in [(16, 13, 2), (5, 9, 2), (1, 6, 2), (7, 4, 0)]:
+        ch = 3 if color == 2 else 1
+        px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+        data = MM.png_encode_pixels(px, color=color)
+        w2, h2, ch2, out = MM.png_decode_pixels(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert np.array_equal(out, px)
+        # header-only parser agrees with the full decoder
+        assert MM.header_dimensions(data) == (w, h, "PNG")
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    px = np.zeros((2, 6), np.uint8)
+    good = MM.png_encode_pixels(px)
+    with pytest.raises(MM.UnknownContainer):
+        MM.png_decode_pixels(b"not a png at all")
+    # truncated IDAT payload (decompresses short)
+    bad = bytearray(good)
+    # corrupt the IHDR bit depth -> unsupported variant
+    ihdr_off = 8 + 8
+    bad[ihdr_off + 8] = 16
+    with pytest.raises(ValueError):
+        MM.png_decode_pixels(bytes(bad))
+    # interlaced flag -> unsupported
+    bad = bytearray(good)
+    bad[ihdr_off + 12] = 1
+    with pytest.raises(ValueError):
+        MM.png_decode_pixels(bytes(bad))
+
+
+def test_bmp_pixel_roundtrip_padding_and_bgr():
+    """Widths 3 and 7 force nonzero row padding; distinct channel
+    values prove BGR->RGB reorder and bottom-up re-flip."""
+    import numpy as np
+
+    px = np.zeros((2, 3 * 3), np.uint8)
+    px[0] = [10, 20, 30, 11, 21, 31, 12, 22, 32]  # top row, RGB triplets
+    px[1] = [50, 60, 70, 51, 61, 71, 52, 62, 72]
+    data = MM.bmp_encode_pixels(px)
+    w, h, ch, out = MM.bmp_decode_pixels(data)
+    assert (w, h, ch) == (3, 2, 3)
+    assert np.array_equal(out, px)
+    rng = np.random.default_rng(3)
+    for w_, h_ in [(7, 5), (4, 1), (1, 4)]:
+        p = rng.integers(0, 256, size=(h_, w_ * 3), dtype=np.uint8)
+        assert np.array_equal(MM.bmp_decode_pixels(MM.bmp_encode_pixels(p))[3], p)
+
+
+def test_wav_sample_roundtrip_mono_stereo():
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(5)
+    for chn in (1, 2):
+        s = rng.integers(-32768, 32768, size=(40, chn)).astype(np.int16)
+        data = MM.wav_encode_samples(22050, s)
+        sr, c, out = MM.wav_decode_samples(data)
+        assert (sr, c) == (22050, chn)
+        assert np.array_equal(out, s)
+        # header-only parser agrees on the frame count
+        assert MM.audio_header_meta(data)[3] == 40
+    with pytest.raises(MM.UnknownContainer):
+        MM.wav_decode_samples(b"RIFFxxxxAVI is not wave")
+
+
+def test_image_pixel_stats_mixed_and_corrupt(spark):
+    """One Arrow stage dispatches PNG + BMP payloads and NULLs the
+    corrupt row without dropping it."""
+    import numpy as np
+
+    png_px = np.arange(24, dtype=np.uint8).reshape(2, 12)  # 4x2 RGB
+    bmp_px = np.full((3, 6), 7, np.uint8)  # 2x3 RGB
+    df = spark.createDataFrame(
+        [
+            (1, MM.png_encode_pixels(png_px)),
+            (2, MM.bmp_encode_pixels(bmp_px)),
+            (3, b"garbage bytes here"),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.image_pixel_stats(df).collect()}
+    assert rows[1]["format"] == "PNG" and rows[1]["width"] == 4
+    assert rows[1]["n_vals"] == 24 and rows[1]["px_max"] == 23
+    assert rows[1]["sum_c0"] == sum(range(0, 24, 3))
+    assert rows[2]["format"] == "BMP" and rows[2]["sum_c1"] == 7 * 6
+    assert rows[3]["format"] == "unknown" and rows[3]["n_vals"] is None
+
+
+def test_audio_pcm_features_values(spark):
+    import numpy as np
+
+    s = np.array([[100], [-200], [300], [0], [-1]], np.int16)
+    df = spark.createDataFrame(
+        [(1, MM.wav_encode_samples(8000, s)), (2, b"nope")],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.audio_pcm_features(df).collect()}
+    assert rows[1]["n_frames"] == 5
+    assert rows[1]["sum_sq"] == 100**2 + 200**2 + 300**2 + 0 + 1
+    assert rows[1]["peak"] == 300
+    # sign pairs: (100,-200) (-200,300) (300,0) (0,-1) -> 2 strict crossings
+    assert rows[1]["zero_crossings"] == 2
+    assert rows[2]["sum_sq"] is None
