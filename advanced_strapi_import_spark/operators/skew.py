@@ -158,9 +158,9 @@ def distributed_ntile(
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    sum_col: str,
+    sum_col: str | list[str],
     *,
-    out_col: str = "cum",
+    out_col: str | list[str] = "cum",
     num_partitions: int = 32,
 ) -> DataFrame:
     """Exact global running sum of ``sum_col`` (INCLUSIVE of the current
@@ -174,7 +174,13 @@ def distributed_cumsum(
     literal). ``order_cols`` must be a TOTAL order — within ties the
     local running sum is row-order dependent.
 
-    INTEGRAL CONTRACT: ``sum_col`` must be an integral Spark type
+    ``sum_col``/``out_col`` also accept LISTS of equal length: all
+    running sums share the ONE range repartition, one offsets collect
+    (one row per partition carrying every column's partial), and one
+    window pass — a caller needing both a running total and a running
+    row index (pass a ones column) pays a single shuffle, not two.
+
+    INTEGRAL CONTRACT: every ``sum_col`` must be an integral Spark type
     (byte/short/int/long). The partition offsets round-trip through
     Python ``int`` and the result is cast to BIGINT, so a fractional
     column would be silently truncated with per-partition compounding
@@ -188,34 +194,49 @@ def distributed_cumsum(
 
     from advanced_strapi_import_spark.caching import persist_tracked
 
-    sum_type = df.schema[sum_col].dataType.typeName()
-    if sum_type not in ("byte", "short", "integer", "long"):
-        raise TypeError(
-            f"distributed_cumsum requires an integral sum_col; "
-            f"{sum_col!r} is {sum_type} (scale fractional inputs to "
-            f"integer units — e.g. micro-units — before calling)"
-        )
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(sum_cols) != len(out_cols):
+        raise ValueError("sum_col and out_col must have equal length")
+    for sc in sum_cols:
+        sum_type = df.schema[sc].dataType.typeName()
+        if sum_type not in ("byte", "short", "integer", "long"):
+            raise TypeError(
+                f"distributed_cumsum requires an integral sum_col; "
+                f"{sc!r} is {sum_type} (scale fractional inputs to "
+                f"integer units — e.g. micro-units — before calling)"
+            )
     part = persist_tracked(
         df.repartitionByRange(num_partitions, *order_cols).withColumn(
             "__pid", F.spark_partition_id()
         )
     )
     sums = sorted(
-        (r["__pid"], r["s"])
-        for r in part.groupBy("__pid").agg(F.sum(sum_col).alias("s")).collect()
+        (r["__pid"], tuple(r[f"s{i}"] for i in range(len(sum_cols))))
+        for r in part.groupBy("__pid")
+        .agg(*[F.sum(sc).alias(f"s{i}") for i, sc in enumerate(sum_cols)])
+        .collect()
     )
-    offsets, acc = [], 0
-    for pid, s in sums:
-        offsets.extend((F.lit(pid), F.lit(acc)))
-        acc += int(s or 0)
-    if not offsets:  # empty frame: no partitions reported
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+    offsets: list[list] = [[] for _ in sum_cols]
+    accs = [0] * len(sum_cols)
+    for pid, ss in sums:
+        for i, s in enumerate(ss):
+            offsets[i].extend((F.lit(pid), F.lit(accs[i])))
+            accs[i] += int(s or 0)
+    if not sums:  # empty frame: no partitions reported
+        out = df
+        for oc in out_cols:
+            out = out.withColumn(oc, F.lit(0).cast("long"))
+        return out
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.element_at(F.create_map(*offsets), F.col("__pid")) + F.sum(
-        sum_col
-    ).over(w)
-    return part.withColumn(out_col, cum.cast("long")).drop("__pid")
+    out = part
+    for i, (sc, oc) in enumerate(zip(sum_cols, out_cols)):
+        cum = F.element_at(
+            F.create_map(*offsets[i]), F.col("__pid")
+        ) + F.sum(sc).over(w)
+        out = out.withColumn(oc, cum.cast("long"))
+    return out.drop("__pid")

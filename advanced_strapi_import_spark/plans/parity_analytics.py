@@ -3515,3 +3515,276 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("var_reduction_ppm"),
         (F.floor(F.col("theta") * 10000 + 0.5) / 10000).alias("theta"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+WITH hist AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM events),
+att AS (
+  SELECT CASE
+           WHEN lc IS NOT NULL AND lc >= ts - INTERVAL 24 HOUR
+                AND (lv IS NULL OR lc >= lv) THEN 'click'
+           WHEN lv IS NOT NULL AND lv >= ts - INTERVAL 24 HOUR THEN 'view'
+           ELSE 'none'
+         END AS channel,
+         user_id, value
+  FROM hist WHERE event_type = 'purchase')
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       round(sum(value), 2) AS total_value
+FROM att GROUP BY channel
+""",
+    doc="Last-touch marketing attribution: each purchase is credited to "
+        "the user's most recent PRIOR click or view within a 24-hour "
+        "lookback (click wins ties at equal timestamps — the "
+        "deterministic tie-break both engines share via lc >= lv), "
+        "else 'none'. The carry of the last click/view timestamp is "
+        "max-over-preceding-rows on ONE (user, ts, event_id) window "
+        "partitioning — no self-join of events to events, which is the "
+        "naive quadratic formulation; at 100 TB this is a single "
+        "user-hash shuffle and the window state per user is two "
+        "timestamps. Purchase rollup by attributed channel: counts, "
+        "distinct buyers, revenue.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    hist = e.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        lc.alias("lc"), lv.alias("lv"),
+    )
+    cutoff = F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    channel = (
+        F.when(
+            F.col("lc").isNotNull()
+            & (F.col("lc") >= cutoff)
+            & (F.col("lv").isNull() | (F.col("lc") >= F.col("lv"))),
+            "click",
+        )
+        .when(F.col("lv").isNotNull() & (F.col("lv") >= cutoff), "view")
+        .otherwise("none")
+    )
+    return (
+        hist.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "user_id", "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sprt_ab",
+    oracle="""
+WITH trials AS (
+  SELECT user_id % 2 AS arm, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 200670 ELSE -200671 END AS inc
+  FROM events WHERE event_type IN ('click', 'view')),
+cum AS (
+  SELECT arm,
+         sum(inc) OVER (PARTITION BY arm ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS llr,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id) AS n
+  FROM trials)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(max(n) AS BIGINT) AS n_trials,
+       CAST(max(CASE WHEN n = (SELECT max(n2.n) FROM cum n2
+                               WHERE n2.arm = cum.arm)
+                     THEN llr END) AS BIGINT) AS final_llr_micro,
+       CAST(min(CASE WHEN llr >= 2944439 THEN n END) AS BIGINT)
+         AS first_upper_n,
+       CAST(min(CASE WHEN llr <= -2944439 THEN n END) AS BIGINT)
+         AS first_lower_n,
+       CASE
+         WHEN min(CASE WHEN llr >= 2944439 THEN n END) IS NOT NULL
+              AND (min(CASE WHEN llr <= -2944439 THEN n END) IS NULL
+                   OR min(CASE WHEN llr >= 2944439 THEN n END)
+                      < min(CASE WHEN llr <= -2944439 THEN n END))
+           THEN 'accept_h1'
+         WHEN min(CASE WHEN llr <= -2944439 THEN n END) IS NOT NULL
+           THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM cum GROUP BY arm
+""",
+    doc="Wald's Sequential Probability Ratio Test over the click/view "
+        "conversion stream, per A/B arm (user hash): each trial adds a "
+        "CONSTANT log-likelihood increment (H1 p=0.55 vs H0 p=0.45; "
+        "the micro-nat literals 200670/-200671 are precomputed, so "
+        "neither engine evaluates ln at query time) and the test stops "
+        "at the first crossing of +-ln((1-b)/a) ~ +-2944439 micro-nats "
+        "(a=b=0.05). The running LLR and the trial index both come "
+        "from ONE skew.distributed_cumsum call (multi-column form: one "
+        "range repartition, one offsets collect, one window pass — "
+        "never a single-partition window over the event stream). "
+        "Readout per arm: trial count, final LLR, first "
+        "boundary-crossing trial on each side, and the SPRT decision. "
+        "At 100 TB this is a linear per-arm scan — the sequential "
+        "analysis shape that cannot be expressed as a plain aggregate.",
+)
+def events_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators import skew as SK
+
+    e = load_events(spark, sf_dir)
+    trials = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "click", 200670)
+            .otherwise(-200671)
+            .cast("long")
+            .alias("inc"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    U, L = 2944439, -2944439
+    arms = []
+    for a in (0, 1):
+        cum = SK.distributed_cumsum(
+            trials.filter(F.col("arm") == a),
+            ["ts", "event_id"],
+            ["inc", "one"],
+            out_col=["llr", "n"],
+        )
+        arms.append(
+            cum.groupBy("arm").agg(
+                F.max("n").cast("long").alias("n_trials"),
+                F.max_by("llr", "n").cast("long").alias("final_llr_micro"),
+                F.min(F.when(F.col("llr") >= U, F.col("n")))
+                .cast("long")
+                .alias("first_upper_n"),
+                F.min(F.when(F.col("llr") <= L, F.col("n")))
+                .cast("long")
+                .alias("first_lower_n"),
+            )
+        )
+    both = arms[0].unionByName(arms[1])
+    up, lo = F.col("first_upper_n"), F.col("first_lower_n")
+    decision = (
+        F.when(up.isNotNull() & (lo.isNull() | (up < lo)), "accept_h1")
+        .when(lo.isNotNull(), "accept_h0")
+        .otherwise("continue")
+    )
+    return both.select(
+        "arm", "n_trials", "final_llr_micro", "first_upper_n",
+        "first_lower_n", decision.alias("decision"),
+    )
+
+
+@query(
+    "lineitem_mann_whitney",
+    oracle="""
+WITH vals AS (
+  SELECT l_quantity AS v,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca
+  FROM lineitem GROUP BY l_quantity),
+ranked AS (
+  SELECT v, c, ca,
+         sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(c - ca) AS BIGINT) AS nb,
+         CAST(sum(ca * (2 * cum - c + 1)) AS BIGINT) AS r2a,
+         CAST(sum(c * c * c - c) AS BIGINT) AS ties
+  FROM ranked)
+SELECT na AS n_a, nb AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       ties AS tie_term,
+       round((r2a - na * (na + 1) - na * 1.0 * nb)
+             / (2 * sqrt((na * 1.0 * nb / 12)
+                         * ((na + nb + 1)
+                            - ties * 1.0
+                              / ((na + nb) * 1.0 * (na + nb - 1))))),
+             4) + 0.0 AS z
+FROM agg
+""",
+    doc="Mann-Whitney U rank-sum test (returned lineitems vs the rest "
+        "on l_quantity), EXACT under heavy ties: quantities collapse "
+        "to their 50-value domain first, tie-averaged ranks are kept "
+        "integral via the 2x trick (rank2 = 2*cumcount - c + 1, so "
+        "U2 = 2U stays BIGINT), and the normal-approximation z uses "
+        "the standard tie-corrected variance — every precursor "
+        "(n_a, n_b, U2, sum(t^3 - t)) is an exact integer, the one "
+        "double expression is built in the same multiply order in "
+        "both engines. Scale shape: one groupBy collapses the fact "
+        "table to |value domain| rows (~50), so the ranking window "
+        "runs on a domain-sized frame — never a data-sized sort; "
+        "a continuous metric would first quantize to a bounded grid "
+        "exactly like lineitem_price_deciles.",
+)
+def lineitem_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+    )
+    # domain-sized frame (50 distinct quantities): the single-partition
+    # window is bounded by the VALUE DOMAIN, not the data
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.withColumn("cum", F.sum("c").over(w))
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cum") - F.col("c") + 1))
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties"),
+    )
+    na, nb, r2a, ties = (F.col(c) for c in ("na", "nb", "r2a", "ties"))
+    n = na + nb
+    z = (
+        F.round(
+            (r2a - na * (na + 1) - na * 1.0 * nb)
+            / (
+                2
+                * F.sqrt(
+                    (na * 1.0 * nb / 12)
+                    * ((n + 1) - ties * 1.0 / (n * 1.0 * (n - 1)))
+                )
+            ),
+            4,
+        )
+        + 0.0
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (r2a - na * (na + 1)).cast("long").alias("u2_a"),
+        ties.alias("tie_term"),
+        z.alias("z"),
+    )

@@ -4091,3 +4091,485 @@ def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "doc_collocation_llr",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS tk FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks),
+bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+ra AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         CAST(sum(c_ab) AS BIGINT) AS r FROM bc GROUP BY 1),
+cb AS (
+  SELECT string_split(bigram, ' ')[2] AS w2,
+         CAST(sum(c_ab) AS BIGINT) AS c FROM bc GROUP BY 1),
+tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM bc),
+cells AS (
+  SELECT b.bigram, b.c_ab,
+         b.c_ab AS k11, ra.r - b.c_ab AS k12, cb.c - b.c_ab AS k21,
+         tot.n - ra.r - cb.c + b.c_ab AS k22,
+         ra.r AS r1, tot.n - ra.r AS r2, cb.c AS c1, tot.n - cb.c AS c2,
+         tot.n AS n
+  FROM bc b
+  JOIN ra ON ra.w1 = string_split(b.bigram, ' ')[1]
+  JOIN cb ON cb.w2 = string_split(b.bigram, ' ')[2]
+  CROSS JOIN tot
+  WHERE b.c_ab >= 5)
+SELECT bigram, c_ab,
+       round(2 * (
+         (CASE WHEN k11 > 0
+               THEN k11 * ln((k11 * 1.0 * n) / (r1 * 1.0 * c1)) ELSE 0 END)
+       + (CASE WHEN k12 > 0
+               THEN k12 * ln((k12 * 1.0 * n) / (r1 * 1.0 * c2)) ELSE 0 END)
+       + (CASE WHEN k21 > 0
+               THEN k21 * ln((k21 * 1.0 * n) / (r2 * 1.0 * c1)) ELSE 0 END)
+       + (CASE WHEN k22 > 0
+               THEN k22 * ln((k22 * 1.0 * n) / (r2 * 1.0 * c2)) ELSE 0 END)
+       ), 4) + 0.0 AS llr
+FROM cells
+""",
+    doc="Collocation significance via Dunning's log-likelihood ratio "
+        "(Dunning 1993) — the test that, unlike doc_bigram_pmi, does "
+        "not over-rank rare pairs: the 2x2 contingency table per "
+        "bigram (k11=c_ab against the row/column marginals of the "
+        "bigram table itself) feeds G2 = 2*sum k*ln(kN/(rowsum*"
+        "colsum)) with zero-count cells contributing 0. Every ln "
+        "argument is a ratio of exact BIGINT counts multiplied in the "
+        "same order in both engines, so the doubles are bit-identical "
+        "up to libm ULP (same caveat class as doc_bigram_pmi, masked "
+        "by round 4). Marginals come from the COUNT table, not a "
+        "re-scan of the corpus; the c_ab >= 5 support floor bounds "
+        "the scoring join. Scale: two token-table aggregations and "
+        "two broadcast-marginal joins — the corpus shuffles once into "
+        "bigram counts and never again.",
+)
+def doc_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    toks = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    # persisted: the bigram-count table feeds BOTH marginals, the total
+    # and the scoring join
+    bc = persist_tracked(
+        bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    bc.count()  # eager fill: four consumers race the cold lineage otherwise
+    parts = F.split("bigram", " ")
+    ra = bc.groupBy(parts[0].alias("w1")).agg(
+        F.sum("c_ab").cast("long").alias("r")
+    )
+    cb = bc.groupBy(parts[1].alias("w2")).agg(
+        F.sum("c_ab").cast("long").alias("c")
+    )
+    tot = bc.agg(F.sum("c_ab").cast("long").alias("n"))
+    cells = (
+        bc.filter(F.col("c_ab") >= 5)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(F.broadcast(ra), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("c_ab")
+    k12 = F.col("r") - k11
+    k21 = F.col("c") - k11
+    k22 = F.col("n") - F.col("r") - F.col("c") + k11
+    r1, r2 = F.col("r"), F.col("n") - F.col("r")
+    c1, c2 = F.col("c"), F.col("n") - F.col("c")
+
+    def term(k, rs, cs):
+        return F.when(
+            k > 0, k * F.log((k * 1.0 * F.col("n")) / (rs * 1.0 * cs))
+        ).otherwise(F.lit(0.0))
+
+    llr = (
+        F.round(
+            2 * (term(k11, r1, c1) + term(k12, r1, c2)
+                 + term(k21, r2, c1) + term(k22, r2, c2)),
+            4,
+        )
+        + 0.0
+    )
+    return cells.select("bigram", "c_ab", llr.alias("llr"))
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 8),
+grams AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(tk) - 6),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                  || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' '
+                  || tk[i+6] || ' ' || tk[i+7]))) AS g
+  FROM toks),
+first_doc AS (
+  SELECT g, min(doc_id) AS fd FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc.fd = grams.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novel_ppm
+FROM grams JOIN first_doc ON first_doc.g = grams.g
+GROUP BY grams.doc_id
+""",
+    doc="Per-document 8-gram NOVELTY — the forward-contamination / "
+        "memorization-risk telemetry of a training corpus: an 8-gram "
+        "occurrence is novel iff this doc_id is the gram's FIRST "
+        "appearance in corpus order (min doc_id attribution), and each "
+        "doc reports its novel fraction in exact ppm (integer div). A "
+        "boilerplate-heavy doc scores low; the doc that introduced the "
+        "boilerplate scores high — complements doc_repeated_ngrams "
+        "(within-doc repetition) and contamination_8gram (against an "
+        "eval set). Scale discipline: grams shuffle as 32-char md5 "
+        "digests, never the raw 8-gram text (corpus_dedup_rate_by_"
+        "source's digest-key trick), one groupBy for first-appearance, "
+        "one digest-keyed join back — both keyed on the same column, "
+        "so AQE plans one Exchange per side.",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    toks = fan_out(
+        d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 8)
+    )
+    gram = F.md5(
+        F.concat_ws(
+            " ", *[F.element_at("tk", F.col("i") + i) for i in range(8)]
+        )
+    )
+    grams = persist_tracked(
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 7)).alias("i"),
+            "tk",
+        ).select("doc_id", gram.alias("g"))
+    )
+    first_doc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    return (
+        grams.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.expr(
+                "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) "
+                "* 1000000 div count(1) AS BIGINT)"
+            ).alias("novel_ppm"),
+        )
+    )
+
+
+_RAKE_STOPS = TX.LANG_PROFILES["en"]
+
+
+@query(
+    "doc_keyword_rake",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, unnest(tk) AS term,
+         unnest(range(1, len(tk) + 1)) AS p
+  FROM toks),
+seg AS (
+  SELECT doc_id, term, p,
+         term IN ({", ".join("'" + w + "'" for w in _RAKE_STOPS)})
+           OR term = '' AS is_stop,
+         sum(CASE WHEN term IN ({", ".join("'" + w + "'" for w in _RAKE_STOPS)})
+                    OR term = '' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS sid
+  FROM pos),
+phrases AS (
+  SELECT doc_id, sid,
+         string_agg(term, ' ' ORDER BY p) AS phrase,
+         CAST(count(*) AS BIGINT) AS wlen
+  FROM seg WHERE NOT is_stop GROUP BY doc_id, sid),
+words AS (
+  SELECT unnest(string_split(phrase, ' ')) AS w, wlen FROM phrases),
+wscore AS (
+  SELECT w, CAST(sum(wlen) * 1000000 // count(*) AS BIGINT) AS s
+  FROM words GROUP BY w),
+dp AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur FROM phrases
+  GROUP BY phrase),
+scored AS (
+  SELECT dp.phrase, dp.n_occur,
+         CAST(sum(ws.s) AS BIGINT) AS score_ppm
+  FROM dp, unnest(string_split(dp.phrase, ' ')) AS u(w)
+  JOIN wscore ws ON ws.w = u.w
+  GROUP BY dp.phrase, dp.n_occur)
+SELECT phrase, n_occur, score_ppm FROM scored
+ORDER BY score_ppm DESC, phrase LIMIT 20
+""",
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+        "are maximal stopword-free token runs (the en stopword profile "
+        "from operators/text.py marks the delimiters); each word "
+        "scores degree/frequency where degree sums the word-lengths of "
+        "every phrase containing it, and a phrase scores the sum of "
+        "its words' scores. All arithmetic is integer ppm (deg*1e6 div "
+        "freq, then BIGINT sums) so ranking ties break identically in "
+        "both engines; top-20 by (score desc, phrase). Spark shape: "
+        "posexplode + one per-doc running-count window assigns segment "
+        "ids, collect_list-of-structs rebuilds phrase text in position "
+        "order, and the word-stat and phrase-score joins are keyed on "
+        "word — the corpus shuffles once into phrase rows, the rest is "
+        "phrase-vocabulary-sized.",
+)
+def doc_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    pos = fan_out(d.select("doc_id", tk.alias("tk"))).select(
+        "doc_id", F.posexplode("tk").alias("p0", "term")
+    )
+    is_stop = F.col("term").isin(*_RAKE_STOPS) | (F.col("term") == "")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = pos.select(
+        "doc_id",
+        "term",
+        "p0",
+        is_stop.alias("is_stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w).alias("sid"),
+    )
+    phrases = persist_tracked(
+        seg.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p0", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("wlen"),
+        )
+    )
+    phrases.count()  # eager fill: word stats + phrase dedup both consume
+    words = phrases.select(F.explode(F.split("phrase", " ")).alias("w"), "wlen")
+    wscore = words.groupBy("w").agg(
+        F.expr("CAST(sum(wlen) * 1000000 div count(1) AS BIGINT)").alias("s")
+    )
+    dp = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occur")
+    )
+    scored = (
+        dp.select("phrase", "n_occur", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_occur")
+        .agg(F.sum("s").cast("long").alias("score_ppm"))
+    )
+    return scored.orderBy(F.col("score_ppm").desc(), "phrase").limit(20)
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) >= 16),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT)
+           AS qv
+  FROM (SELECT vec_id, embedding, unnest(range(0, 16)) AS i FROM base)),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+  FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i GROUP BY a.i, b.i),
+sums AS (
+  SELECT i, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY i),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, n.n AS n,
+       p.s AS s_ij,
+       CASE WHEN (n.n * di.s - si.sv * si.sv) > 0
+             AND (n.n * dj.s - sj.sv * sj.sv) > 0
+            THEN round((n.n * 1.0 * p.s - si.sv * 1.0 * sj.sv)
+                       / sqrt((n.n * di.s - si.sv * si.sv) * 1.0
+                              * (n.n * dj.s - sj.sv * sj.sv)), 4) + 0.0
+       END AS corr
+FROM g p
+JOIN g di ON di.i = p.i AND di.j = p.i
+JOIN g dj ON dj.i = p.j AND dj.j = p.j
+JOIN sums si ON si.i = p.i
+JOIN sums sj ON sj.i = p.j
+CROSS JOIN n
+WHERE p.i < p.j
+""",
+    doc="Distributed Gram matrix / dimension-correlation audit over the "
+        "first 16 embedding dims (the Matryoshka prefix "
+        "embedding_matryoshka_recall serves): values quantize JVM-side "
+        "to exact milli-unit BIGINTs, then ONE Arrow kernel per "
+        "partition computes the 16x16 integer Gram partial as a single "
+        "numpy matmul (M^T M) plus column sums — the canonical "
+        "d^2-partials-per-partition pattern that makes covariance/PCA "
+        "preprocessing O(n d^2 / p) with a d^2-row shuffle, nothing "
+        "data-sized. Pearson correlations derive from the exact "
+        "integer precursors (n, s_i, s_ij) with one double expression "
+        "in the same order both engines; zero-variance dims yield NULL "
+        "corr (integer guard, no epsilon). Output: 120 dim pairs. A "
+        "high |corr| pair is a redundant dimension — the "
+        "dimensionality-reduction signal the dim_stats query cannot "
+        "see (it is per-dim marginal only).",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") >= 16
+    )
+    q = fan_out(
+        emb.select(
+            F.transform(
+                F.slice("embedding", 1, 16),
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            ).alias("q")
+        )
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            sv = m.sum(axis=0)
+            iu, ju = np.triu_indices(16)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(16), [-1]]),
+                    "j": np.concatenate(
+                        [ju, np.full(16, -1), [-1]]
+                    ),
+                    "v": np.concatenate(
+                        [g[iu, ju], sv, [len(m)]]
+                    ).astype(np.int64),
+                }
+            )
+
+    parts = persist_tracked(
+        q.mapInPandas(gram, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    parts.count()  # eager fill: five broadcast consumers below
+    pairs = parts.filter((F.col("i") >= 0) & (F.col("j") > F.col("i")))
+    diag = parts.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("v").alias("s_dd")
+    )
+    sums = parts.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("d"), F.col("v").alias("sv")
+    )
+    n = parts.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    di = diag.toDF("i", "s_ii")
+    dj = diag.toDF("j", "s_jj")
+    si = sums.toDF("i", "s_i")
+    sj = sums.toDF("j", "s_j")
+    joined = (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    d1 = F.col("n") * F.col("s_ii") - F.col("s_i") * F.col("s_i")
+    d2 = F.col("n") * F.col("s_jj") - F.col("s_j") * F.col("s_j")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.round(
+            (F.col("n") * 1.0 * F.col("v") - F.col("s_i") * 1.0 * F.col("s_j"))
+            / F.sqrt(d1 * 1.0 * d2),
+            4,
+        )
+        + 0.0,
+    )
+    return joined.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("n").cast("long").alias("n"),
+        F.col("v").cast("long").alias("s_ij"),
+        corr.alias("corr"),
+    )
+
+
+@query(
+    "embedding_ood_knn_distance",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c
+          WHERE query_id <> neighbor_id),
+expl AS (SELECT query_id, neighbor_id,
+                unnest(qv)::DOUBLE AS x, unnest(cv)::DOUBLE AS y
+         FROM pairs),
+dots AS (SELECT query_id, neighbor_id,
+                sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM expl GROUP BY query_id, neighbor_id),
+scored AS (SELECT query_id,
+                  CAST(round(round(dot / (sqrt(nx) * sqrt(ny)), 6)
+                             * 1000000) AS BIGINT) AS cos_ppm
+           FROM dots),
+top AS (SELECT query_id, cos_ppm,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_ppm DESC, query_id) AS r
+        FROM scored)
+SELECT query_id,
+       CAST(sum(cos_ppm) // 5 AS BIGINT) AS mean_top5_cos_ppm,
+       CAST(min(cos_ppm) AS BIGINT) AS min_top5_cos_ppm
+FROM top WHERE r <= 5 GROUP BY query_id
+""",
+    doc="kNN-distance out-of-distribution scoring (the standard "
+        "curation novelty detector): each query's OOD score is the "
+        "mean similarity of its 5 nearest corpus neighbors — low mean "
+        "= isolated = out-of-distribution or noise, for routing to "
+        "human review or downweighting. Scores stay integral end to "
+        "end: the round-6 cosine lifts to exact ppm BIGINTs, the mean "
+        "is integer division by the fixed k, so no double-sum "
+        "ordering can diverge. NOTE the rank tie-break differs from "
+        "cosine_topk on purpose: at equal cos the NEIGHBOR choice "
+        "cannot change sum/min over the tied set, so ranking by "
+        "cos_ppm alone is deterministic for this readout. Serving "
+        "shape: brute pass here as the exactness baseline; the IVF "
+        "route (embedding_mmr_ivf's candidate stage) swaps in "
+        "unchanged at scale.",
+)
+def embedding_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    top = S.cosine_topk(queries, emb, k=5)
+    ppm = F.round(F.col("cos") * 1000000, 0).cast("long")
+    return (
+        top.select("query_id", ppm.alias("cos_ppm"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("CAST(sum(cos_ppm) div 5 AS BIGINT)").alias(
+                "mean_top5_cos_ppm"
+            ),
+            F.min("cos_ppm").cast("long").alias("min_top5_cos_ppm"),
+        )
+    )

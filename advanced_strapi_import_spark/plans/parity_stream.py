@@ -1457,3 +1457,77 @@ def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return audio_pcm_features(payload)
+
+
+@query(
+    "stream_pixel_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(n_chars % 11 + 4 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + ((i // 3) % w) * 7
+          + (i // (3 * w)) * 13 + (i % 3) * 101) % 256 AS val,
+         i % 3 AS c
+  FROM px)
+SELECT doc_id, w AS width, h AS height,
+       CAST(3 AS INT) AS channels, 'PNG' AS format,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="Streaming twin of multimodal_png_pixels: documents arrive as a "
+        "file-source stream, each micro-batch synthesizes its PNGs "
+        "(all five filters) and runs the SAME real zlib decode + "
+        "pixel-stats Arrow stage via the generic foreachBatch serve "
+        "harness (ann_serve_stream — per-batch work is ordinary batch "
+        "decode, no stateful operator), whose batch_id-keyed "
+        "overwrite-subdirectory sink keeps retries exactly-once. The "
+        "drained stream equals the batch/arithmetic answer — the "
+        "media-ingestion maintenance shape: decode-and-featurize on "
+        "arrival, land features in a table, never re-decode.",
+)
+def stream_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        PIXEL_STATS,
+        image_pixel_stats,
+        png_encode_pixels,
+    )
+
+    doc_stream = ST.read_documents_stream(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
+        (F.col("n_chars") % 11 + 4).cast("int").alias("h"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                px = ((did * 31 + xs * 7 + ys * 13 + cs * 101) % 256).astype(
+                    np.uint8
+                )
+                outs.append(png_encode_pixels(px.reshape(h, w * 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    def serve(batch_df):
+        payload = batch_df.mapInPandas(gen, "doc_id long, content binary")
+        return image_pixel_stats(payload)
+
+    return ST.ann_serve_stream(doc_stream, serve, empty_schema=PIXEL_STATS)
