@@ -587,6 +587,8 @@ def png_decode_pixels(data: bytes):
         if len(body) != clen:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if clen != 13:  # spec-fixed IHDR size; unpack would
+                raise ValueError("bad IHDR length")  # struct.error
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)
@@ -724,6 +726,9 @@ def bmp_decode_pixels(data: bytes):
     (compression,) = struct.unpack("<I", data[30:34])
     if bpp_bits != 24 or compression != 0 or w <= 0 or h == 0:
         raise ValueError("unsupported BMP encoding")
+    if off < 54:  # pixel array cannot start inside the two headers —
+        # decoding header bytes as pixels would be confidently wrong
+        raise ValueError("bad BMP pixel-array offset")
     topdown, h = h < 0, abs(h)
     rowsz = (w * 3 + 3) & ~3
     if len(data) < off + rowsz * h:
@@ -793,6 +798,9 @@ def wav_decode_samples(data: bytes):
     audio_fmt, channels, sample_rate, _rate, block_align, bits = fmt
     if audio_fmt != 1 or bits != 16 or not channels:
         raise ValueError("unsupported WAV encoding (PCM16 only)")
+    if block_align != channels * 2:  # corrupt fmt: 0 would divide-by-
+        # zero below, any other value misframes the int16 stream
+        raise ValueError("bad WAV block alignment")
     frames = len(payload) // block_align
     samples = np.frombuffer(
         payload[: frames * block_align], "<i2"
@@ -823,6 +831,20 @@ def wav_encode_samples(sample_rate: int, samples) -> bytes:
         + struct.pack("<I", len(payload))
         + payload
     )
+
+
+def _decode_image_pixels(b: bytes):
+    """Magic-byte dispatch to the full pixel decoders — the ONE place
+    that decides which payloads are pixel-decodable, shared by
+    :func:`image_pixel_stats` and :func:`resize_images_real` so the
+    stats and resize stages can never disagree. Returns
+    ``(width, height, channels, ndarray, format)``; raises like the
+    underlying decoders."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return (*png_decode_pixels(b), "PNG")
+    if b[:2] == b"BM":
+        return (*bmp_decode_pixels(b), "BMP")
+    raise UnknownContainer("no pixel decoder")
 
 
 PIXEL_STATS = T.StructType(
@@ -864,32 +886,34 @@ def image_pixel_stats(
             for did, data in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(data) if data is not None else b""
                 rows["doc_id"].append(did)
+                # compute EVERYTHING before appending anything beyond
+                # the id: a mid-computation failure (e.g. a declared
+                # zero-pixel image making min() raise) must not leave
+                # the column lists partially appended and misaligned
                 try:
-                    if b[:8] == b"\x89PNG\r\n\x1a\n":
-                        w, h, ch, px = png_decode_pixels(b)
-                        fmt = "PNG"
-                    elif b[:2] == b"BM":
-                        w, h, ch, px = bmp_decode_pixels(b)
-                        fmt = "BMP"
-                    else:
-                        raise UnknownContainer("no pixel decoder")
+                    w, h, ch, px, fmt = _decode_image_pixels(b)
                     lanes = px.reshape(h * w, ch).astype(np.int64)
                     sums = lanes.sum(axis=0)
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["channels"].append(ch)
-                    rows["format"].append(fmt)
-                    rows["n_vals"].append(int(h * w * ch))
-                    rows["sum_c0"].append(int(sums[0]))
-                    rows["sum_c1"].append(int(sums[1]) if ch > 1 else None)
-                    rows["sum_c2"].append(int(sums[2]) if ch > 2 else None)
-                    rows["px_min"].append(int(px.min()))
-                    rows["px_max"].append(int(px.max()))
+                    vals = {
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "format": fmt,
+                        "n_vals": int(h * w * ch),
+                        "sum_c0": int(sums[0]),
+                        "sum_c1": int(sums[1]) if ch > 1 else None,
+                        "sum_c2": int(sums[2]) if ch > 2 else None,
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
                 except Exception:
-                    for k in PIXEL_STATS.fieldNames():
-                        if k == "doc_id":
-                            continue
-                        rows[k].append("unknown" if k == "format" else None)
+                    vals = {
+                        k: ("unknown" if k == "format" else None)
+                        for k in PIXEL_STATS.fieldNames()
+                        if k != "doc_id"
+                    }
+                for k, v in vals.items():
+                    rows[k].append(v)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -944,24 +968,28 @@ def audio_pcm_features(
             for did, data in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(data) if data is not None else b""
                 rows["doc_id"].append(did)
+                # compute-then-append, same misalignment guard as
+                # image_pixel_stats
                 try:
                     sr, ch, samples = wav_decode_samples(b)
                     s64 = samples.astype(np.int64)
                     c0 = s64[:, 0]
-                    rows["sample_rate"].append(sr)
-                    rows["channels"].append(ch)
-                    rows["n_frames"].append(int(len(samples)))
-                    rows["sum_sq"].append(int((s64 * s64).sum()))
-                    rows["peak"].append(
-                        int(np.abs(s64).max()) if len(s64) else 0
-                    )
-                    rows["zero_crossings"].append(
-                        int((c0[1:] * c0[:-1] < 0).sum())
-                    )
+                    vals = {
+                        "sample_rate": sr,
+                        "channels": ch,
+                        "n_frames": int(len(samples)),
+                        "sum_sq": int((s64 * s64).sum()),
+                        "peak": int(np.abs(s64).max()) if len(s64) else 0,
+                        "zero_crossings": int((c0[1:] * c0[:-1] < 0).sum()),
+                    }
                 except Exception:
-                    for k in PCM_FEATURES.fieldNames():
-                        if k != "doc_id":
-                            rows[k].append(None)
+                    vals = {
+                        k: None
+                        for k in PCM_FEATURES.fieldNames()
+                        if k != "doc_id"
+                    }
+                for k, v in vals.items():
+                    rows[k].append(v)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -979,3 +1007,61 @@ def audio_pcm_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(stage, PCM_FEATURES)
+
+
+def resize_images_real(
+    df: DataFrame, width: int, height: int,
+    *, id_col: str = "doc_id", binary_col: str = "content",
+) -> DataFrame:
+    """REAL image resize for the fully-decodable formats: PNG/BMP
+    payloads are pixel-decoded (:func:`png_decode_pixels` /
+    :func:`bmp_decode_pixels`), nearest-neighbor resampled on the
+    integer grid (src = dst * src_dim // dst_dim — exact, no float
+    interpolation, so an arithmetic oracle can predict every output
+    pixel), and RE-ENCODED as PNG — a decode->transform->encode cycle
+    entirely on real codecs. This supersedes the byte-striding stub in
+    :func:`resize_images` for decodable formats; that stub remains
+    only as the plumbing stand-in for codec-bound payloads (JPEG/GIF).
+    Undecodable payloads keep their row with NULL content. Row-local,
+    no shuffle; output binaries are width*height-bounded regardless of
+    input size — the thumbnail/normalize pass of an image pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "codec": [],
+                "content": [],
+            }
+            for did, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                rows["doc_id"].append(did)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                try:
+                    w, h, ch, px, _fmt = _decode_image_pixels(b)
+                    grid = px.reshape(h, w, ch)
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    res = grid[np.ix_(ys, xs)].reshape(height, width * ch)
+                    rows["codec"].append("PNG")
+                    rows["content"].append(
+                        png_encode_pixels(res, color=2 if ch == 3 else 0)
+                    )
+                except Exception:
+                    rows["codec"].append(None)
+                    rows["content"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(stage, out_schema)

@@ -865,8 +865,12 @@ def build_lsh_index(
         .parquet(f"{path}/vectors")
     )
     _os.makedirs(path, exist_ok=True)
-    with open(f"{path}/meta.json", "w") as fh:
+    # write-then-rename: a crash mid-write must not leave a truncated
+    # meta.json that bricks every later serve call
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as fh:
         _json.dump({"planes": planes, "dims": dims}, fh)
+    _os.rename(tmp, f"{path}/meta.json")
 
 
 def lsh_query_index(
@@ -899,8 +903,14 @@ def lsh_query_index(
 
     meta = {}
     if _os.path.exists(f"{path}/meta.json"):
-        with open(f"{path}/meta.json") as fh:
-            meta = _json.load(fh)
+        try:
+            with open(f"{path}/meta.json") as fh:
+                meta = _json.load(fh)
+        except (OSError, ValueError):
+            # unreadable/corrupt meta must not brick an intact index:
+            # explicit params can still serve; defaulting without meta
+            # is the pre-meta behavior
+            meta = {}
     for name, given in (("planes", planes), ("dims", dims)):
         if given is not None and name in meta and meta[name] != given:
             raise ValueError(

@@ -26,30 +26,47 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-6 rotation: union(r01-r05) covers the ENTIRE 248-query round-5
+# Round-7 rotation: union(r01-r06) covers the ENTIRE 267-query round-6
 # registry (never-sampled is empty), so the window leads with the
-# round-6 ADDITIONS plus the two queries whose plans materially changed
-# this round (embedding_ivf_nprobe_sweep single-pass fold,
-# dedup_family_recall eager truth materialization); the remainder of
-# the 50 slots re-verifies the round-5 rotation tail.
+# round-7 ADDITIONS (13: the real-decode multimodal suite + the
+# text/analytics/embedding batch) plus the queries whose plans
+# materially changed this round (stream ANN serve family: batch_id-
+# keyed idempotent sink + LSH index meta.json; the two
+# distributed_cumsum consumers after its multi-column extension); the
+# remainder of the 50 slots re-verifies the round-6 window tail.
 _FIRST = [
-    # --- round-6 additions / materially changed ---
+    # --- round-7 additions ---
+    "multimodal_png_pixels",
+    "multimodal_bmp_pixels",
+    "multimodal_wav_pcm",
+    "multimodal_resize_pixels",
+    "stream_pixel_stats",
+    "doc_collocation_llr",
+    "doc_ngram_novelty",
+    "doc_keyword_rake",
+    "events_attribution",
+    "events_sprt_ab",
+    "lineitem_mann_whitney",
+    "embedding_gram_matrix",
+    "embedding_ood_knn_distance",
+    # --- materially changed in round 7 ---
+    "stream_ann_serve",
+    "stream_ann_serve_ivf",
+    "stream_ann_index_update",
+    "events_model_auc",
+    "doc_lang_kappa",
+    # --- re-verified round-6 window tail (driver-green in r06) ---
     "embedding_ivf_nprobe_sweep",
     "dedup_family_recall",
     "bpe_iterative_merges",
-    "stream_ann_serve",
-    "stream_ann_serve_ivf",
     "dedup_weighted_pagerank",
-    "events_model_auc",
     "events_score_calibration",
     "doc_bigram_backoff_logprob",
     "embedding_binary_quantize_recall",
     "events_retention_cohorts",
     "corpus_mixture_plan",
-    "doc_lang_kappa",
-    "stream_ann_index_update",
     "events_anomaly_robust_z",
-    "minhash_est_error",  # set-array rewrite this round
+    "minhash_est_error",
     "lineitem_weighted_percentiles",
     "corpus_vocab_kl_divergence",
     "dedup_landmark_distances",

@@ -3719,12 +3719,20 @@ agg AS (
 SELECT na AS n_a, nb AS n_b,
        CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
        ties AS tie_term,
-       round((r2a - na * (na + 1) - na * 1.0 * nb)
-             / (2 * sqrt((na * 1.0 * nb / 12)
-                         * ((na + nb + 1)
-                            - ties * 1.0
-                              / ((na + nb) * 1.0 * (na + nb - 1))))),
-             4) + 0.0 AS z
+       CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 THEN
+         CASE WHEN (na * 1.0 * nb / 12)
+                   * ((na + nb + 1)
+                      - ties * 1.0
+                        / ((na + nb) * 1.0 * (na + nb - 1))) > 0
+              THEN round((r2a - na * (na + 1) - na * 1.0 * nb)
+                         / (2 * sqrt((na * 1.0 * nb / 12)
+                                     * ((na + nb + 1)
+                                        - ties * 1.0
+                                          / ((na + nb) * 1.0
+                                             * (na + nb - 1))))),
+                         4) + 0.0
+         END
+       END AS z
 FROM agg
 """,
     doc="Mann-Whitney U rank-sum test (returned lineitems vs the rest "
@@ -3767,19 +3775,23 @@ def lineitem_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb, r2a, ties = (F.col(c) for c in ("na", "nb", "r2a", "ties"))
     n = na + nb
-    z = (
-        F.round(
-            (r2a - na * (na + 1) - na * 1.0 * nb)
-            / (
-                2
-                * F.sqrt(
-                    (na * 1.0 * nb / 12)
-                    * ((n + 1) - ties * 1.0 / (n * 1.0 * (n - 1)))
-                )
-            ),
-            4,
-        )
-        + 0.0
+    # degenerate-data guard, NESTED so no division ever evaluates on
+    # the degenerate branch (ANSI errors even inside a composite
+    # boolean): outer case gates n > 1 before var's /(n*(n-1)) exists,
+    # inner case gates var > 0 (all-tied sample) before the z division
+    var = (na * 1.0 * nb / 12) * (
+        (n + 1) - ties * 1.0 / (n * 1.0 * (n - 1))
+    )
+    z = F.when(
+        (na > 0) & (nb > 0) & (n > 1),
+        F.when(
+            var > 0,
+            F.round(
+                (r2a - na * (na + 1) - na * 1.0 * nb) / (2 * F.sqrt(var)),
+                4,
+            )
+            + 0.0,
+        ),
     )
     return agg.select(
         na.alias("n_a"),

@@ -1252,6 +1252,45 @@ def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_query_index(spark, idx, queries, k=5, planes=_ANN_PLANES)
 
 
+def _gradient_dims(df, mod_w: int, add_w: int, mod_h: int, add_h: int):
+    """(doc_id, w, h) source frame for the synthetic-image suite."""
+    return df.select(
+        "doc_id",
+        (F.col("doc_id") % mod_w + add_w).cast("int").alias("w"),
+        (F.col("n_chars") % mod_h + add_h).cast("int").alias("h"),
+    )
+
+
+def _gradient_image_gen(encode, m_id: int, m_x: int, m_y: int, m_c: int):
+    """ONE mapInPandas generator for every query that synthesizes the
+    deterministic RGB gradient image pixel(x,y,c) = (doc_id*m_id +
+    x*m_x + y*m_y + c*m_c) %% 256 — the formula each arithmetic oracle
+    composes with. ``encode`` is the container encoder
+    (png_encode_pixels exercises all five PNG filters via its y %% 5
+    default; bmp_encode_pixels exercises padding + BGR + bottom-up).
+    Shared by the batch stats queries, the streaming twin, and the
+    resize cycle so the synth formula cannot silently fork."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                px = (
+                    (did * m_id + xs * m_x + ys * m_y + cs * m_c) % 256
+                ).astype(np.uint8)
+                outs.append(encode(px.reshape(h, w * 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    return gen
+
+
 @query(
     "multimodal_png_pixels",
     oracle="""
@@ -1300,29 +1339,10 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from advanced_strapi_import_spark.plans.registry import fan_out
 
-    d = fan_out(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
-        (F.col("n_chars") % 11 + 4).cast("int").alias("h"),
+    d = _gradient_dims(
+        fan_out(load(spark, sf_dir, "documents")), 13, 4, 11, 4
     )
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
-                did, w, h = int(did), int(w), int(h)
-                ys = np.arange(h)[:, None, None]
-                xs = np.arange(w)[None, :, None]
-                cs = np.arange(3)[None, None, :]
-                px = ((did * 31 + xs * 7 + ys * 13 + cs * 101) % 256).astype(
-                    np.uint8
-                )
-                outs.append(png_encode_pixels(px.reshape(h, w * 3)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
-
+    gen = _gradient_image_gen(png_encode_pixels, 31, 7, 13, 101)
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return image_pixel_stats(payload)
 
@@ -1368,29 +1388,10 @@ def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from advanced_strapi_import_spark.plans.registry import fan_out
 
-    d = fan_out(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        (F.col("doc_id") % 9 + 2).cast("int").alias("w"),
-        (F.col("n_chars") % 7 + 2).cast("int").alias("h"),
+    d = _gradient_dims(
+        fan_out(load(spark, sf_dir, "documents")), 9, 2, 7, 2
     )
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
-                did, w, h = int(did), int(w), int(h)
-                ys = np.arange(h)[:, None, None]
-                xs = np.arange(w)[None, :, None]
-                cs = np.arange(3)[None, None, :]
-                px = ((did * 17 + xs * 5 + ys * 3 + cs * 29) % 256).astype(
-                    np.uint8
-                )
-                outs.append(bmp_encode_pixels(px.reshape(h, w * 3)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
-
+    gen = _gradient_image_gen(bmp_encode_pixels, 17, 5, 3, 29)
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return image_pixel_stats(payload)
 
@@ -1503,31 +1504,75 @@ def stream_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_encode_pixels,
     )
 
-    doc_stream = ST.read_documents_stream(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
-        (F.col("n_chars") % 11 + 4).cast("int").alias("h"),
+    doc_stream = _gradient_dims(
+        ST.read_documents_stream(spark, sf_dir), 13, 4, 11, 4
     )
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
-                did, w, h = int(did), int(w), int(h)
-                ys = np.arange(h)[:, None, None]
-                xs = np.arange(w)[None, :, None]
-                cs = np.arange(3)[None, None, :]
-                px = ((did * 31 + xs * 7 + ys * 13 + cs * 101) % 256).astype(
-                    np.uint8
-                )
-                outs.append(png_encode_pixels(px.reshape(h, w * 3)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+    gen = _gradient_image_gen(png_encode_pixels, 31, 7, 13, 101)
 
     def serve(batch_df):
         payload = batch_df.mapInPandas(gen, "doc_id long, content binary")
         return image_pixel_stats(payload)
 
     return ST.ann_serve_stream(doc_stream, serve, empty_schema=PIXEL_STATS)
+
+
+@query(
+    "multimodal_resize_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(n_chars % 11 + 4 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, 8 * 8 * 3)) AS k FROM dims),
+v AS (
+  SELECT doc_id,
+         (doc_id * 31
+          + (((k // 3) % 8) * w // 8) * 7
+          + ((k // 24) * h // 8) * 13
+          + (k % 3) * 101) % 256 AS val,
+         k % 3 AS c
+  FROM px)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS channels, 'PNG' AS format,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id
+""",
+    doc="REAL image resize, full cycle on real codecs: synthesize PNG "
+        "(all five filters) -> png_decode_pixels -> exact "
+        "nearest-neighbor resample to 8x8 (src = dst*src_dim // "
+        "dst_dim, pure integer grid) -> RE-ENCODE as PNG -> decode "
+        "AGAIN through image_pixel_stats. The oracle predicts the "
+        "resized per-channel sums arithmetically by composing the "
+        "generator formula with the index map — so one wrong source "
+        "index anywhere in decode/resize/encode/redecode "
+        "hash-mismatches. Supersedes the byte-striding resize stub "
+        "for decodable formats (the stub stays only for codec-bound "
+        "JPEG/GIF plumbing). Two Arrow stages, row-local, output "
+        "bounded at 8x8x3 bytes per image whatever the input size.",
+)
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        png_encode_pixels,
+        resize_images_real,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = _gradient_dims(
+        fan_out(load(spark, sf_dir, "documents")), 13, 4, 11, 4
+    )
+    gen = _gradient_image_gen(png_encode_pixels, 31, 7, 13, 101)
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    resized = resize_images_real(payload, 8, 8)
+    return image_pixel_stats(
+        resized.filter(F.col("content").isNotNull()).select(
+            "doc_id", "content"
+        )
+    )
