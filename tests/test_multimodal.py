@@ -407,3 +407,26 @@ def test_audio_pcm_features_values(spark):
     # sign pairs: (100,-200) (-200,300) (300,0) (0,-1) -> 2 strict crossings
     assert rows[1]["zero_crossings"] == 2
     assert rows[2]["sum_sq"] is None
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """Real decode -> exact integer-grid nearest-neighbor -> PNG
+    re-encode; downscale of a known gradient is predictable, and
+    undecodable payloads keep their row with NULL content."""
+    import numpy as np
+
+    w, h = 6, 4
+    ys, xs, cs = np.ogrid[0:h, 0:w, 0:3]
+    px = ((xs * 7 + ys * 13 + cs * 101) % 256).astype(np.uint8)
+    src = px.reshape(h, w * 3)
+    df = spark.createDataFrame(
+        [(1, MM.png_encode_pixels(src)), (2, b"not an image")],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.resize_images_real(df, 2, 2).collect()}
+    assert rows[2]["content"] is None and rows[2]["codec"] is None
+    w2, h2, ch2, out = MM.png_decode_pixels(bytes(rows[1]["content"]))
+    assert (w2, h2, ch2) == (2, 2, 3)
+    # nearest-neighbor map: src_x = dst_x*6//2 -> {0,3}; src_y = dst_y*4//2 -> {0,2}
+    expect = px[np.ix_([0, 2], [0, 3])].reshape(2, 6)
+    assert np.array_equal(out, expect)
