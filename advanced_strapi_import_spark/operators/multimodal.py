@@ -1065,3 +1065,63 @@ def resize_images_real(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(stage, out_schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, *, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: full pixel
+    decode (PNG/BMP via :func:`_decode_image_pixels`), integer
+    grayscale ((r+g+b)//3), exact nearest-neighbor resample to the
+    canonical 8x8 grid (src = dst*dim//8), then the aHash bit rule
+    g*64 >= total (integer cross-multiply, no division). The 64 bits
+    split into two BIGINT halves (lo = bits 0..31 row-major from the
+    top-left, hi = bits 32..63) so bit 63 can never hit the BIGINT
+    sign trap either engine side. Undecodable payloads drop (a hash of
+    garbage is not a usable dedup key). Row-local Arrow stage; only
+    16 bytes of hash per image travel downstream — the image-dedup
+    signature pass at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    def stage(batches) -> Iterator:
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for did, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    w, h, ch, px, _fmt = _decode_image_pixels(b)
+                    grid = px.reshape(h, w, ch).astype(np.int64)
+                    gray = (
+                        grid.sum(axis=2) // ch
+                    )  # (r+g+b)//3; gray images pass through
+                    ys = (np.arange(8) * h) // 8
+                    xs = (np.arange(8) * w) // 8
+                    g = gray[np.ix_(ys, xs)].reshape(64)
+                    total = int(g.sum())
+                    bits = (g * 64 >= total).astype(np.int64)
+                    lo = int((bits[:32] << np.arange(32)).sum())
+                    hi = int((bits[32:] << np.arange(32)).sum())
+                except Exception:
+                    continue
+                ids.append(did)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(stage, PHASH_SCHEMA)

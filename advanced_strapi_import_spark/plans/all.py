@@ -40,6 +40,7 @@ _FIRST = [
     "multimodal_bmp_pixels",
     "multimodal_wav_pcm",
     "multimodal_resize_pixels",
+    "multimodal_phash_groups",
     "stream_pixel_stats",
     "doc_collocation_llr",
     "doc_ngram_novelty",

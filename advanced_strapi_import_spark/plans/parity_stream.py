@@ -1576,3 +1576,77 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "content"
         )
     )
+
+
+@query(
+    "multimodal_phash_groups",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(n_chars % 11 + 4 AS INT) AS h
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h, unnest(range(0, 64)) AS k FROM dims),
+gray AS (
+  SELECT doc_id, k,
+         (((doc_id * 31 + ((k % 8) * w // 8) * 7
+            + ((k // 8) * h // 8) * 13) % 256)
+          + ((doc_id * 31 + ((k % 8) * w // 8) * 7
+              + ((k // 8) * h // 8) * 13 + 101) % 256)
+          + ((doc_id * 31 + ((k % 8) * w // 8) * 7
+              + ((k // 8) * h // 8) * 13 + 202) % 256)) // 3 AS g
+  FROM cells),
+tot AS (
+  SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM gray
+  GROUP BY doc_id),
+hash AS (
+  SELECT gray.doc_id,
+         CAST(sum(CASE WHEN gray.g * 64 >= tot.total AND gray.k < 32
+                       THEN (CAST(1 AS BIGINT) << gray.k)
+                       ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(sum(CASE WHEN gray.g * 64 >= tot.total AND gray.k >= 32
+                       THEN (CAST(1 AS BIGINT) << (gray.k - 32))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM gray JOIN tot ON tot.doc_id = gray.doc_id
+  GROUP BY gray.doc_id)
+SELECT ahash_lo, ahash_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc
+FROM hash GROUP BY ahash_lo, ahash_hi HAVING count(*) >= 2
+""",
+    doc="Perceptual-hash duplicate GROUPS on REAL decoded pixels: the "
+        "PNG gradient corpus goes through full zlib decode -> integer "
+        "grayscale -> exact 8x8 nearest-neighbor downsample -> aHash "
+        "(g*64 >= total integer bit rule; two BIGINT halves dodge the "
+        "bit-63 sign trap both engines share), and exact-duplicate "
+        "groups report (hash, member count, keeper = min doc_id) — "
+        "the image-dedup readout in its scale-honest group-by form: "
+        "smooth synthetic gradients collapse to few distinct hashes, "
+        "so materializing PAIRS would be quadratic in group size "
+        "while groups stay O(n). Keeper-selection mirrors "
+        "dedup_keep_best. The oracle recomputes gray/resample/bits "
+        "arithmetically from the generator formula — a wrong source "
+        "index or bit order anywhere hash-mismatches.",
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_ahash,
+        png_encode_pixels,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = _gradient_dims(
+        fan_out(load(spark, sf_dir, "documents")), 13, 4, 11, 4
+    )
+    gen = _gradient_image_gen(png_encode_pixels, 31, 7, 13, 101)
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return (
+        image_ahash(payload)
+        .groupBy("ahash_lo", "ahash_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
