@@ -48,6 +48,7 @@ _FIRST = [
     "events_attribution",
     "events_sprt_ab",
     "lineitem_mann_whitney",
+    "lineitem_ks_two_sample",
     "embedding_gram_matrix",
     "embedding_ood_knn_distance",
     # --- materially changed in round 7 ---

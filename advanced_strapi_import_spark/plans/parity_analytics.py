@@ -3800,3 +3800,93 @@ def lineitem_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ties.alias("tie_term"),
         z.alias("z"),
     )
+
+
+@query(
+    "lineitem_ks_two_sample",
+    oracle="""
+WITH vals AS (
+  SELECT l_quantity AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+              AS BIGINT) AS cb
+  FROM lineitem GROUP BY l_quantity),
+ranked AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM vals),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM vals),
+d AS (
+  SELECT max(abs(cum_a * tot.nb - cum_b * tot.na)) AS d2,
+         max(tot.na) AS na, max(tot.nb) AS nb
+  FROM ranked CROSS JOIN tot)
+SELECT na AS n_a, nb AS n_b,
+       CAST(d2 AS BIGINT) AS d_cross,
+       CASE WHEN na > 0 AND nb > 0
+            THEN CAST(d2 * 1000000 // (na * nb) AS BIGINT) END
+         AS ks_ppm
+FROM d
+""",
+    doc="Two-sample Kolmogorov-Smirnov statistic (returned lineitems vs "
+        "the rest on l_quantity), EXACT with zero floating point: the "
+        "ECDF difference |F_A(v) - F_B(v)| cross-multiplies to "
+        "|cumA*nB - cumB*nA| — a BIGINT per domain value — and the "
+        "statistic reports as exact ppm via integer division. "
+        "Complements lineitem_mann_whitney (rank-shift test) with the "
+        "max-distance test over the SAME domain-collapse shape: the "
+        "fact table's only shuffle is the ~50-row per-value count "
+        "groupBy, the ECDF window runs on the value domain, and the "
+        "degenerate empty-group case NULLs rather than divides. This "
+        "is the distribution-drift gate run between training-data "
+        "snapshots.",
+)
+def lineitem_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    # domain-sized frame (~50 distinct quantities): window bounded by
+    # the value domain, not the data (lineitem_mann_whitney pattern)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            )
+        ).alias("d2"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    ks = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.expr("CAST(d2 * 1000000 div (na * nb) AS BIGINT)"),
+    )
+    return d.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d2").cast("long").alias("d_cross"),
+        ks.alias("ks_ppm"),
+    )
