@@ -6,12 +6,14 @@ Decode reality in this container (no PIL/libav, no pip installs):
 
 - FULL pixel/sample decode — REAL, no library needed: PNG (stdlib
   zlib DEFLATE + all five spec predictor filters,
-  :func:`png_decode_pixels`), 24bpp BMP (raw padded BGR rows,
-  :func:`bmp_decode_pixels`), PCM16 WAV (:func:`wav_decode_samples`).
+  :func:`png_decode_pixels`), GIF (pure-Python LZW with table growth
+  / KwKwK / 12-bit resets, :func:`gif_decode_pixels`), 24bpp BMP (raw
+  padded BGR rows, :func:`bmp_decode_pixels`), PCM16 WAV
+  (:func:`wav_decode_samples`).
 - Header-only metadata — REAL for PNG/JPEG/GIF/BMP, RIFF/WAVE,
   RIFF/AVI (:func:`header_dimensions` and friends).
 - STUBBED — only bitstreams that genuinely require an external codec
-  (JPEG DCT entropy coding, GIF LZW, video codecs): the clearly-marked
+  (JPEG's DCT entropy coding, video codecs): the clearly-marked
   deterministic `_fake_decode` keeps the Arrow plumbing exercisable;
   swap it for PIL/libav in production — the plan shape is unchanged.
 
@@ -844,6 +846,8 @@ def _decode_image_pixels(b: bytes):
         return (*png_decode_pixels(b), "PNG")
     if b[:2] == b"BM":
         return (*bmp_decode_pixels(b), "BMP")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return (*gif_decode_pixels(b), "GIF")
     raise UnknownContainer("no pixel decoder")
 
 
@@ -1125,3 +1129,199 @@ def image_ahash(
             )
 
     return df.select(id_col, binary_col).mapInPandas(stage, PHASH_SCHEMA)
+
+
+def _lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-variant LZW compressor (pure Python): variable code
+    width starting at min_code_size+1, CLEAR/EOI control codes, table
+    growth to the 12-bit cap with an explicit CLEAR reset, little-
+    endian bit packing. The encoding half of the GIF codec — present
+    so round-trip tests and payload synthesis exercise the decoder's
+    full table-building path (including width bumps and resets)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_bits.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12):
+            out_bits.append((clear, width))
+            width = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        cur = bytes([byte])
+    if cur:
+        out_bits.append((table[cur], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    packed = bytearray()
+    for code, wd in out_bits:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            packed.append(acc & 255)
+            acc >>= 8
+            n -= 8
+    if n:
+        packed.append(acc & 255)
+    return bytes(packed)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-variant LZW decompressor (pure Python): rebuilds the
+    code table as codes arrive, handles the KwKwK self-reference case,
+    CLEAR resets, EOI, and the width bumps the growing table implies.
+    Raises ValueError on a code beyond the table (corrupt stream)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = n = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n
+        n += 8
+        while n >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None and len(table) < (1 << 12):
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)
+
+
+def gif_encode_pixels(gray, *, palette=None) -> bytes:
+    """Spec-valid GIF87a ENCODER from a ``(h, w)`` uint8 index array:
+    logical screen descriptor, 256-entry global color table (identity
+    grayscale by default: palette[i] = (i, i, i)), one image
+    descriptor, REAL LZW-compressed index stream in 255-byte
+    sub-blocks, trailer."""
+    import struct
+
+    import numpy as np
+
+    h, w = gray.shape
+    if palette is None:
+        palette = bytes(
+            b for i in range(256) for b in (i, i, i)
+        )
+    head = b"GIF87a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + palette
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_compress(np.asarray(gray, np.uint8).tobytes())
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def gif_decode_pixels(data: bytes):
+    """REAL GIF pixel decode (pure Python — GIF's only compression is
+    LZW, no external codec needed): parse the logical screen
+    descriptor + global color table, skip extension blocks, LZW-
+    decompress the first image's index stream, and map indices through
+    the palette to RGB. Supports non-interlaced images with a global
+    color table. Returns ``(width, height, 3, ndarray)`` shaped
+    ``(height, width*3)`` uint8 — same contract as the PNG/BMP
+    decoders, so the stats/resize/aHash stages compose unchanged."""
+    import struct
+
+    import numpy as np
+
+    if data is None or len(data) < 13 or data[:6] not in (
+        b"GIF87a", b"GIF89a"
+    ):
+        raise UnknownContainer("not GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = np.frombuffer(data[pos:pos + 3 * n], np.uint8)
+        if len(palette) != 3 * n:
+            raise ValueError("truncated color table")
+        palette = palette.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            _l, _t, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10]
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:  # local color table wins
+                n = 2 << (iflags & 7)
+                palette = np.frombuffer(
+                    data[pos:pos + 3 * n], np.uint8
+                )
+                if len(palette) != 3 * n:
+                    raise ValueError("truncated local color table")
+                palette = palette.reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("no color table")
+            if pos >= len(data):
+                raise ValueError("missing LZW code size")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                lzw.extend(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), mcs), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("short LZW index stream")
+            idx = idx[: w * h]
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("index beyond color table")
+            rgb = palette[idx].reshape(h, w * 3)
+            return w, h, 3, np.ascontiguousarray(rgb)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError("unknown GIF block")
+    raise ValueError("no image block")

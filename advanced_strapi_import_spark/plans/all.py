@@ -28,7 +28,7 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
 # Round-7 rotation: union(r01-r06) covers the ENTIRE 267-query round-6
 # registry (never-sampled is empty), so the window leads with the
-# round-7 ADDITIONS (13: the real-decode multimodal suite + the
+# round-7 ADDITIONS (17: the real-decode multimodal suite + the
 # text/analytics/embedding batch) plus the queries whose plans
 # materially changed this round (stream ANN serve family: batch_id-
 # keyed idempotent sink + LSH index meta.json; the two
@@ -41,6 +41,7 @@ _FIRST = [
     "multimodal_wav_pcm",
     "multimodal_resize_pixels",
     "multimodal_phash_groups",
+    "multimodal_gif_pixels",
     "stream_pixel_stats",
     "doc_collocation_llr",
     "doc_ngram_novelty",

@@ -430,3 +430,46 @@ def test_resize_images_real_nearest_neighbor(spark):
     # nearest-neighbor map: src_x = dst_x*6//2 -> {0,3}; src_y = dst_y*4//2 -> {0,2}
     expect = px[np.ix_([0, 2], [0, 3])].reshape(2, 6)
     assert np.array_equal(out, expect)
+
+
+def test_lzw_roundtrip_stress():
+    """Pure-Python GIF LZW: random (table growth + width bumps),
+    repetitive (KwKwK self-reference), and 100k-byte (12-bit CLEAR
+    reset) streams all round-trip; corrupt streams raise."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(13)
+    for data in [
+        rng.integers(0, 256, 5000).astype(np.uint8).tobytes(),
+        b"\x00" * 4000,
+        bytes(range(256)) * 40,
+        rng.integers(0, 256, 100000).astype(np.uint8).tobytes(),
+        b"",
+    ]:
+        assert MM._lzw_decompress(MM._lzw_compress(data)) == data
+    with pytest.raises(ValueError):
+        # a max-width code pointing far beyond the table
+        MM._lzw_decompress(b"\xff\xff\xff\xff")
+
+
+def test_gif_pixel_roundtrip_and_dispatch(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(12, 16), dtype=np.uint8)
+    data = MM.gif_encode_pixels(g)
+    w, h, ch, out = MM.gif_decode_pixels(data)
+    assert (w, h, ch) == (16, 12, 3)
+    expect = np.repeat(g.reshape(12, 16, 1), 3, axis=2).reshape(12, 48)
+    assert np.array_equal(out, expect)
+    assert MM.header_dimensions(data) == (16, 12, "GIF")
+    # shared dispatch: stats stage decodes GIF alongside PNG/BMP
+    df = spark.createDataFrame(
+        [(1, data), (2, b"GIF87a<truncated-garbage>")],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.image_pixel_stats(df).collect()}
+    assert rows[1]["format"] == "GIF" and rows[1]["n_vals"] == 16 * 12 * 3
+    assert rows[1]["sum_c0"] == rows[1]["sum_c1"] == int(g.astype(int).sum())
+    assert rows[2]["format"] == "unknown"
