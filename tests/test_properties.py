@@ -590,3 +590,44 @@ def test_bpe_padded_replace_matches_greedy_merge(spark, words, pair):
         ss + ss.join(_greedy_merge(wsyms, a, b)) + ss for wsyms in words
     ]
     assert got == want
+
+
+def test_distributed_cumsum_multi_column(spark):
+    """Multi-column form: both running sums share one repartition and
+    agree with independent single-column calls and the built-in
+    window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.operators import skew as SK
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).cast("long").alias("a"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    multi = {
+        r["id"]: (r["ca"], r["idx"])
+        for r in SK.distributed_cumsum(
+            df, ["id"], ["a", "one"], out_col=["ca", "idx"]
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = {
+        r["id"]: (r["ca"], r["idx"])
+        for r in df.select(
+            "id",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("one").over(w).alias("idx"),
+        ).collect()
+    }
+    assert multi == ref
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.distributed_cumsum(df, ["id"], ["a", "one"], out_col=["ca"])
+    with pytest.raises(TypeError):
+        SK.distributed_cumsum(
+            df.withColumn("d", F.col("a") * 1.5), ["id"], ["a", "d"],
+            out_col=["x", "y"],
+        )
