@@ -28,13 +28,25 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
 # Round-7 rotation: union(r01-r06) covers the ENTIRE 267-query round-6
 # registry (never-sampled is empty), so the window leads with the
-# round-7 ADDITIONS (17: the real-decode multimodal suite + the
-# text/analytics/embedding batch) plus the queries whose plans
-# materially changed this round (stream ANN serve family: batch_id-
-# keyed idempotent sink + LSH index meta.json; the two
+# round-7 ADDITIONS (the stats/ML second wave + the real-decode
+# multimodal suite + the text/analytics/embedding batch) plus the
+# queries whose plans materially changed this round (stream ANN serve
+# family: batch_id-keyed idempotent sink + LSH index meta.json; the two
 # distributed_cumsum consumers after its multi-column extension); the
 # remainder of the 50 slots re-verifies the round-6 window tail.
 _FIRST = [
+    # --- round-7 additions (second wave: stats/ML batch) ---
+    "lineitem_regression_metrics",
+    "lineitem_corr_matrix",
+    "events_brier_decomposition",
+    "events_conformal_interval",
+    "events_diff_in_diff",
+    "doc_char_entropy",
+    "vocab_heaps_law",
+    "retrieval_ndcg_at_k",
+    "doc_ctfidf_cluster_terms",
+    "embedding_silhouette",
+    "embedding_kmeans_lloyd",
     # --- round-7 additions ---
     "multimodal_png_pixels",
     "multimodal_bmp_pixels",

@@ -3890,3 +3890,540 @@ def lineitem_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").cast("long").alias("d_cross"),
         ks.alias("ks_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-integer OLS regression metrics (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_regression_metrics",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM b GROUP BY l_returnflag),
+m AS (
+  SELECT l_returnflag, n, sx, sy,
+         sxy * n - CAST(sx AS HUGEINT) * sy AS num,
+         greatest(sxx * n - CAST(sx AS HUGEINT) * sx, 1) AS denx,
+         greatest(syy * n - CAST(sy AS HUGEINT) * sy, 1) AS deny
+  FROM g)
+SELECT l_returnflag, n,
+       CAST(num * 1000000 // denx AS BIGINT) AS slope_micro,
+       CAST((CAST(sy AS HUGEINT) * 1000000 - (num * 1000000 // denx) * sx)
+            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS intercept_cents,
+       CAST((num * 1000000 // denx) * num // deny AS BIGINT) AS r2_ppm
+FROM m
+""",
+    doc="Per-group OLS regression read (price-cents on quantity by "
+        "returnflag): slope in micro-cents/unit, intercept in cents, "
+        "and R^2 in ppm — ZERO floating point. Inputs fixed-point to "
+        "BIGINT (quantity integral, price half-up cents); the five "
+        "co-moment sums run as one partial-aggregated groupBy with the "
+        "squared accumulators in DECIMAL(38,0) (sum(y^2) alone passes "
+        "2^63 at ~1e5 rows; the embedding_dim_stats discipline), so "
+        "slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) evaluates as exact "
+        "integral division and R^2 composes the two exact quotients "
+        "((num*1e6 div denx) * num div deny = 1e6*num^2/(denx*deny) "
+        "up to the shared floor both engines apply identically). "
+        "Degenerate guard: a group with a single distinct x (denx=0) "
+        "reports the greatest(...,1) fallback instead of ANSI "
+        "DIVIDE_BY_ZERO. One scan, one 3-group reduce — the "
+        "feature-vs-target screen run before fitting anything bigger; "
+        "at 100 TB the plan is unchanged (co-moments are mergeable "
+        "partials; DECIMAL(38,0) holds sum(y^2) to ~1e9 rows per "
+        "group at price<=1e7 cents).",
+)
+def lineitem_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    g = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    m = g.select(
+        "l_returnflag", "n", "sx", "sy",
+        (F.col("sxy") * F.col("n")
+         - F.col("sx").cast("decimal(38,0)") * F.col("sy")).alias("num"),
+        F.greatest(
+            F.col("sxx") * F.col("n")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx"),
+            F.lit(1).cast("decimal(38,0)"),
+        ).alias("denx"),
+        F.greatest(
+            F.col("syy") * F.col("n")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy"),
+            F.lit(1).cast("decimal(38,0)"),
+        ).alias("deny"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr("CAST(num * 1000000 div denx AS BIGINT)").alias("slope_micro"),
+        F.expr(
+            "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000"
+            "      - (num * 1000000 div denx) * sx)"
+            "     div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("intercept_cents"),
+        F.expr(
+            "CAST((num * 1000000 div denx) * num div deny AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise Pearson correlation matrix (round 7)
+# ---------------------------------------------------------------------------
+_CORR_VARS = [("qty", "units"), ("price", "cents"), ("disc", "bp"), ("tax", "bp")]
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORR_VARS)
+    for (b, _) in _CORR_VARS[i + 1:]
+]
+
+
+def _corr_arm_sql(a: str, b: str) -> str:
+    num = f"(s_{a}{b} * n - CAST(s_{a} AS HUGEINT) * s_{b})"
+    dena = f"greatest(s_{a}{a} * n - CAST(s_{a} AS HUGEINT) * s_{a}, 1)"
+    denb = f"greatest(s_{b}{b} * n - CAST(s_{b} AS HUGEINT) * s_{b}, 1)"
+    return (
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b, n, "
+        f"round(CAST({num} AS DOUBLE) / "
+        f"(sqrt(CAST({dena} AS DOUBLE)) * sqrt(CAST({denb} AS DOUBLE))), 4) "
+        f"AS corr FROM g"
+    )
+
+
+@query(
+    "lineitem_corr_matrix",
+    oracle="""
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v_qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v_price,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS v_disc,
+         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS v_tax
+  FROM lineitem),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+"""
+    + ",\n".join(
+        f"         CAST(sum(v_{a}) AS BIGINT) AS s_{a}" for a, _ in _CORR_VARS
+    )
+    + ",\n"
+    + ",\n".join(
+        f"         sum(CAST(v_{a} AS HUGEINT) * v_{b}) AS s_{a}{b}"
+        for i, (a, _) in enumerate(_CORR_VARS)
+        for (b, _) in _CORR_VARS[i:]
+    )
+    + "\n  FROM b)\n"
+    + "\nUNION ALL\n".join(_corr_arm_sql(a, b) for a, b in _CORR_PAIRS),
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+        "measures (quantity/price/discount/tax), computed from EXACT "
+        "integer co-moments: every measure is fixed-pointed to BIGINT "
+        "(units / half-up cents / basis points), the 4 sums + 10 "
+        "product sums accumulate in one partial-aggregated pass "
+        "(DECIMAL(38,0) for the products — price^2 alone passes 2^63 "
+        "at ~1e5 rows), and only the final corr = num/sqrt(denx*deny) "
+        "touches doubles — on identical exact-integer inputs, so the "
+        "IEEE ops (cast, sqrt, divide) round identically in both "
+        "engines far below the 4dp output rounding. sqrt(denx)*"
+        "sqrt(deny) instead of sqrt(denx*deny) keeps the product off "
+        "the DECIMAL(38,0) ceiling. ONE scan and ONE single-row "
+        "reduce feed all six matrix cells — the feature-redundancy "
+        "screen over a 100 TB fact table costs exactly one pass, and "
+        "zero-variance columns degrade to the greatest(...,1) guard "
+        "instead of dividing by zero.",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("long").alias("v_qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("v_price"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("v_disc"),
+        F.floor(F.col("l_tax") * 10000 + 0.5).cast("long").alias("v_tax"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [
+        F.sum(f"v_{a}").cast("long").alias(f"s_{a}") for a, _ in _CORR_VARS
+    ]
+    aggs += [
+        F.sum((F.col(f"v_{a}") * F.col(f"v_{b}")).cast("decimal(38,0)"))
+        .alias(f"s_{a}{b}")
+        for i, (a, _) in enumerate(_CORR_VARS)
+        for (b, _) in _CORR_VARS[i:]
+    ]
+    g = b.agg(*aggs)
+    # one stack() generator fans the single agg row into the 6 matrix
+    # cells — a 6-way union of selects over g would re-run the scan +
+    # reduce subtree per cell
+    cells = []
+    for a, bb in _CORR_PAIRS:
+        num = f"(s_{a}{bb} * n - CAST(s_{a} AS DECIMAL(38,0)) * s_{bb})"
+        dena = (
+            f"greatest(s_{a}{a} * n - CAST(s_{a} AS DECIMAL(38,0)) * s_{a},"
+            f" CAST(1 AS DECIMAL(38,0)))"
+        )
+        denb = (
+            f"greatest(s_{bb}{bb} * n - CAST(s_{bb} AS DECIMAL(38,0)) * s_{bb},"
+            f" CAST(1 AS DECIMAL(38,0)))"
+        )
+        cells.append(
+            f"'{a}', '{bb}', round(CAST({num} AS DOUBLE) / "
+            f"(sqrt(CAST({dena} AS DOUBLE)) * sqrt(CAST({denb} AS DOUBLE))), 4)"
+        )
+    return g.selectExpr(
+        "n",
+        f"stack({len(cells)}, {', '.join(cells)}) AS (var_a, var_b, corr)",
+    ).select("var_a", "var_b", "n", "corr")
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_brier_decomposition",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+m AS (SELECT greatest(CAST(max(cents) AS BIGINT), 1) AS maxc FROM c),
+p AS (
+  SELECT least(9, (cents * 10) // (maxc + 1)) AS bin,
+         cents * 1000000 // maxc AS p_ppm, pos
+  FROM c CROSS JOIN m),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(p_ppm) AS BIGINT) AS sp,
+         CAST(sum(pos) AS BIGINT) AS np,
+         CAST(sum((p_ppm - pos * 1000000) * (p_ppm - pos * 1000000))
+              AS BIGINT) AS sq
+  FROM p GROUP BY bin),
+tot AS (
+  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS npos
+  FROM bins),
+k AS (
+  SELECT b.nb, b.sp // b.nb AS fb, b.np * 1000000 // b.nb AS ob, b.sq,
+         t.n, t.npos * 1000000 // t.n AS og
+  FROM bins b CROSS JOIN tot t)
+SELECT max(n) AS n,
+       CAST(sum(sq) // (max(n) * 1000000) AS BIGINT) AS brier_ppm,
+       CAST(sum(nb * (fb - ob) * (fb - ob)) // (max(n) * 1000000)
+            AS BIGINT) AS reliability_ppm,
+       CAST(sum(nb * (ob - og) * (ob - og)) // (max(n) * 1000000)
+            AS BIGINT) AS resolution_ppm,
+       CAST(max(og) * (1000000 - max(og)) // 1000000 AS BIGINT)
+         AS uncertainty_ppm
+FROM k
+""",
+    doc="Murphy decomposition of the Brier score for the "
+        "value-predicts-purchase read: exact per-event Brier plus "
+        "reliability / resolution / uncertainty over the same 10 "
+        "equal-width bins as events_score_calibration — all in "
+        "integer ppm (forecast p = cents/max quantized to ppm; every "
+        "squared term stays BIGINT to ~9e6 events, DECIMAL(38,0) "
+        "beyond — see SCALE.md headroom table). The classic identity "
+        "brier = reliability - resolution + uncertainty holds up to "
+        "the shared ppm quantization floor, applied identically by "
+        "both engines. Plan: one scan -> broadcast max scalar -> "
+        "10-group partial-agg rollup; the global row re-aggregates "
+        "the 10 bins (persisted + eagerly filled so the broadcast "
+        "build never races the main job through an unmaterialized "
+        "chain — the dedup_family_recall lesson). AUC ranks, "
+        "calibration eyeballs, Brier decomposition scores: this "
+        "completes the forecast-quality trio.",
+)
+def events_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    c = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    m = c.agg(F.greatest(F.max("cents"), F.lit(1)).alias("maxc"))
+    p = c.crossJoin(F.broadcast(m)).select(
+        F.least(F.lit(9), F.expr("(cents * 10) div (maxc + 1)")).alias("bin"),
+        F.expr("cents * 1000000 div maxc").alias("p_ppm"),
+        "pos",
+    )
+    bins = persist_tracked(
+        p.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("p_ppm").cast("long").alias("sp"),
+            F.sum("pos").cast("long").alias("np"),
+            F.sum(
+                (F.col("p_ppm") - F.col("pos") * 1000000)
+                * (F.col("p_ppm") - F.col("pos") * 1000000)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    bins.count()  # eager fill: tot below is a broadcast over this chain
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("np").cast("long").alias("npos"),
+    )
+    k = bins.crossJoin(F.broadcast(tot)).select(
+        "nb",
+        F.expr("sp div nb").alias("fb"),
+        F.expr("np * 1000000 div nb").alias("ob"),
+        "sq",
+        "n",
+        F.expr("npos * 1000000 div n").alias("og"),
+    )
+    return k.agg(
+        F.max("n").alias("n"),
+        F.expr("CAST(sum(sq) div (max(n) * 1000000) AS BIGINT)").alias(
+            "brier_ppm"
+        ),
+        F.expr(
+            "CAST(sum(nb * (fb - ob) * (fb - ob))"
+            " div (max(n) * 1000000) AS BIGINT)"
+        ).alias("reliability_ppm"),
+        F.expr(
+            "CAST(sum(nb * (ob - og) * (ob - og))"
+            " div (max(n) * 1000000) AS BIGINT)"
+        ).alias("resolution_ppm"),
+        F.expr(
+            "CAST(max(og) * (1000000 - max(og)) div 1000000 AS BIGINT)"
+        ).alias("uncertainty_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction interval (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_conformal_interval",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id % 3 AS split,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+tr AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mu
+  FROM c WHERE split = 0 GROUP BY event_type),
+cal AS (
+  SELECT c.event_type, abs(c.cents - tr.mu) AS r
+  FROM c JOIN tr USING (event_type) WHERE c.split = 1),
+rc AS (
+  SELECT event_type, r, CAST(count(*) AS BIGINT) AS cnt
+  FROM cal GROUP BY event_type, r),
+nc AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_cal FROM rc GROUP BY event_type),
+cum AS (
+  SELECT event_type, r,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY r
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM rc),
+q AS (
+  SELECT c.event_type, min(c.r) AS q_cents
+  FROM cum c JOIN nc USING (event_type)
+  WHERE c.cum >= least(((nc.n_cal + 1) * 9 + 9) // 10, nc.n_cal)
+  GROUP BY c.event_type)
+SELECT t.event_type, tr.n_train, nc.n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       max(q.q_cents) AS q_cents,
+       CAST(sum(CASE WHEN abs(t.cents - tr.mu) <= q.q_cents
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS cover_ppm
+FROM c t
+JOIN tr USING (event_type)
+JOIN nc USING (event_type)
+JOIN q USING (event_type)
+WHERE t.split = 2
+GROUP BY t.event_type, tr.n_train, nc.n_cal
+""",
+    doc="Split-conformal prediction interval with EXACT order "
+        "statistics, per event_type: a 3-way deterministic hash split "
+        "(event_id mod 3) gives train/calibration/test; the predictor "
+        "is the train-split mean (floored cents), the conformal "
+        "radius is the ceil(0.9*(n+1))-th smallest absolute residual "
+        "— computed by collapsing calibration residuals to the "
+        "(type, residual) VALUE DOMAIN and cumsum-ing counts, so the "
+        "quantile window is domain-sized, never data-sized (the "
+        "lineitem_ks_two_sample shape) — and the test split reports "
+        "empirical coverage in ppm, which conformal theory guarantees "
+        ">= 900000 in expectation regardless of the residual "
+        "distribution. All arithmetic is integer (cents, ppm, "
+        "integer ceil via (a+b-1) div b). The 5-row train and radius "
+        "tables broadcast to the test scan; at 100 TB each split is "
+        "one pruned pass and the only data-sized shuffle is the "
+        "residual-domain groupBy. This is the distribution-free "
+        "uncertainty gate run before shipping point predictions.",
+)
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    c = e.select(
+        "event_type",
+        (F.col("event_id") % 3).alias("split"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    tr = (
+        c.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mu"),
+        )
+    )
+    cal = (
+        c.filter(F.col("split") == 1)
+        .join(F.broadcast(tr), "event_type")
+        .select("event_type", F.abs(F.col("cents") - F.col("mu")).alias("r"))
+    )
+    rc = cal.groupBy("event_type", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nc = rc.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_cal")
+    )
+    w = Window.partitionBy("event_type").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rc.select("event_type", "r", F.sum("cnt").over(w).alias("cum"))
+    q = (
+        cum.join(F.broadcast(nc), "event_type")
+        .filter(
+            F.col("cum")
+            >= F.least(
+                F.expr("((n_cal + 1) * 9 + 9) div 10"), F.col("n_cal")
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_cents"))
+    )
+    t = c.filter(F.col("split") == 2).join(F.broadcast(tr), "event_type")
+    t = t.join(F.broadcast(nc), "event_type").join(
+        F.broadcast(q), "event_type"
+    )
+    return t.groupBy("event_type", "n_train", "n_cal").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("q_cents").alias("q_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN abs(cents - mu) <= q_cents THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("cover_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences readout (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_diff_in_diff",
+    oracle="""
+WITH c AS (
+  SELECT user_id % 2 AS grp,
+         CAST(epoch(ts) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT (CAST(min(es) AS BIGINT) + CAST(max(es) AS BIGINT)) // 2 AS mid
+  FROM c),
+cell AS (
+  SELECT grp, CASE WHEN es >= mid THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+  FROM c CROSS JOIN m GROUP BY grp, post)
+SELECT
+  max(CASE WHEN grp = 1 AND post = 0 THEN n END) AS n_treat_pre,
+  max(CASE WHEN grp = 1 AND post = 1 THEN n END) AS n_treat_post,
+  max(CASE WHEN grp = 0 AND post = 0 THEN n END) AS n_ctrl_pre,
+  max(CASE WHEN grp = 0 AND post = 1 THEN n END) AS n_ctrl_post,
+  max(CASE WHEN grp = 1 AND post = 0 THEN mean_cents END) AS mean_treat_pre,
+  max(CASE WHEN grp = 1 AND post = 1 THEN mean_cents END) AS mean_treat_post,
+  max(CASE WHEN grp = 0 AND post = 0 THEN mean_cents END) AS mean_ctrl_pre,
+  max(CASE WHEN grp = 0 AND post = 1 THEN mean_cents END) AS mean_ctrl_post,
+  (max(CASE WHEN grp = 1 AND post = 1 THEN mean_cents END)
+   - max(CASE WHEN grp = 1 AND post = 0 THEN mean_cents END))
+  - (max(CASE WHEN grp = 0 AND post = 1 THEN mean_cents END)
+     - max(CASE WHEN grp = 0 AND post = 0 THEN mean_cents END))
+    AS did_cents
+FROM cell
+""",
+    doc="Difference-in-differences estimator over the events fact: "
+        "treatment = deterministic user hash parity, pre/post = the "
+        "epoch-midpoint of the observed window (an exact integer "
+        "broadcast scalar), effect = (treated post-pre delta) minus "
+        "(control post-pre delta) on floored mean cents — the "
+        "quasi-experimental companion to events_ab_test (which "
+        "assumes randomized exposure) and events_cuped_adjustment "
+        "(variance reduction); DiD instead differences OUT any "
+        "time-invariant group gap plus any common time shock. All "
+        "integer arithmetic: epoch seconds, cents, truncating means "
+        "applied identically per cell in both engines before the "
+        "closed-form double difference. Plan: one scan -> 2-row "
+        "min/max broadcast -> 4-group partial agg -> one pivot row; "
+        "at 100 TB this is a single pass with a 4-row shuffle.",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    c = e.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    m = c.agg(
+        F.expr(
+            "(CAST(min(es) AS BIGINT) + CAST(max(es) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    cell = (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "grp",
+            F.when(F.col("es") >= F.col("mid"), 1).otherwise(0).alias("post"),
+            "cents",
+        )
+        .groupBy("grp", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+        )
+    )
+    pick_n = lambda g, p: F.max(
+        F.when((F.col("grp") == g) & (F.col("post") == p), F.col("n"))
+    )
+    pick_m = lambda g, p: F.max(
+        F.when((F.col("grp") == g) & (F.col("post") == p), F.col("mean_cents"))
+    )
+    return cell.agg(
+        pick_n(1, 0).alias("n_treat_pre"),
+        pick_n(1, 1).alias("n_treat_post"),
+        pick_n(0, 0).alias("n_ctrl_pre"),
+        pick_n(0, 1).alias("n_ctrl_post"),
+        pick_m(1, 0).alias("mean_treat_pre"),
+        pick_m(1, 1).alias("mean_treat_post"),
+        pick_m(0, 0).alias("mean_ctrl_pre"),
+        pick_m(0, 1).alias("mean_ctrl_post"),
+        (
+            (pick_m(1, 1) - pick_m(1, 0)) - (pick_m(0, 1) - pick_m(0, 0))
+        ).alias("did_cents"),
+    )

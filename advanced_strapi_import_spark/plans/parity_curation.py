@@ -1712,3 +1712,241 @@ def doc_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div 1000000 AS BIGINT)"
         ).alias("sample_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc character entropy rollup (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+  FROM documents),
+cnt AS (
+  SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS c
+  FROM ch WHERE ch <> '' GROUP BY doc_id, source, ch),
+tot AS (
+  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS l FROM cnt
+  GROUP BY doc_id, source),
+term AS (
+  SELECT c.doc_id, c.source, t.l,
+         c.c * CAST(floor(ln(c.c * 1.0 / t.l) / ln(2) * 1000000)
+                    AS BIGINT) AS m
+  FROM cnt c JOIN tot t USING (doc_id, source)),
+docent AS (
+  SELECT doc_id, source,
+         -(CAST(sum(m) AS BIGINT) // max(l)) AS h_micro
+  FROM term GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_entropy_microbits,
+       CAST(min(h_micro) AS BIGINT) AS min_entropy_microbits,
+       CAST(max(h_micro) AS BIGINT) AS max_entropy_microbits
+FROM docent GROUP BY source
+""",
+    doc="Per-source character-entropy profile — the cheapest quality "
+        "signal that separates natural text (~4.1 bits/char) from "
+        "base64/hex blobs (high, flat) and boilerplate padding (low): "
+        "per-doc Shannon entropy over the character distribution, "
+        "rolled up to source mean/min/max. Exactness discipline: the "
+        "per-character term floor(ln(c/L)/ln(2)*1e6) is a BIGINT "
+        "micro-bit quantity computed from exact integer counts (the "
+        "doc_unigram_logprob micro-nat trick — Spark's Math.log and "
+        "DuckDB's libm ln agree bit-for-bit on identical doubles, "
+        "verified across every SF by that query), so per-doc entropy "
+        "-(sum(c*m)) div L and the source rollup are pure integer "
+        "arithmetic with NO order-dependent float summation anywhere. "
+        "Plan: char explode is row-local (fan_out lifts the "
+        "single-split scan to all cores), one (doc, char) partial-agg "
+        "groupBy — alphabet-bounded, so ~100 rows per doc — then two "
+        "tiny rollups; at 100 TB the explode streams and nothing "
+        "data-sized shuffles except the bounded per-doc histogram.",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    ch = d.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = ch.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("l")
+    )
+    term = cnt.join(tot, ["doc_id", "source"]).select(
+        "doc_id",
+        "source",
+        "l",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("c") * 1.0 / F.col("l"))
+                / F.log(F.lit(2.0))
+                * 1000000
+            ).cast("long")
+        ).alias("m"),
+    )
+    docent = term.groupBy("doc_id", "source").agg(
+        (-(F.sum("m").cast("long"))).alias("neg_sum"),
+        F.max("l").alias("l"),
+    ).select(
+        "doc_id", "source", F.expr("neg_sum div l").alias("h_micro")
+    )
+    return docent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(sum(h_micro) div count(1) AS BIGINT)").alias(
+            "mean_entropy_microbits"
+        ),
+        F.min("h_micro").cast("long").alias("min_entropy_microbits"),
+        F.max("h_micro").cast("long").alias("max_entropy_microbits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth fit (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_heaps_law",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxd FROM tk),
+ck AS (
+  SELECT k, (mx.maxd + 1) * k // 10 - 1 AS d
+  FROM unnest(generate_series(1, 10)) AS s(k) CROSS JOIN mx),
+first_doc AS (
+  SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM tk GROUP BY tok),
+doc_n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY doc_id),
+pts AS (
+  SELECT ck.k,
+         (SELECT CAST(sum(n_toks) AS BIGINT) FROM doc_n
+          WHERE doc_id <= ck.d) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM first_doc
+          WHERE fd <= ck.d) AS v
+  FROM ck),
+q AS (
+  SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y,
+         n, v
+  FROM pts WHERE n > 0 AND v > 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         CAST(max(n) AS BIGINT) AS tokens_total,
+         CAST(max(v) AS BIGINT) AS vocab_total
+  FROM q)
+SELECT np AS n_checkpoints, tokens_total, vocab_total,
+       CAST((sxy * np - CAST(sx AS HUGEINT) * sy) * 1000000
+            // greatest(sxx * np - CAST(sx AS HUGEINT) * sx, 1)
+            AS BIGINT) AS beta_micro,
+       CAST((sy - (sxy * np - CAST(sx AS HUGEINT) * sy) * 1000000
+                  // greatest(sxx * np - CAST(sx AS HUGEINT) * sx, 1)
+                  * sx // 1000000) // np AS BIGINT) AS logk_micro
+FROM s
+""",
+    doc="Heaps'-law fit V(n) ~ K*n^beta of vocabulary growth: token "
+        "first-occurrence positions give the exact vocabulary size at "
+        "10 doc-id checkpoints (V(d) = tokens whose min doc_id <= d — "
+        "computed as a groupBy + 10 threshold counts, NO data-sized "
+        "cumulative window), cumulative token counts give n(d), and "
+        "beta comes from exact-integer OLS on micro-nat-quantized "
+        "(ln n, ln V) — the lineitem_regression_metrics co-moment "
+        "recipe over just 10 points, so every sum is comfortably "
+        "BIGINT. beta well below 1 is the healthy sublinear regime; "
+        "beta drifting toward 1 flags a corpus whose 'vocabulary' "
+        "never saturates (serial numbers, hashes, boilerplate IDs) — "
+        "the tokenizer-budget planning read. Scale: first-occurrence "
+        "is one token-keyed groupBy (the corpus's natural shuffle "
+        "key); checkpoints broadcast; the doc-id prefix is the "
+        "ingestion order at 100 TB (any monotone ingest stamp works).",
+)
+def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    tk = (
+        fan_out(d)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tk = persist_tracked(tk)
+    tk.count()  # eager: both consumers below broadcast over this chain
+    mx = tk.agg(F.max("doc_id").cast("long").alias("maxd"))
+    ck = (
+        load(spark, sf_dir, "documents")
+        .sparkSession.range(1, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("(maxd + 1) * k div 10 - 1").alias("d"))
+    )
+    first_doc = tk.groupBy("tok").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    doc_n = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    ckb = F.broadcast(ck)
+    nv = (
+        doc_n.join(ckb, doc_n.doc_id <= ckb.d)
+        .groupBy("k", "d")
+        .agg(F.sum("n_toks").cast("long").alias("n"))
+    )
+    vv = (
+        first_doc.join(ckb, first_doc.fd <= ckb.d)
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    q = (
+        nv.join(vv, ["k", "d"])
+        .filter((F.col("n") > 0) & (F.col("v") > 0))
+        .select(
+            F.floor(F.log(F.col("n").cast("double")) * 1000000)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("v").cast("double")) * 1000000)
+            .cast("long")
+            .alias("y"),
+            "n",
+            "v",
+        )
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        # DECIMAL(38,0): micro-nat products overflow BIGINT once the
+        # centered co-moment is scaled by 1e6 (the regression recipe)
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.max("n").cast("long").alias("tokens_total"),
+        F.max("v").cast("long").alias("vocab_total"),
+    )
+    return s.select(
+        F.col("np").alias("n_checkpoints"),
+        "tokens_total",
+        "vocab_total",
+        F.expr(
+            "CAST((sxy * np - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+            " div greatest(sxx * np - CAST(sx AS DECIMAL(38,0)) * sx,"
+            "              CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("beta_micro"),
+        F.expr(
+            "CAST((sy - (sxy * np - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+            "           div greatest(sxx * np - CAST(sx AS DECIMAL(38,0)) * sx,"
+            "                        CAST(1 AS DECIMAL(38,0)))"
+            "           * sx div 1000000) div np AS BIGINT)"
+        ).alias("logk_micro"),
+    )

@@ -4573,3 +4573,437 @@ def embedding_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cos_ppm").cast("long").alias("min_top5_cos_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval ranking quality: NDCG@10 + MRR (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+WITH {_BM25_TOTALS_SQL.strip()},
+rel AS (
+  SELECT doc_id, least(3, CAST(sum(tf) AS BIGINT)) AS rel
+  FROM tf WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, r.rel,
+         row_number() OVER (ORDER BY t.score_ppm DESC, t.doc_id) AS rnk
+  FROM totals t JOIN rel r USING (doc_id)),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+  FROM rel),
+dcg AS (
+  SELECT CAST(sum(rel * CAST(floor(1000000 / (ln(rnk + 1) / ln(2)))
+                             AS BIGINT)) AS BIGINT) AS dcg_micro
+  FROM ranked WHERE rnk <= 10),
+idcg AS (
+  SELECT CAST(sum(rel * CAST(floor(1000000 / (ln(rnk + 1) / ln(2)))
+                             AS BIGINT)) AS BIGINT) AS idcg_micro
+  FROM ideal WHERE rnk <= 10),
+mrr AS (
+  SELECT CAST(coalesce(max(1000000 // rnk), 0) AS BIGINT) AS mrr_ppm
+  FROM (SELECT min(rnk) AS rnk FROM ranked WHERE rel >= 1 AND rnk <= 10))
+SELECT d.dcg_micro, i.idcg_micro,
+       CAST(d.dcg_micro * 1000000 // greatest(i.idcg_micro, 1) AS BIGINT)
+         AS ndcg_ppm,
+       m.mrr_ppm
+FROM dcg d CROSS JOIN idcg i CROSS JOIN mrr m
+""",
+    doc="Retrieval-quality metrics for the BM25 ranking: NDCG@10 and "
+        "MRR@10 against graded relevance labels (rel = query-term "
+        "frequency capped at 3 — the standard weak-label proxy when "
+        "no human judgments exist). Exactness: the position discount "
+        "1/log2(rnk+1) is quantized ONCE per rank to BIGINT micro "
+        "units (floor(1e6/log2(rnk+1)) on identical doubles — the "
+        "micro-nat discipline), so DCG, ideal DCG and ndcg_ppm are "
+        "pure integer arithmetic; ties in both rankings break on "
+        "doc_id. Plan: reuses the _bm25_totals fixed-point scorer "
+        "(tf/dl/df aggregates, broadcast stats), the candidate set is "
+        "only docs hitting a query term, and both top-10 windows run "
+        "on that term-hit subset — at 100 TB the candidate frame is "
+        "inverted-index-sized, not corpus-sized. The eval gate run "
+        "after every retrieval scorer change.",
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    rel = (
+        tf.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.least(F.lit(3), F.sum("tf")).cast("long").alias("rel"))
+    )
+    rel = persist_tracked(rel)
+    totals = _bm25_totals(spark, sf_dir)
+    wr = Window.orderBy(F.col("score_ppm").desc(), "doc_id")
+    ranked = (
+        totals.join(rel, "doc_id")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+    )
+    wi = Window.orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        rel.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= 10)
+    )
+    disc = F.floor(
+        1000000 / (F.log(F.col("rnk") + 1) / F.log(F.lit(2.0)))
+    ).cast("long")
+    dcg = ranked.agg(
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg_micro")
+    )
+    idcg = ideal.agg(
+        F.sum(F.col("rel") * disc).cast("long").alias("idcg_micro")
+    )
+    mrr = (
+        ranked.filter(F.col("rel") >= 1)
+        .agg(F.min("rnk").alias("first_rnk"))
+        .select(
+            F.coalesce(F.expr("1000000 div first_rnk"), F.lit(0))
+            .cast("long")
+            .alias("mrr_ppm")
+        )
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .crossJoin(mrr)
+        .select(
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "CAST(dcg_micro * 1000000 div greatest(idcg_micro, 1)"
+                " AS BIGINT)"
+            ).alias("ndcg_ppm"),
+            "mrr_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF distinctive terms per source (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_ctfidf_cluster_terms",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY source, term),
+w AS (
+  SELECT source, CAST(sum(tf) AS BIGINT) AS w_c FROM tf GROUP BY source),
+a AS (
+  SELECT CAST(sum(w_c) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_w
+  FROM w),
+ft AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS f_t FROM tf GROUP BY term),
+scored AS (
+  SELECT t.source, t.term, t.tf,
+         (t.tf * 1000000 // w.w_c)
+         * CAST(floor(ln(1 + CAST(a.avg_w AS DOUBLE) / f.f_t) * 1000000)
+                AS BIGINT) // 1000000 AS score_micro
+  FROM tf t
+  JOIN w USING (source) JOIN ft f USING (term) CROSS JOIN a
+  WHERE t.tf >= 2),
+ranked AS (
+  SELECT source, term, tf, score_micro,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score_micro DESC, term) AS rnk
+  FROM scored)
+SELECT source, term, tf, score_micro, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+    doc="c-TF-IDF (class-based TF-IDF, the BERTopic topic-labeling "
+        "formula) over source as the class: score = (tf_t,c / w_c) * "
+        "ln(1 + A / f_t) with w_c the class token mass, A the average "
+        "class mass and f_t the corpus-wide term frequency — the top-5 "
+        "terms per source are the words that make that source READ "
+        "different from the rest, where plain per-doc tf-idf "
+        "(tfidf_top_terms) surfaces per-document quirks. Exactness: "
+        "class rate quantizes to ppm by integral division, the log "
+        "factor to micro-nats from exact integer operands (shared "
+        "micro-nat discipline), product re-normalized by 1e6 — no "
+        "order-dependent float sum. Plan: one token explode feeds tf; "
+        "w_c / A / f_t are rollups OF tf (no second scan); class and "
+        "term stats broadcast back; one per-class top-5 window over "
+        "the (class x term) frame — vocabulary-sized, not "
+        "corpus-sized, so the plan is unchanged at 100 TB with "
+        "classes = clusters from any dedup/embedding family.",
+)
+def doc_ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    toks = fan_out(d).select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = persist_tracked(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    tf.count()  # eager: three rollups below share this chain
+    w = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("w_c"))
+    a = w.agg(
+        F.expr(
+            "CAST(sum(w_c) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("avg_w")
+    )
+    ft = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("f_t"))
+    scored = (
+        tf.filter(F.col("tf") >= 2)
+        .join(F.broadcast(w), "source")
+        .join(ft, "term")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.expr(
+                "(tf * 1000000 div w_c)"
+                " * CAST(floor(ln(1 + CAST(avg_w AS DOUBLE) / f_t)"
+                "              * 1000000) AS BIGINT) div 1000000"
+            ).alias("score_micro"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), "term"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "score_micro", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette over labeled embeddings (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_silhouette",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+expl AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(xq, 1) - 1 AS INT) AS dim,
+         unnest(xq) AS v
+  FROM q),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+  FROM expl GROUP BY label, dim),
+d2 AS (
+  SELECT e.vec_id, e.label, ct.clabel,
+         CAST(sum((e.v - ct.c) * (e.v - ct.c)) AS BIGINT) AS d2
+  FROM expl e JOIN cent ct USING (dim)
+  GROUP BY e.vec_id, e.label, ct.clabel),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN label = clabel THEN d2 END) AS a,
+         min(CASE WHEN label <> clabel THEN d2 END) AS b
+  FROM d2 GROUP BY vec_id, label),
+s AS (
+  SELECT vec_id, label,
+         (b - a) * 1000000 // greatest(greatest(a, b), 1) AS s_ppm
+  FROM ab)
+SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_silhouette_ppm,
+       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM s GROUP BY label
+""",
+    doc="Simplified silhouette coefficient per label cluster (the "
+        "O(n*k) centroid variant of the O(n^2) classic — the standard "
+        "scale substitution, sklearn's 'simplified silhouette'): "
+        "a = squared distance to own centroid, b = min squared "
+        "distance to any other centroid, s = (b-a)/max(a,b) in ppm. "
+        "Fixed-point discipline: coordinates quantize to 1e-3 BIGINT "
+        "(milli, not micro — the ppm scaling of a 64-dim squared "
+        "distance must stay under 2^63), centroids are exact integer "
+        "floor-means, distances exact integer sums — zero float "
+        "anywhere. Negative-count per cluster flags vectors sitting "
+        "closer to a foreign centroid (label noise / cluster overlap "
+        "— the embedding-quality gate before trusting labels for "
+        "curation). Plan: dim-explode is row-local; centroids are a "
+        "(k x dims)-row broadcastable rollup; the vector x centroid "
+        "join fans out k rows per vector and reduces in one partial "
+        "agg — linear in corpus size, NO pairwise n^2 anywhere.",
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    expl = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    expl = persist_tracked(expl)
+    expl.count()  # eager: centroid broadcast shares this chain
+    cent = expl.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg(F.expr("CAST(sum(v) AS BIGINT) div count(1)").alias("c"))
+    d2 = (
+        expl.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("d2"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("d2"))).alias(
+            "b"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "(b - a) * 1000000 div greatest(greatest(a, b), 1)"
+        ).alias("s_ppm"),
+    )
+    return s.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(s_ppm) div count(1) AS BIGINT)").alias(
+            "mean_silhouette_ppm"
+        ),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# three unrolled Lloyd iterations (round 7)
+# ---------------------------------------------------------------------------
+def _lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd round: distances to cent{i-1}, argmin
+    assignment, floored-integer centroid update -> cent{i}."""
+    return f"""
+d{i} AS (
+  SELECT e.vec_id, c.cluster,
+         CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+  FROM expl e JOIN cent{i - 1} c USING (dim)
+  GROUP BY e.vec_id, c.cluster),
+a{i} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM d{i}) WHERE rn = 1),
+cent{i} AS (
+  SELECT a.cluster, e.dim,
+         CAST(sum(e.v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+  FROM a{i} a JOIN expl e USING (vec_id)
+  GROUP BY a.cluster, e.dim)"""
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+expl AS (
+  SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS INT) AS dim,
+         unnest(xq) AS v
+  FROM q),
+cent0 AS (
+  SELECT vec_id AS cluster, dim, v AS c FROM expl WHERE vec_id < 8),
+"""
+    + ",".join(_lloyd_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS inertia
+FROM a3 GROUP BY cluster
+""",
+    doc="Full distributed k-means: THREE unrolled Lloyd iterations "
+        "(k=8, seeds = the 8 lowest-id vectors), converging the "
+        "single step that embedding_kmeans_step exposes — the "
+        "iterative-algorithm capstone alongside bpe_iterative_merges. "
+        "Every quantity is integer: coordinates fixed-point to 1e-3 "
+        "BIGINT, distances exact integer sums, assignment argmin by "
+        "(d2, cluster), centroid updates floored integer means — so "
+        "three rounds of assign/update are bit-identical across "
+        "engines with NO accumulated float drift, and an emptied "
+        "cluster simply drops out identically. Plan shape per round: "
+        "centers are a (k x dims)-row frame BROADCAST to the "
+        "dim-exploded corpus (the corpus-sized frame never "
+        "reshuffles), assignment reduces per vector, update reduces "
+        "per (cluster, dim) — O(n*k*d) work and two bounded shuffles "
+        "per round, the canonical distributed Lloyd. At 100 TB: "
+        "persist the exploded corpus once (done here), k*d stays "
+        "driver-free, and rounds chain as one lazy plan.",
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    expl = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    expl = persist_tracked(expl)
+    expl.count()  # eager: every round's broadcast shares this chain
+    cent = expl.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(3):
+        d2 = (
+            expl.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        best = d2.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cluster")).alias("b")
+        )
+        assign = best.select(
+            "vec_id",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.d2").alias("d2"),
+        )
+        cent = (
+            assign.join(expl, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.expr(
+                    "CAST(sum(v) AS BIGINT) div CAST(count(1) AS BIGINT)"
+                ).alias("c")
+            )
+        )
+    return assign.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
