@@ -36,6 +36,9 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 # remainder of the 50 slots re-verifies the round-6 window tail.
 _FIRST = [
     # --- round-7 additions (second wave: stats/ML batch) ---
+    "minhash_band_sweep",
+    "stream_psi_drift",
+    "dedup_cdc_chunks",
     "lineitem_regression_metrics",
     "lineitem_corr_matrix",
     "events_brier_decomposition",

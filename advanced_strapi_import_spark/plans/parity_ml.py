@@ -5007,3 +5007,229 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
         F.sum("d2").cast("long").alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-config recall sweep (round 7)
+# ---------------------------------------------------------------------------
+_SWEEP_BANDS = (2, 4, 8)
+
+
+def _bands_sql_for(bands: int, name: str) -> str:
+    """Parameterized mirror of dedup.lsh_bands for the sweep: same
+    band-id-folded 63-bit hash, over 16/bands signature columns."""
+    rows = NUM_HASHES // bands
+    parts = []
+    for b in range(bands):
+        cols = " || ',' || ".join(f"h{b * rows + r}" for r in range(rows))
+        parts.append(
+            f"SELECT id, ('0x' || substr(md5({b} || ',' || {cols}), 1, 15))"
+            f"::BIGINT AS band_hash FROM sigs"
+        )
+    return f"{name} AS (\n  " + "\n  UNION ALL ".join(parts) + ")"
+
+
+@query(
+    "minhash_band_sweep",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_SHINGLES_SQL},
+{_minhash_sig_sql()},
+{",".join(_bands_sql_for(b, f"bands{b}") for b in _SWEEP_BANDS)},
+{",".join(
+    f'''cand{b} AS (
+  SELECT DISTINCT a.id AS id_a, x.id AS id_b
+  FROM bands{b} a JOIN bands{b} x
+    ON a.band_hash = x.band_hash AND a.id < x.id)''' for b in _SWEEP_BANDS)},
+cand AS ({" UNION ".join(f"SELECT * FROM cand{b}" for b in _SWEEP_BANDS)}),
+shh AS (SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh),
+sizes AS (SELECT id, count(*) AS n FROM shh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shh a ON a.id = c.id_a
+  JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5),
+fam AS ({" UNION ALL ".join(
+    f"SELECT {b} AS n_bands, id_a, id_b FROM cand{b}" for b in _SWEEP_BANDS)}),
+famt AS (
+  SELECT f.n_bands, t.id_a IS NOT NULL AS is_true
+  FROM fam f LEFT JOIN truth t
+    ON t.id_a = f.id_a AND t.id_b = f.id_b),
+tot AS (SELECT count(*) AS n_truth FROM truth)
+SELECT CAST(n_bands AS INT) AS n_bands,
+       CAST({NUM_HASHES} / n_bands AS INT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST((SELECT n_truth FROM tot) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000
+            // greatest((SELECT n_truth FROM tot), 1) AS BIGINT)
+         AS recall_ppm
+FROM famt GROUP BY n_bands
+""",
+    doc="LSH banding-parameter sweep from ONE signature pass: with 16 "
+        "minhashes, configs (b=2,r=8), (b=4,r=4), (b=8,r=2) trade "
+        "precision for recall along the S-curve P(cand) = "
+        "1-(1-j^r)^b; each config's candidate pairs, true-pair hits "
+        "and relative recall (vs exact Jaccard >= 0.5 on the UNION of "
+        "all configs' candidates — the family_recall audit discipline) "
+        "land in one row. The signature table is computed ONCE and "
+        "persisted; each config re-bands the same 16 columns (an "
+        "explode over in-row structs, zero extra corpus passes) — the "
+        "production tuning loop for picking the banding before a "
+        "100 TB dedup run, where re-running the shingle+signature "
+        "stage per config would dominate the cost. The degenerate "
+        "r=1 config is deliberately excluded: bucketing on a single "
+        "minhash value approaches 'share any rare shingle' and its "
+        "bucket skew — the doc explains the knob, the sweep shows the "
+        "usable range. Candidate generation buckets on the folded "
+        "band hash (never all-pairs); verification is gated on the "
+        "union candidate set only.",
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sh = _shared_shingles(spark, sf_dir)
+    sig = persist_tracked(
+        D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
+    )
+    sig.count()  # eager: three band tables fan out of this frame
+    cands = {
+        b: persist_tracked(
+            D.lsh_candidate_pairs(
+                D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=b)
+            )
+        )
+        for b in _SWEEP_BANDS
+    }
+    union = None
+    for c in cands.values():
+        union = c if union is None else union.unionByName(c)
+    truth = persist_tracked(
+        D.jaccard_on_pairs(
+            corpus, union.distinct(), "text", "id",
+            shingle_df=sh, threshold=0.5,
+        ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
+    )
+    truth.count()  # eager fill before the per-config arms fan out
+    fam = None
+    for b, c in cands.items():
+        tagged = c.select(
+            F.lit(b).alias("n_bands"), "id_a", "id_b"
+        )
+        fam = tagged if fam is None else fam.unionByName(tagged)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        fam.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.when(F.col("__is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            F.col("n_bands").cast("int").alias("n_bands"),
+            F.expr(f"CAST({NUM_HASHES} / n_bands AS INT)").alias(
+                "rows_per_band"
+            ),
+            "n_cand",
+            "n_found",
+            "n_truth",
+            F.expr("n_found * 1000000 div greatest(n_truth, 1)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunk dedup (round 7)
+# ---------------------------------------------------------------------------
+def _cdc_sql() -> str:
+    """DuckDB mirror of text.cdc_chunks (same constants)."""
+    terms = " + ".join(
+        f"CAST(codes[i + {j}] AS BIGINT) * {p}"
+        for j, p in enumerate(TX.CDC_POWS)
+    )
+    w = TX.CDC_WINDOW
+    return f"""
+cdc0 AS (
+  SELECT id, text,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> ascii(c)) AS codes
+  FROM corpus),
+cdc1 AS (
+  SELECT id, text, codes,
+         CASE WHEN len(codes) >= {w} + 1
+              THEN range(2, len(codes) - {w} + 2)
+              ELSE [] END AS idx
+  FROM cdc0),
+cdc2 AS (
+  SELECT id, text, codes,
+         [1] || list_filter(idx,
+             i -> (({terms}) % {TX.CDC_MOD}) % {TX.CDC_MASK} = 0)
+             || [len(codes) + 1] AS cutpoints
+  FROM cdc1),
+chunks AS (
+  SELECT id, unnest(list_transform(range(1, len(cutpoints)),
+           k -> substr(text, CAST(cutpoints[k] AS INT),
+                       CAST(cutpoints[k + 1] - cutpoints[k] AS INT))))
+           AS chunk
+  FROM cdc2),
+cch AS (SELECT id, chunk, length(chunk) AS chunk_len
+        FROM chunks WHERE chunk <> '')
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_cdc_sql().strip()}
+SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
+       CAST((count(*) - count(DISTINCT md5(chunk))) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(chunk_len) // count(*) AS BIGINT) AS mean_chunk_len
+FROM cch
+""",
+    doc="Content-defined chunking (CDC) dedup over the duplicated "
+        "corpus — the storage-dedup/fine-grained-corpus-dedup "
+        "primitive that fixed-size segmenting (doc_segment_dedup) "
+        "cannot match: boundaries come from a LOCAL 8-char polynomial "
+        "rolling hash (cut where h %% 64 = 0), so the near-dup twins "
+        "(one appended token) share every chunk except the last — an "
+        "edit re-aligns at the next content-defined boundary instead "
+        "of shifting all later segments. The corpus-wide chunk-hash "
+        "dedup rate is the headline: it cleanly exceeds the "
+        "fixed-segment rate on the same corpus. Execution is entirely "
+        "row-local JVM higher-order functions (codepoint transform, "
+        "per-position hash filter, substring slicing — "
+        "text.cdc_chunks), then ONE distinct-count aggregate over "
+        "(chunk hash); no Python, no pairwise joins, and at 100 TB "
+        "the chunking runs inside the scan stage with only the "
+        "bounded md5-per-chunk rows shuffling.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = TX.cdc_chunks(_corpus(spark, sf_dir), "text", "id")
+    return cc.agg(
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct(F.md5("chunk")).cast("long").alias(
+            "n_distinct_chunks"
+        ),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT md5(chunk))) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.expr("CAST(sum(chunk_len) div count(1) AS BIGINT)").alias(
+            "mean_chunk_len"
+        ),
+    )

@@ -916,3 +916,78 @@ def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def psi_drift_stream(
+    events_stream: DataFrame, ref: DataFrame, mid_us: int
+) -> DataFrame:
+    """Streaming drift monitor: the REFERENCE bucket histogram (events
+    up to ``mid_us``, computed batch-side once — the 'training
+    snapshot') broadcasts to the serve; the CURRENT histogram is
+    maintained incrementally — each micro-batch collapses its
+    post-``mid_us`` events to partial (event_type, bucket) counts that
+    merge into a stored rollup (the rollup_merge_stream discipline:
+    counts are decomposable, the store never re-reads raw events).
+    The serving read full-outer-joins stored current counts with the
+    reference and computes the SAME add-one-smoothed PSI formula as
+    the batch events_value_psi — identical exact-integer counts in,
+    identical doubles out, so the stream==batch twin is hash-exact.
+    At 100 TB the store is a catalog table keyed on (type, bucket) —
+    tens of rows per model — and the monitor costs one partial agg
+    per arriving batch."""
+    partials: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.filter(F.unix_micros(F.col("ts")) > F.lit(mid_us))
+        p = cur.groupBy(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)
+            ).alias("bucket"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        partials.extend(p.collect())
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    cur = (
+        spark.createDataFrame(partials, schema)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").cast("long").alias("n_cur"))
+    )
+    halves = (
+        ref.join(cur, ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = halves.groupBy("event_type").agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        halves.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 4).alias("psi"),
+            (F.round(F.sum(term), 4) > 0.2).alias("drifted"),
+        )
+    )
