@@ -36,6 +36,7 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 # remainder of the 50 slots re-verifies the round-6 window tail.
 _FIRST = [
     # --- round-7 additions (second wave: stats/ML batch) ---
+    "multimodal_jpeg_pixels",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",

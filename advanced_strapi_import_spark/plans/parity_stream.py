@@ -1327,8 +1327,9 @@ FROM v GROUP BY doc_id, w, h
         "array to BIGINT-exact per-channel sums/min/max that the "
         "arithmetic oracle predicts from the generator formula. This "
         "retires the 'pixel decode is environment-blocked' caveat for "
-        "PNG: only genuinely codec-bound bitstreams (JPEG DCT, GIF "
-        "LZW) remain stubbed. Scale: encode+decode+stats are one "
+        "PNG (GIF LZW and baseline JPEG followed — see "
+        "multimodal_gif_pixels / multimodal_jpeg_pixels; only video "
+        "codecs remain stubbed). Scale: encode+decode+stats are one "
         "row-local Arrow pipeline per partition — no shuffle until the "
         "12-column stats frame.",
 )
@@ -1679,9 +1680,10 @@ FROM v GROUP BY doc_id, w, h
     doc="FULL GIF pixel decode — REAL, pure Python: GIF's only "
         "compression is LZW, so a ~60-line variable-width decoder "
         "(table growth, KwKwK self-reference, width bumps, 12-bit "
-        "CLEAR resets, little-endian bit unpacking) retires the last "
-        "image-side 'codec-bound' stub — only JPEG's DCT entropy "
-        "coding and video codecs remain. Per doc a spec-valid GIF87a "
+        "CLEAR resets, little-endian bit unpacking) retires another "
+        "image-side 'codec-bound' stub (baseline JPEG followed in "
+        "multimodal_jpeg_pixels; video codecs remain). Per doc a "
+        "spec-valid GIF87a "
         "(256-entry grayscale global color table, REAL LZW-compressed "
         "index stream in sub-blocks) is synthesized, gif_decode_pixels "
         "walks blocks/extensions, inflates the indices, and maps them "
@@ -1791,3 +1793,87 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.psi_drift_stream(
         ST.read_events_stream(spark, sf_dir), ref, mid_us
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL baseline JPEG pixel decode (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_jpeg_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(n_chars % 3 + 1 AS INT) AS hb
+  FROM documents),
+blocks AS (
+  SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM dims),
+v AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 19 + (k % wb) * 7 + (k // wb) * 13) % 256 AS val
+  FROM blocks)
+SELECT doc_id,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(1 AS INT) AS channels, 'JPEG' AS format,
+       CAST(wb * hb * 64 AS BIGINT) AS n_vals,
+       CAST(sum(val) * 64 AS BIGINT) AS sum_c0,
+       CAST(NULL AS BIGINT) AS sum_c1,
+       CAST(NULL AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id, wb, hb
+""",
+    doc="FULL baseline JPEG pixel decode — REAL, library-free "
+        "(jpeg_decode_pixels: marker walk, canonical Annex K Huffman "
+        "entropy decode with DPCM DC / run-length AC / byte "
+        "unstuffing, zigzag dequantization, float 2D IDCT, level "
+        "shift + crop): per doc a spec-valid baseline grayscale JPEG "
+        "is synthesized by the equally-real encoder "
+        "(jpeg_encode_gray — float DCT, full Annex K tables). "
+        "Exactness through a LOSSY codec: blocks are CONSTANT-valued "
+        "and the quant table is uniform 8s, so the only nonzero "
+        "coefficient is DC = v-128, which quantizes losslessly and "
+        "reconstructs bit-exact through the float IDCT (error "
+        "~1e-13, far below the integer rounding) — the arithmetic "
+        "oracle predicts every pixel sum from the block-gradient "
+        "formula. General (non-constant) images exercise the same AC "
+        "encode/decode paths in the unit suite with a tolerance "
+        "bound instead. This retires the image-codec stub list "
+        "entirely: PNG, BMP, GIF and baseline JPEG all decode to "
+        "real pixels in-container; what remains external is "
+        "subsampled/progressive JPEG and video bitstreams. Same "
+        "row-local Arrow encode->decode->stats pipeline as the other "
+        "pixel twins; stats/resize/aHash compose via the shared "
+        "magic-byte dispatch.",
+)
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        jpeg_encode_gray,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 4 + 1).cast("int").alias("wb"),
+        (F.col("n_chars") % 3 + 1).cast("int").alias("hb"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for did, wb, hb in zip(pdf["doc_id"], pdf["wb"], pdf["hb"]):
+                did, wb, hb = int(did), int(wb), int(hb)
+                bys = np.arange(hb)[:, None]
+                bxs = np.arange(wb)[None, :]
+                vals = (did * 19 + bxs * 7 + bys * 13) % 256
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                outs.append(jpeg_encode_gray(gray))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
