@@ -37,6 +37,7 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 _FIRST = [
     # --- round-7 additions (second wave: stats/ML batch) ---
     "multimodal_jpeg_pixels",
+    "multimodal_mixed_pixels",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",

@@ -1877,3 +1877,156 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# mixed-format FULL pixel decode in one pass (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_mixed_pixels",
+    oracle="""
+WITH png AS (
+  SELECT doc_id, CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(n_chars % 11 + 4 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 0),
+png_v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + ((i // 3) % w) * 7
+          + (i // (3 * w)) * 13 + (i % 3) * 101) % 256 AS val, i % 3 AS c
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM png)),
+png_s AS (
+  SELECT doc_id, w AS width, h AS height, 3 AS channels, 'PNG' AS format,
+         count(*) AS n_vals,
+         sum(CASE WHEN c = 0 THEN val END) AS sum_c0,
+         sum(CASE WHEN c = 1 THEN val END) AS sum_c1,
+         sum(CASE WHEN c = 2 THEN val END) AS sum_c2,
+         min(val) AS px_min, max(val) AS px_max
+  FROM png_v GROUP BY doc_id, w, h),
+bmp AS (
+  SELECT doc_id, CAST(doc_id % 9 + 2 AS INT) AS w,
+         CAST(n_chars % 7 + 2 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 1),
+bmp_v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 17 + ((i // 3) % w) * 5
+          + (i // (3 * w)) * 3 + (i % 3) * 29) % 256 AS val, i % 3 AS c
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM bmp)),
+bmp_s AS (
+  SELECT doc_id, w, h, 3, 'BMP', count(*),
+         sum(CASE WHEN c = 0 THEN val END),
+         sum(CASE WHEN c = 1 THEN val END),
+         sum(CASE WHEN c = 2 THEN val END),
+         min(val), max(val)
+  FROM bmp_v GROUP BY doc_id, w, h),
+gif AS (
+  SELECT doc_id, CAST(doc_id % 15 + 3 AS INT) AS w,
+         CAST(n_chars % 9 + 3 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 2),
+gif_v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 23 + (k % w) * 3 + (k // w) * 11) % 256 AS g
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM gif)),
+gif_s AS (
+  SELECT doc_id, w, h, 3, 'GIF', count(*) * 3,
+         sum(g), sum(g), sum(g), min(g), max(g)
+  FROM gif_v GROUP BY doc_id, w, h),
+jpg AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(n_chars % 3 + 1 AS INT) AS hb
+  FROM documents WHERE doc_id % 4 = 3),
+jpg_v AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 19 + (k % wb) * 7 + (k // wb) * 13) % 256 AS val
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM jpg)),
+jpg_s AS (
+  SELECT doc_id, wb * 8, hb * 8, 1, 'JPEG', wb * hb * 64,
+         sum(val) * 64, NULL, NULL, min(val), max(val)
+  FROM jpg_v GROUP BY doc_id, wb, hb),
+allrows AS (
+  SELECT * FROM png_s UNION ALL SELECT * FROM bmp_s
+  UNION ALL SELECT * FROM gif_s UNION ALL SELECT * FROM jpg_s)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(channels AS INT) AS channels, format,
+       CAST(n_vals AS BIGINT) AS n_vals,
+       CAST(sum_c0 AS BIGINT) AS sum_c0,
+       CAST(sum_c1 AS BIGINT) AS sum_c1,
+       CAST(sum_c2 AS BIGINT) AS sum_c2,
+       CAST(px_min AS INT) AS px_min, CAST(px_max AS INT) AS px_max
+FROM allrows
+""",
+    doc="Mixed-manifest FULL pixel decode: one binary column carrying "
+        "four container formats (doc_id mod 4 -> PNG / BMP / GIF / "
+        "baseline JPEG, each synthesized by its real encoder with its "
+        "own gradient formula) flows through ONE image_pixel_stats "
+        "pass — the shared magic-byte dispatch picks the right REAL "
+        "decoder per row, so the production shape 'a crawl dump is "
+        "never one format' needs no per-format branching in the plan. "
+        "The oracle unions the four per-format arithmetic predictions "
+        "(incl. JPEG's lossless-DC construction and GIF's palette "
+        "triplication), so a dispatch bug that routed a payload to "
+        "the wrong decoder errors or mismatches instead of passing. "
+        "Extends multimodal_mixed_manifest (header-level sniff) to "
+        "the pixel level. Row-local Arrow end to end; no shuffle "
+        "before the stats frame.",
+)
+def multimodal_mixed_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        bmp_encode_pixels,
+        gif_encode_pixels,
+        image_pixel_stats,
+        jpeg_encode_gray,
+        png_encode_pixels,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def rgb(did, w, h, m_id, m_x, m_y, m_c):
+            ys = np.arange(h)[:, None, None]
+            xs = np.arange(w)[None, :, None]
+            cs = np.arange(3)[None, None, :]
+            return (
+                (did * m_id + xs * m_x + ys * m_y + cs * m_c) % 256
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            outs = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                kind = did % 4
+                if kind == 0:
+                    w, h = did % 13 + 4, nc % 11 + 4
+                    px = rgb(did, w, h, 31, 7, 13, 101)
+                    outs.append(png_encode_pixels(px.reshape(h, w * 3)))
+                elif kind == 1:
+                    w, h = did % 9 + 2, nc % 7 + 2
+                    px = rgb(did, w, h, 17, 5, 3, 29)
+                    outs.append(bmp_encode_pixels(px.reshape(h, w * 3)))
+                elif kind == 2:
+                    w, h = did % 15 + 3, nc % 9 + 3
+                    ys = np.arange(h)[:, None]
+                    xs = np.arange(w)[None, :]
+                    g = ((did * 23 + xs * 3 + ys * 11) % 256).astype(
+                        np.uint8
+                    )
+                    outs.append(gif_encode_pixels(g))
+                else:
+                    wb, hb = did % 4 + 1, nc % 3 + 1
+                    bys = np.arange(hb)[:, None]
+                    bxs = np.arange(wb)[None, :]
+                    vals = (did * 19 + bxs * 7 + bys * 13) % 256
+                    outs.append(
+                        jpeg_encode_gray(
+                            np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
