@@ -38,6 +38,8 @@ _FIRST = [
     # --- round-7 additions (second wave: stats/ML batch) ---
     "multimodal_jpeg_pixels",
     "multimodal_mixed_pixels",
+    "events_mann_kendall",
+    "stream_transition_matrix",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",

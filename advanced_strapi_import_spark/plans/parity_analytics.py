@@ -4427,3 +4427,125 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pick_m(1, 1) - pick_m(1, 0)) - (pick_m(0, 1) - pick_m(0, 0))
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('day', ts)),
+pairs AS (
+  SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b ON a.d < b.d),
+s AS (SELECT CAST(sum(sg) AS BIGINT) AS s_stat,
+             (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+      FROM pairs),
+ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT count(*) AS t FROM daily GROUP BY n)),
+v AS (
+  SELECT s.s_stat, s.nd,
+         s.nd * (s.nd - 1) * (2 * s.nd + 5) - coalesce(t.tie_term, 0)
+           AS var18
+  FROM s CROSS JOIN ties t)
+SELECT nd AS n_days, s_stat, var18,
+       round(CASE WHEN s_stat > 0
+                  THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                  WHEN s_stat < 0
+                  THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                  ELSE 0.0 END, 4) AS z,
+       CASE WHEN round(CASE WHEN s_stat > 0
+                            THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                            WHEN s_stat < 0
+                            THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                            ELSE 0.0 END, 4) > 1.96 THEN 'increasing'
+            WHEN round(CASE WHEN s_stat > 0
+                            THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                            WHEN s_stat < 0
+                            THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                            ELSE 0.0 END, 4) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v
+""",
+    doc="Mann-Kendall non-parametric trend test over the daily event "
+        "volume series — the distribution-free companion to "
+        "orders_theil_sen_trend (which estimates the slope; MK tests "
+        "whether a monotone trend exists at all): S = sum of "
+        "sign(x_j - x_i) over ordered day pairs (EXACT integer — the "
+        "pair join runs on the ~30-row day DOMAIN, never on events), "
+        "tie-corrected variance 18*Var(S) kept as an exact integer, "
+        "and the continuity-corrected z touches floats only in the "
+        "final sqrt/divide on exact operands (round 4, identical IEEE "
+        "both engines). The volume-drift alarm for ingestion "
+        "monitoring: one day-level groupBy is the only data-sized "
+        "shuffle at any scale.",
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    daily = persist_tracked(
+        e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    daily.count()  # eager: three small consumers below share this
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("nb") > F.col("na"), 1)
+                .when(F.col("nb") < F.col("na"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "nd",
+            F.expr(
+                "nd * (nd - 1) * (2 * nd + 5) - coalesce(tie_term, 0)"
+            ).alias("var18"),
+        )
+    )
+    z = F.round(
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return v.select(
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        "var18",
+        z.alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

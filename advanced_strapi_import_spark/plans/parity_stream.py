@@ -2030,3 +2030,69 @@ def multimodal_mixed_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# streaming transition matrix with cross-batch state (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "stream_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+m AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+FROM m
+""",
+    doc="Streaming twin of events_transition_matrix with REAL "
+        "cross-batch state: the events table is re-sliced into three "
+        "time-ordered files drained at one file per trigger, so "
+        "roughly a third of all per-user transitions SPAN a "
+        "micro-batch boundary — a per-batch lag() would silently drop "
+        "every one of them. transition_matrix_stream carries each "
+        "user's last (ts, event_id, type) as keyed state into the "
+        "next batch; the drained matrix is hash-equal to the batch "
+        "window over full history, which is the proof the carry "
+        "logic loses nothing. The path-model maintenance shape for a "
+        "live product-analytics funnel.",
+)
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    e = load_events(spark, sf_dir)
+    b = e.agg(
+        F.expr(
+            "min(unix_micros(ts)) + "
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 3"
+        ).alias("t1"),
+        F.expr(
+            "min(unix_micros(ts)) + "
+            "2 * ((max(unix_micros(ts)) - min(unix_micros(ts))) div 3)"
+        ).alias("t2"),
+    ).collect()[0]
+    t1, t2 = b["t1"], b["t2"]
+    us = F.unix_micros(F.col("ts"))
+    slices = [us <= t1, (us > t1) & (us <= t2), us > t2]
+    d = tempfile.mkdtemp(prefix="trans_slices_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for i, cond in enumerate(slices):
+        w = f"{d}/w{i}"
+        e.filter(cond).coalesce(1).write.mode("overwrite").parquet(w)
+        part = globmod.glob(f"{w}/part-*.parquet")[0]
+        # flat file name: pathGlobFilter matches file names, and the
+        # name/mtime order (000..002) fixes the trigger order
+        shutil.copy(part, f"{d}/events_{i:03d}.parquet")
+    stream = ST.read_events_stream(
+        spark, d, glob="events_*.parquet", max_files_per_trigger=1
+    )
+    return ST.transition_matrix_stream(stream)

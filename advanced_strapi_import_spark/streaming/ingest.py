@@ -991,3 +991,101 @@ def psi_drift_stream(
             (F.round(F.sum(term), 4) > 0.2).alias("drifted"),
         )
     )
+
+
+def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming Markov transition matrix with CROSS-BATCH state: the
+    lag() that the batch query runs over full per-user history cannot
+    see across micro-batch boundaries, so each user's LAST event
+    (ts, event_id, type) is carried as keyed state into the next
+    batch — the carry rows join the batch, the per-user window
+    computes prev_type over carry+batch, and only non-carry rows emit
+    transitions (a carry row's own transition was counted when it was
+    live). Requires arrivals to be time-ordered ACROSS batches (file
+    slices ordered by ts — the registry query manufactures exactly
+    that; an out-of-order source needs the watermarked as-of variant).
+    State and per-batch partials are |users| / |types|^2 rows — at
+    100 TB both live in keyed tables (transformWithState /
+    MERGE-maintained), same shapes, and the collect here is the
+    documented single-node store stand-in (rollup_merge_stream
+    discipline)."""
+    from pyspark.sql.window import Window
+
+    carry_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    last_rows: list = []
+    partials: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            "user_id", "event_type", "ts", "event_id"
+        ).withColumn("__carry", F.lit(False))
+        carry = spark.createDataFrame(last_rows, carry_schema).withColumn(
+            "__carry", F.lit(True)
+        )
+        u = batch.unionByName(carry)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = u.select(
+            "user_id",
+            "event_type",
+            "__carry",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        trans = (
+            seq.filter(
+                (~F.col("__carry")) & F.col("prev_type").isNotNull()
+            )
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        partials.extend(trans.collect())
+        best = (
+            u.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("b"))
+            .select(
+                "user_id",
+                F.col("b.event_type").alias("event_type"),
+                F.col("b.ts").alias("ts"),
+                F.col("b.event_id").alias("event_id"),
+            )
+        )
+        new_last = best.collect()
+        last_rows.clear()
+        last_rows.extend(new_last)
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    store = (
+        spark.createDataFrame(partials, schema)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    tot = store.agg(F.sum("n").cast("long").alias("t"))
+    return store.crossJoin(F.broadcast(tot)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000 div t").cast("long").alias("share_ppm"),
+    )

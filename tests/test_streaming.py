@@ -280,3 +280,50 @@ def test_full_outer_stream_join_emits_both_null_sides(spark, tmp_path):
     )
     got = {(r["view_id"], r["purchase_id"]) for r in out.collect()}
     assert got == {(1, 2), (3, None), (None, 4)}
+
+
+def test_transition_matrix_stream_cross_batch_carry(spark, tmp_path):
+    """A transition spanning the batch boundary must be counted once:
+    user 1 ends batch A with 'view' and opens batch B with 'click' —
+    per-batch lag() would miss (view -> click)."""
+    import shutil
+
+    rows_a = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (1, "2024-01-01 10:05:00", 2, "click"),
+        (2, "2024-01-01 10:06:00", 3, "signup"),
+    ]
+    rows_b = [
+        (1, "2024-01-01 11:00:00", 4, "click"),
+        (2, "2024-01-01 11:01:00", 5, "purchase"),
+        (3, "2024-01-01 11:02:00", 6, "view"),
+    ]
+    d = tmp_path / "slices"
+    d.mkdir()
+    for name, rows in [("events_000.parquet", rows_a), ("events_001.parquet", rows_b)]:
+        w = tmp_path / f"w_{name}"
+        spark.createDataFrame(
+            [
+                (eid, ts, uid, typ, 1.0, "{}")
+                for uid, ts, eid, typ in rows
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.parquet(str(w))
+        shutil.copy(next(w.glob("part-*.parquet")), d / name)
+
+    stream = ST.read_events_stream(
+        spark, str(d), glob="events_*.parquet", max_files_per_trigger=1
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in ST.transition_matrix_stream(stream).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,       # within batch A (user 1)
+        ("click", "click"): 1,      # ACROSS the boundary (user 1)
+        ("signup", "purchase"): 1,  # across the boundary (user 2)
+    }
