@@ -1594,6 +1594,8 @@ def jpeg_decode_pixels(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("invalid JPEG: marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # spec-legal fill bytes before a marker
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

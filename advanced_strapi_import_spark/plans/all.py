@@ -40,6 +40,7 @@ _FIRST = [
     "multimodal_mixed_pixels",
     "events_mann_kendall",
     "stream_transition_matrix",
+    "embedding_pca_top2",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",

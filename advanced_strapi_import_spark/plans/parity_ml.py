@@ -5233,3 +5233,231 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chunk_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# top-2 PCA via integer-quantized orthogonal iteration (round 7)
+# ---------------------------------------------------------------------------
+def _pca_matvec_sql(tag: str, vtab: str) -> str:
+    """One Gram-matrix-free matvec w = X^T (X v) over the exploded
+    micro-int table, HUGEINT-widened."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and this chain
+    # references each level twice (matvec + its max-abs scalar) — the
+    # inlined tree doubles per round and the un-materialized oracle
+    # measurably never finishes even at sf0.001
+    return f"""
+dots{tag} AS MATERIALIZED (
+  SELECT e.vec_id, sum(CAST(e.x AS HUGEINT) * v.v) AS dot
+  FROM expl e JOIN {vtab} v USING (dim) GROUP BY e.vec_id),
+w{tag} AS MATERIALIZED (
+  SELECT e.dim, sum(CAST(e.x AS HUGEINT) * d.dot) AS w
+  FROM expl e JOIN dots{tag} d USING (vec_id) GROUP BY e.dim)"""
+
+
+def _pca_rescale_sql(tag: str, wtab: str, out: str) -> str:
+    return f"""
+{out} AS MATERIALIZED (
+  SELECT dim, CAST(w * 1000000
+       // greatest((SELECT max(abs(w)) FROM {wtab}), 1) AS BIGINT) AS v
+  FROM {wtab})"""
+
+
+def _pca_deflate_sql(tag: str, wtab: str, out: str) -> str:
+    """Project the v1 direction out of w (integer quotient coefficient
+    — deterministic in both engines)."""
+    return f"""
+proj{tag} AS MATERIALIZED (
+  SELECT (SELECT sum(a.v * w.w) FROM v1fin a JOIN {wtab} w USING (dim))
+         // greatest((SELECT sum(CAST(v AS HUGEINT) * v) FROM v1fin), 1)
+           AS c),
+{out} AS MATERIALIZED (
+  SELECT w.dim, w.w - p.c * coalesce(a.v, 0) AS w
+  FROM {wtab} w CROSS JOIN proj{tag} p
+  LEFT JOIN v1fin a USING (dim))"""
+
+
+def _pca_oracle_sql() -> str:
+    parts = [
+        """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+expl AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS INT) AS dim,
+         unnest(xq) AS x
+  FROM q),
+dims AS MATERIALIZED (SELECT DISTINCT dim FROM expl),
+v1_0 AS (SELECT dim, CAST(1000000 AS BIGINT) AS v FROM dims)"""
+    ]
+    prev = "v1_0"
+    for i in range(1, 4):
+        parts.append(_pca_matvec_sql(f"1_{i}", prev))
+        out = "v1fin" if i == 3 else f"v1_{i}"
+        parts.append(_pca_rescale_sql(f"1_{i}", f"w1_{i}", out))
+        prev = out
+    parts.append(
+        """
+v2_0 AS (SELECT dim,
+                CAST((dim % 2 * 2 - 1) * 1000000 AS BIGINT) AS v
+         FROM dims)"""
+    )
+    prev = "v2_0"
+    for i in range(1, 4):
+        parts.append(_pca_matvec_sql(f"2_{i}", prev))
+        parts.append(_pca_deflate_sql(f"2_{i}", f"w2_{i}", f"wd2_{i}"))
+        out = "v2fin" if i == 3 else f"v2_{i}"
+        parts.append(_pca_rescale_sql(f"2_{i}", f"wd2_{i}", out))
+        prev = out
+    body = ",".join(p.strip() for p in parts)
+    return (
+        "WITH "
+        + body
+        + """
+SELECT 1 AS component, dim, v AS v_micro FROM v1fin
+UNION ALL
+SELECT 2, dim, v FROM v2fin
+"""
+    )
+
+
+@query(
+    "embedding_pca_top2",
+    oracle=_pca_oracle_sql(),
+    doc="Top-2 principal directions by integer-quantized ORTHOGONAL "
+        "iteration — distributed PCA without ever materializing the "
+        "Gram matrix: each round is the Gram-free matvec w = X^T(X v) "
+        "(a vec_id-keyed dot pass then a dim-keyed weighted sum — the "
+        "embedding_power_iteration shape), rescaled to +-1e6 integer "
+        "by max-abs so THREE rounds accumulate zero float drift; the "
+        "second component projects the converged first direction out "
+        "of every iterate with an integer quotient coefficient "
+        "(deflation), from a sign-alternating start deterministically "
+        "non-parallel to v1. Everything after the 1e-6 fixed-pointing "
+        "is exact integer arithmetic in DECIMAL(38,0)/HUGEINT "
+        "(x*dot reaches ~2e19 — past BIGINT — at 500 rows already; "
+        "headroom to ~1e9 rows documented in SCALE.md), so both "
+        "engines emit bit-identical eigvector quantizations, sign "
+        "included. Completes the iterative-linear-algebra arc "
+        "(power step -> Lloyd -> full orthogonal iteration). Scale: "
+        "the exploded corpus is persisted once and re-used by all six "
+        "matvecs; per round the only shuffles are a per-vector dot "
+        "reduce and a 64-group dim reduce; centers/iterates are "
+        "64-row broadcast frames — O(n*d) per round, driver-free. "
+        "Wall time is dominated by the seven eager lineage-truncation "
+        "jobs (localCheckpoint per round — required: the plan embeds "
+        "its predecessor twice, so un-truncated analysis is "
+        "exponential in rounds), a FIXED job-latency cost that is "
+        "constant in corpus size — at 100 TB the same seven jobs "
+        "bound the control-plane overhead while the matvec data path "
+        "scales linearly.",
+)
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    expl = persist_tracked(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                        "long"
+                    ),
+                )
+            ).alias("dim", "x"),
+        )
+    )
+    expl.count()  # eager: six matvecs share this chain
+    dims = expl.select("dim").distinct()
+
+    def matvec(v: DataFrame) -> DataFrame:
+        dots = (
+            expl.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)") * F.col("v")).alias(
+                    "dot"
+                )
+            )
+        )
+        w = (
+            expl.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)") * F.col("dot")).alias(
+                    "w"
+                )
+            )
+        )
+        # localCheckpoint EVERY round's 64-row result: each round's
+        # plan embeds the previous round's plan TWICE (the matvec and
+        # its max-abs broadcast scalar), so lineage doubles per round —
+        # 2^6 copies by round six made Catalyst analysis alone take
+        # minutes (measured as a hang). Truncating lineage at the
+        # 64-row frame keeps plan depth constant (the dedup
+        # connected-components loop discipline); persist+count is NOT
+        # enough because cache substitution happens after analysis.
+        return w.localCheckpoint(eager=True)
+
+    from pyspark.sql.window import Window
+
+    def rescale(w: DataFrame) -> DataFrame:
+        # max-abs as a window over the 64-row checkpointed frame — a
+        # broadcast-scalar formulation costs one extra job per round
+        # (the kcore `converged` lesson applied to job count)
+        mx = F.greatest(
+            F.max(F.abs(F.col("w"))).over(Window.partitionBy()),
+            F.lit(1).cast("decimal(38,0)"),
+        )
+        return w.withColumn("mx", mx).select(
+            "dim", F.expr("CAST(w * 1000000 div mx AS BIGINT)").alias("v")
+        )
+
+    v = dims.select("dim", F.lit(1000000).cast("long").alias("v"))
+    for _ in range(3):
+        v = rescale(matvec(v))
+    # deflation re-reads v1 in every round (twice per round: projection
+    # numerator and subtraction) — truncate its lineage too
+    v1 = v.localCheckpoint(eager=True)
+
+    def deflate(w: DataFrame) -> DataFrame:
+        # projection coefficient via windows over the 64-row joined
+        # frame — no broadcast-scalar subplans, no extra jobs
+        j = w.join(v1.withColumnRenamed("v", "a"), "dim", "left").select(
+            "dim", "w", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+        )
+        glob = Window.partitionBy()
+        p = F.sum(F.col("a").cast("decimal(38,0)") * F.col("w")).over(glob)
+        den = F.greatest(
+            F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).over(glob),
+            F.lit(1).cast("decimal(38,0)"),
+        )
+        return (
+            j.withColumn("p", p)
+            .withColumn("den", den)
+            .select(
+                "dim",
+                # widen the quotient before the multiply: c*a reaches
+                # ~1e19-1e22 on the first deflation round — past BIGINT
+                F.expr(
+                    "w - CAST(p div den AS DECIMAL(38,0)) * a"
+                ).alias("w"),
+            )
+        )
+
+    u = dims.select(
+        "dim",
+        F.expr("CAST((dim % 2 * 2 - 1) * 1000000 AS BIGINT)").alias("v"),
+    )
+    for _ in range(3):
+        u = rescale(deflate(matvec(u)))
+    out1 = v1.select(
+        F.lit(1).cast("int").alias("component"), "dim",
+        F.col("v").alias("v_micro"),
+    )
+    out2 = u.select(
+        F.lit(2).cast("int").alias("component"), "dim",
+        F.col("v").alias("v_micro"),
+    )
+    return out1.unionByName(out2)

@@ -442,9 +442,15 @@ def _mmr_reference(cand_rows, picks=3, rw=0.7, dw=0.3):
     return out
 
 
+# magnitude + sign instead of filter(abs > 1e-3): the filtered form
+# rejects most draws once Hypothesis shrinks toward zero and trips the
+# filter_too_much health check on some seeds (round-7 flake)
 VEC = st.lists(
-    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
-              allow_infinity=False, width=32).filter(lambda x: abs(x) > 1e-3),
+    st.tuples(
+        st.floats(min_value=2.0 ** -10, max_value=2.0, allow_nan=False,
+                  allow_infinity=False, width=32),
+        st.booleans(),
+    ).map(lambda t: t[0] if t[1] else -t[0]),
     min_size=4, max_size=4,
 )
 POOL = st.lists(VEC, min_size=1, max_size=8, unique_by=tuple)
