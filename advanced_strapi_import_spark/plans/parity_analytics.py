@@ -4549,3 +4549,109 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_spearman",
+    oracle="""
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+xd AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c,
+         sum(count(*)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+  FROM b GROUP BY x),
+xr AS (SELECT x, 2 * coalesce(cb, 0) + c + 1 AS rx FROM xd),
+yd AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS c,
+         sum(count(*)) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+  FROM b GROUP BY y),
+yr AS (SELECT y, 2 * coalesce(cb, 0) + c + 1 AS ry FROM yd),
+r AS (
+  SELECT CAST(xr.rx AS BIGINT) AS rx, CAST(yr.ry AS BIGINT) AS ry
+  FROM b JOIN xr USING (x) JOIN yr USING (y)),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM r)
+SELECT n,
+       round(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+             (sqrt(CAST(greatest(sxx * n - CAST(sx AS HUGEINT) * sx, 1)
+                        AS DOUBLE))
+              * sqrt(CAST(greatest(syy * n - CAST(sy AS HUGEINT) * sy, 1)
+                          AS DOUBLE))), 6) AS spearman_rho
+FROM g
+""",
+    doc="Spearman rank correlation (quantity vs price) — the "
+        "monotone-dependence companion to the Pearson matrix "
+        "(lineitem_corr_matrix measures linear dependence on raw "
+        "values; Spearman is Pearson on average ranks, robust to any "
+        "monotone transform and to outliers). Exactness: tie-averaged "
+        "ranks are kept DOUBLED (2*rank is always integral under tie "
+        "averaging — the Mann-Whitney trick), computed by collapsing "
+        "each variable to its VALUE DOMAIN and cumsum-ing counts "
+        "(domain-sized windows, never a data-sized sort), joined back "
+        "to rows by value; the co-moments then run in "
+        "HUGEINT/DECIMAL(38,0) and one final sqrt/divide on exact "
+        "integers rounds identically in both engines. Plan: two "
+        "domain rollups broadcast back onto the fact, one co-moment "
+        "reduce — the fact table shuffles zero times beyond its "
+        "domain groupBys at any scale.",
+)
+def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        d = b.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return d.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    xr = doubled_ranks("x", "rx")
+    yr = doubled_ranks("y", "ry")
+    r = b.join(F.broadcast(xr), "x").join(yr, "y").select("rx", "ry")
+    g = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias("syy"),
+    )
+    num = "(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy)"
+    denx = (
+        "greatest(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx,"
+        " CAST(1 AS DECIMAL(38,0)))"
+    )
+    deny = (
+        "greatest(syy * n - CAST(sy AS DECIMAL(38,0)) * sy,"
+        " CAST(1 AS DECIMAL(38,0)))"
+    )
+    return g.selectExpr(
+        "n",
+        f"round(CAST({num} AS DOUBLE) / (sqrt(CAST({denx} AS DOUBLE))"
+        f" * sqrt(CAST({deny} AS DOUBLE))), 6) AS spearman_rho",
+    )
