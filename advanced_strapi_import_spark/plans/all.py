@@ -41,6 +41,7 @@ _FIRST = [
     "events_mann_kendall",
     "stream_transition_matrix",
     "embedding_pca_top2",
+    "lineitem_spearman",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",
