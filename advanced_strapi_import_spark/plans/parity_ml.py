@@ -5390,14 +5390,16 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        # localCheckpoint EVERY round's 64-row result: each round's
-        # plan embeds the previous round's plan TWICE (the matvec and
-        # its max-abs broadcast scalar), so lineage doubles per round —
-        # 2^6 copies by round six made Catalyst analysis alone take
-        # minutes (measured as a hang). Truncating lineage at the
-        # 64-row frame keeps plan depth constant (the dedup
-        # connected-components loop discipline); persist+count is NOT
-        # enough because cache substitution happens after analysis.
+        # localCheckpoint EVERY round's 64-row result. Measured hang
+        # without it: with broadcast-scalar rescale each round embedded
+        # its predecessor TWICE (matvec + max-abs subtree), so analysis
+        # went exponential in rounds — persist+count could not help
+        # because cache substitution happens only after analysis. The
+        # rescale/deflate scalars are windows now (no second
+        # embedding), but truncation stays: it keeps plan depth
+        # constant across rounds and stops every broadcast(v) build
+        # from re-running the whole previous-round chain (the dedup
+        # connected-components loop discipline).
         return w.localCheckpoint(eager=True)
 
     from pyspark.sql.window import Window

@@ -225,6 +225,24 @@ def main() -> None:
                     "class) — iterative graph queries eager-fill each "
                     "round's persist for exactly this reason."
                 ),
+                "r7_family_recall": (
+                    "dedup_family_recall's r6 10.5s (vs 5.3s r5) was "
+                    "re-measured standalone in r7: warm 5.0s == r5, cold "
+                    "first-run 23.6s — the move is cold-materialization "
+                    "timing of the three persisted family/truth frames "
+                    "under suite heap state, not a plan change (plans "
+                    "byte-identical; the query is the audit that "
+                    "rebuilds BOTH candidate families from scratch by "
+                    "design)."
+                ),
+                "r7_fixed_job_cost": (
+                    "embedding_pca_top2 and embedding_kmeans_lloyd are "
+                    "round-iterated: their wall time is dominated by a "
+                    "CONSTANT number of lineage-truncation/broadcast "
+                    "jobs (7 and 3), invariant in data size — the "
+                    "scale-relevant number is their per-round shuffle "
+                    "volume in SCALING.md, not the local[32] seconds."
+                ),
             }}
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
         json.dump(full, f, indent=1)

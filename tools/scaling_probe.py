@@ -68,6 +68,12 @@ PROBES = [
     ("events_sprt_ab", "multi-column distributed cumsum per arm"),
     ("embedding_gram_matrix", "d^2 Gram partials, one matmul per batch"),
     ("doc_keyword_rake", "segment window + phrase-vocab joins"),
+    ("lineitem_corr_matrix", "one-pass DECIMAL co-moment matrix"),
+    ("events_conformal_interval", "domain-collapse order statistic"),
+    ("embedding_kmeans_lloyd", "3 Lloyd rounds, broadcast centers"),
+    ("dedup_cdc_chunks", "row-local CDC chunking + chunk-hash dedup"),
+    ("minhash_band_sweep", "one signature table re-banded 3 ways"),
+    ("embedding_pca_top2", "orthogonal iteration, fixed job count"),
 ]
 
 
