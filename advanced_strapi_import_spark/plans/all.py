@@ -42,6 +42,10 @@ _FIRST = [
     "stream_transition_matrix",
     "embedding_pca_top2",
     "lineitem_spearman",
+    "lineitem_theil_decomposition",
+    "events_runs_test",
+    "events_user_activity_powerlaw",
+    "events_type_entropy_daily",
     "minhash_band_sweep",
     "stream_psi_drift",
     "dedup_cdc_chunks",

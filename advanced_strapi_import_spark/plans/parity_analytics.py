@@ -4655,3 +4655,422 @@ def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(CAST({num} AS DOUBLE) / (sqrt(CAST({denx} AS DOUBLE))"
         f" * sqrt(CAST({deny} AS DOUBLE))), 6) AS spearman_rho",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within decomposition (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_theil_decomposition",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem),
+vals AS (
+  SELECT g, c, CAST(count(*) AS BIGINT) AS k FROM b GROUP BY g, c),
+gs AS (
+  SELECT g, CAST(sum(k) AS BIGINT) AS ng,
+         CAST(sum(k * c) AS BIGINT) AS sg
+  FROM vals GROUP BY g),
+tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s
+  FROM gs),
+tterm AS (
+  SELECT v.g, v.k, v.c,
+         CAST(floor(ln(v.c * 1.0 * t.n / t.s) * 1000000) AS BIGINT) AS m,
+         CAST(floor(ln(v.c * 1.0 * gs.ng / gs.sg) * 1000000) AS BIGINT)
+           AS mg
+  FROM vals v JOIN gs USING (g) CROSS JOIN tot t),
+tg AS (
+  SELECT g,
+         CAST(sum(CAST(k AS HUGEINT) * c * mg) // max(gs.sg) AS BIGINT)
+           AS t_g_micro,
+         max(gs.sg) AS sg
+  FROM tterm JOIN gs USING (g) GROUP BY g),
+total AS (
+  SELECT CAST(sum(CAST(k AS HUGEINT) * c * m)
+              // (SELECT s FROM tot) AS BIGINT) AS theil_total_micro
+  FROM tterm),
+btw AS (
+  SELECT CAST(sum(CAST(sg AS HUGEINT)
+                  * CAST(floor(ln(sg * 1.0 * t.n / ((ng * 1.0) * t.s))
+                               * 1000000) AS BIGINT))
+              // max(t.s) AS BIGINT) AS theil_between_micro
+  FROM gs CROSS JOIN tot t),
+wth AS (
+  SELECT CAST(sum(CAST(sg AS HUGEINT) * t_g_micro)
+              // (SELECT s FROM tot) AS BIGINT) AS theil_within_micro
+  FROM tg)
+SELECT (SELECT n FROM tot) AS n,
+       (SELECT theil_total_micro FROM total) AS theil_total_micro,
+       (SELECT theil_between_micro FROM btw) AS theil_between_micro,
+       (SELECT theil_within_micro FROM wth) AS theil_within_micro
+""",
+    doc="Theil-T inequality index over revenue cents with the classic "
+        "between/within decomposition by returnflag — the inequality "
+        "read that, unlike Gini (events_user_lorenz_gini), decomposes "
+        "EXACTLY into a between-groups term plus a share-weighted "
+        "within-group sum, so a concentration shift can be attributed "
+        "to segment mix vs within-segment spread. Exactness: the fact "
+        "table collapses to its (group, cents) VALUE DOMAIN; each "
+        "distinct value contributes k*c*floor(ln(c*n/S)*1e6) — a "
+        "micro-nat BIGINT term from exact integer operands (shared "
+        "log-quantization discipline) accumulated in HUGEINT/DECIMAL; "
+        "total, between and within are each computed directly, so the "
+        "decomposition identity holds up to the stated quantization "
+        "floor. Plan: one (group, cents) groupBy is the only "
+        "data-sized shuffle; group and grand totals broadcast back "
+        "onto the domain frame.",
+)
+def lineitem_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    vals = persist_tracked(
+        b.groupBy("g", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    vals.count()  # eager: group/grand totals broadcast over this chain
+    gs = vals.groupBy("g").agg(
+        F.sum("k").cast("long").alias("ng"),
+        F.sum(F.col("k") * F.col("c")).cast("long").alias("sg"),
+    )
+    tot = gs.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+    )
+    tterm = (
+        vals.join(F.broadcast(gs), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g", "k", "c", "ng", "sg", "n", "s",
+            F.floor(
+                F.log(F.col("c") * 1.0 * F.col("n") / F.col("s")) * 1000000
+            ).cast("long").alias("m"),
+            F.floor(
+                F.log(F.col("c") * 1.0 * F.col("ng") / F.col("sg")) * 1000000
+            ).cast("long").alias("mg"),
+        )
+    )
+    tterm = persist_tracked(tterm)
+    tterm.count()  # eager: three aggregates below consume this frame
+    tg = tterm.groupBy("g").agg(
+        F.expr(
+            "CAST(sum(CAST(k AS DECIMAL(38,0)) * c * mg) div max(sg)"
+            " AS BIGINT)"
+        ).alias("t_g_micro"),
+        F.max("sg").alias("sg"),
+        F.max("s").alias("s"),
+    )
+    total = tterm.agg(
+        F.expr(
+            "CAST(sum(CAST(k AS DECIMAL(38,0)) * c * m) div max(s)"
+            " AS BIGINT)"
+        ).alias("theil_total_micro"),
+        F.count(F.lit(1)).alias("__nv"),
+    ).select("theil_total_micro")
+    btw = (
+        gs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sg"),
+            F.col("s"),
+            F.floor(
+                F.log(
+                    F.col("sg") * 1.0 * F.col("n")
+                    / (F.col("ng").cast("double") * F.col("s"))
+                )
+                * 1000000
+            ).cast("long").alias("mb"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(sg AS DECIMAL(38,0)) * mb) div max(s)"
+                " AS BIGINT)"
+            ).alias("theil_between_micro")
+        )
+    )
+    wth = tg.agg(
+        F.expr(
+            "CAST(sum(CAST(sg AS DECIMAL(38,0)) * t_g_micro) div max(s)"
+            " AS BIGINT)"
+        ).alias("theil_within_micro")
+    )
+    n_row = tot.select(F.col("n"))
+    return (
+        n_row.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(btw))
+        .crossJoin(F.broadcast(wth))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test, pooled over users (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_runs_test",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+mu AS (
+  SELECT user_id, CAST(sum(cents) // count(*) AS BIGINT) AS mu
+  FROM c GROUP BY user_id),
+sgn AS (
+  SELECT c.user_id, c.ts, c.event_id,
+         CASE WHEN c.cents > mu.mu THEN 1 ELSE 0 END AS s
+  FROM c JOIN mu USING (user_id)),
+runs AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS DISTINCT FROM s
+              THEN 1 ELSE 0 END AS brk
+  FROM sgn),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(brk) AS BIGINT) AS r,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM runs GROUP BY user_id),
+ok AS (SELECT * FROM per_user WHERE n1 > 0 AND n2 > 0 AND n >= 2),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(r) AS BIGINT) AS total_runs,
+         CAST(sum(r * 1000000
+                  - (1000000 + 2000000 * n1 * n2 // n)) AS BIGINT)
+           AS num_ppm,
+         CAST(sum(CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - n)
+                  * 1000000000000
+                  // (CAST(n AS HUGEINT) * n * (n - 1))) AS BIGINT)
+           AS var_sum_p12
+  FROM ok)
+SELECT n_users, total_runs,
+       round(num_ppm / sqrt(CAST(greatest(var_sum_p12, 1) AS DOUBLE)), 4)
+         AS z,
+       abs(round(num_ppm / sqrt(CAST(greatest(var_sum_p12, 1) AS DOUBLE)),
+                 4)) <= 1.96 AS looks_random
+FROM agg
+""",
+    doc="Wald-Wolfowitz runs test pooled over per-user event-value "
+        "sequences: within each user's (ts, event_id)-ordered stream, "
+        "values are coded above/below the user's exact floored mean "
+        "(equal -> below, deterministic) and the run count R = 1 + "
+        "sign changes is compared to its null expectation 1 + "
+        "2*n1*n2/n; users are independent, so the pooled z sums the "
+        "exact ppm-quantized numerators over a summed variance "
+        "(2*n1*n2*(2*n1*n2-n)/(n^2*(n-1)), kept as exact integer "
+        "pico units). Detects serial dependence (bursts, trending "
+        "autocorrelation) that marginal stats miss — the sequence- "
+        "randomness gate next to events_autocorr, distribution-free. "
+        "Degenerate single-sided users (n1=0 or n2=0) carry zero "
+        "information and are excluded identically in both engines. "
+        "Plan: one user-partitioned lag window (the natural user-hash "
+        "shuffle), one rollup; z is the only float, on exact integer "
+        "operands.",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    c = e.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mu = c.groupBy("user_id").agg(
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mu")
+    )
+    sgn = c.join(mu, "user_id").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("cents") > F.col("mu"), 1).otherwise(0).alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = sgn.select(
+        "user_id", "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.sum("brk").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ok = per_user.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") >= 2)
+    )
+    agg = ok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r").cast("long").alias("total_runs"),
+        F.sum(
+            F.expr("r * 1000000 - (1000000 + 2000000 * n1 * n2 div n)")
+        ).cast("long").alias("num_ppm"),
+        F.sum(
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * n1 * n2 * (2 * n1 * n2 - n)"
+                " * 1000000000000"
+                " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            )
+        ).cast("long").alias("var_sum_p12"),
+    )
+    z = F.round(
+        F.col("num_ppm")
+        / F.sqrt(F.greatest(F.col("var_sum_p12"), F.lit(1)).cast("double")),
+        4,
+    )
+    return agg.select(
+        "n_users", "total_runs", z.alias("z"),
+        (F.abs(z) <= 1.96).alias("looks_random"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy-tail exponent of user activity (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_activity_powerlaw",
+    oracle="""
+WITH ua AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events
+  GROUP BY user_id),
+tail AS (SELECT x FROM ua WHERE x >= 5),
+terms AS (
+  SELECT CAST(floor(ln(x / 4.5) * 1000000) AS BIGINT) AS m FROM tail),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         CAST(sum(m) AS BIGINT) AS sm
+  FROM terms)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ua) AS n_users,
+       n_tail,
+       CAST(5 AS BIGINT) AS xmin,
+       CAST(1000000 + n_tail * 1000000000000 // greatest(sm, 1)
+            AS BIGINT) AS alpha_micro
+FROM agg
+""",
+    doc="Discrete power-law (Zipf) exponent of the per-user activity "
+        "distribution by the standard continuous-approximation MLE "
+        "(Clauset-Shalizi-Newman): alpha = 1 + n / sum(ln(x / "
+        "(xmin - 0.5))) over the tail x >= xmin = 5. The "
+        "heavy-tail audit run before capacity planning and "
+        "per-user sampling budgets — an alpha drifting toward 2 "
+        "means a few users dominate the event stream (the same read "
+        "dedup cluster sizes and domain caps get via "
+        "part_brand_herfindahl / doc_domain_caps, here as a fitted "
+        "tail exponent). Exactness: x is an exact integer count, the "
+        "per-user term floor(ln(x/4.5)*1e6) is a BIGINT micro-nat "
+        "from the same double in both engines, and alpha_micro is "
+        "one integral division — deterministic end to end. Plan: one "
+        "user groupBy (the natural shuffle), a 1-row reduce; at "
+        "100 TB the tail filter prunes the rollup, not the events.",
+)
+def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    ua = persist_tracked(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    ua.count()  # eager: the n_users scalar shares this chain
+    terms = ua.filter(F.col("x") >= 5).select(
+        F.floor(F.log(F.col("x") / 4.5) * 1000000).cast("long").alias("m")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("m").cast("long").alias("sm"),
+    )
+    n_users = ua.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return (
+        n_users.crossJoin(F.broadcast(agg))
+        .select(
+            "n_users",
+            "n_tail",
+            F.lit(5).cast("long").alias("xmin"),
+            F.expr(
+                "CAST(1000000 + n_tail * 1000000000000"
+                " div greatest(sm, 1) AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily event-mix entropy series (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "events_type_entropy_daily",
+    oracle="""
+WITH cnt AS (
+  SELECT date_trunc('day', ts) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY date_trunc('day', ts), event_type),
+tot AS (
+  SELECT d, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY d),
+ent AS (
+  SELECT c.d, t.n, t.n_types,
+         -(CAST(sum(c.c * CAST(floor(ln(c.c * 1.0 / t.n) / ln(2) * 1000000)
+                               AS BIGINT)) AS BIGINT) // t.n)
+           AS h_microbits
+  FROM cnt c JOIN tot t USING (d) GROUP BY c.d, t.n, t.n_types)
+SELECT strftime(d, '%Y-%m-%d') AS day, n, n_types, h_microbits,
+       h_microbits
+       - lag(h_microbits) OVER (ORDER BY d) AS delta_microbits
+FROM ent
+""",
+    doc="Daily event-type-mix Shannon entropy series with day-over-day "
+        "deltas — the live twin of source_lang_entropy's composition "
+        "audit: a collapsing entropy means one event type is eating "
+        "the stream (instrumentation bug or incident), a jump means a "
+        "new flow appeared; the delta column is what a monitor "
+        "alerts on. Exact micro-bit discipline throughout (counts -> "
+        "floor(ln(c/n)/ln(2)*1e6) BIGINT terms -> integral division), "
+        "so the series and its first difference are bit-identical "
+        "across engines. The lag window runs on the ~30-row DAY "
+        "domain; the only data-sized shuffle is the (day, type) "
+        "rollup.",
+)
+def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    cnt = e.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy("d").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ent = (
+        cnt.join(tot, "d")
+        .groupBy("d", "n", "n_types")
+        .agg(
+            (
+                -(
+                    F.sum(
+                        F.col("c")
+                        * F.floor(
+                            F.log(F.col("c") * 1.0 / F.col("n"))
+                            / F.log(F.lit(2.0))
+                            * 1000000
+                        ).cast("long")
+                    ).cast("long")
+                )
+            ).alias("neg_sum")
+        )
+        .select(
+            "d", "n", "n_types",
+            F.expr("neg_sum div n").alias("h_microbits"),
+        )
+    )
+    w = Window.orderBy("d")
+    return ent.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "n_types",
+        "h_microbits",
+        (F.col("h_microbits") - F.lag("h_microbits").over(w)).alias(
+            "delta_microbits"
+        ),
+    )
