@@ -30,7 +30,15 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -136,7 +144,124 @@ class AvroDataSource(DataSource):
     def reader(self, schema: StructType) -> AvroReader:
         return AvroReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> AvroAtomicWriter:
+        return AvroAtomicWriter(self.options, schema, overwrite)
+
 
 def register_avro_datasource(spark) -> None:
     """Idempotently register the avro_py format on this session."""
     spark.dataSource.register(AvroDataSource)
+
+
+# ---------------------------------------------------------------------------
+# writer half: df.write.format("avro_py") — atomic OCF sink
+# ---------------------------------------------------------------------------
+_AVRO_TYPES = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def _avro_schema_from_spark(schema: StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in _AVRO_TYPES:
+            raise ValueError(
+                f"avro_py sink: unsupported Spark type {t!r} for field"
+                f" {f.name!r} (primitive subset — see avro_ocf)"
+            )
+        at = _AVRO_TYPES[t]
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+@dataclass
+class _StagedAvro(WriterCommitMessage):
+    staged_name: str
+    n_rows: int
+
+
+class AvroAtomicWriter(DataSourceWriter):
+    """Two-phase-commit OCF sink (the jsonl_atomic protocol with an
+    Avro payload): tasks stage ``.staged-*.avro`` files, the driver
+    publishes them as ``part-*.avro`` plus a ``_SUCCESS`` manifest and
+    reaps orphans. Same SHARED-FILESYSTEM (single-node/NFS) contract
+    as jsonl_atomic — on executor-local disks the staging target must
+    be the shared store itself."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_py sink requires option('path', ...)")
+        self.schema = schema
+        self.avro_schema = _avro_schema_from_spark(schema)
+        self.overwrite = overwrite
+        self.codec = options.get("codec", "deflate")
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from advanced_strapi_import_spark.sources.avro_ocf import write_ocf
+
+        os.makedirs(self.path, exist_ok=True)
+        names = self.schema.fieldNames()
+        rows = [
+            {k: row[i] for i, k in enumerate(names)} for row in iterator
+        ]
+        staged = f".staged-{uuid.uuid4().hex}.avro"
+        write_ocf(
+            os.path.join(self.path, staged),
+            self.avro_schema,
+            rows,
+            codec=self.codec,
+        )
+        return _StagedAvro(staged_name=staged, n_rows=len(rows))
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages) -> None:
+        import glob as globmod
+        import json
+        import os
+        import uuid
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        manifest = []
+        published = set()
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"part-{i:05d}-{uuid.uuid4().hex}.avro"
+            os.rename(
+                os.path.join(self.path, m.staged_name),
+                os.path.join(self.path, final),
+            )
+            manifest.append({"file": final, "n_rows": m.n_rows})
+            published.add(m.staged_name)
+        for p in globmod.glob(os.path.join(self.path, ".staged-*.avro")):
+            if os.path.basename(p) not in published:
+                os.remove(p)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": manifest}, f)
+
+    def abort(self, messages) -> None:
+        import glob as globmod
+        import os
+
+        for p in globmod.glob(os.path.join(self.path, ".staged-*.avro")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
