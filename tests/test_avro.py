@@ -152,3 +152,26 @@ def test_datasource_write_roundtrip(spark, tmp_path):
         n += 1
     fr.close()
     assert n == manifest["files"][0]["n_rows"]
+
+
+def test_datasource_write_empty_and_append(spark, tmp_path):
+    """Empty partitions publish header-only part files (0 blocks) that
+    read back as zero rows; append mode accumulates part files."""
+    import os
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    out = str(tmp_path / "sink2")
+    empty = spark.range(0).selectExpr("id")
+    empty.write.format("avro_py").option("path", out).mode("append").save()
+    spark.range(5).selectExpr("id").write.format("avro_py").option(
+        "path", out
+    ).mode("append").save()
+    back = (
+        spark.read.format("avro_py").option("path", out + "/part-*.avro").load()
+    )
+    assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 3, 4]
+    assert len([n for n in os.listdir(out) if n.startswith("part-")]) >= 2
