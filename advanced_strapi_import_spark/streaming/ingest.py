@@ -30,6 +30,73 @@ from pyspark.sql import types as T
 _TS_TYPE_CACHE: dict[tuple[str, str, float], T.DataType] = {}
 
 
+# ---------------------------------------------------------------------------
+# batch_id-keyed parquet state (the scale-safe keyed-state store)
+# ---------------------------------------------------------------------------
+def _state_dir(prefix: str) -> str:
+    """Fresh state directory reaped at interpreter exit. The returned
+    DataFrames of the stateful streams read these paths lazily, so the
+    directories cannot be deleted when the drain returns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _commit_batch_state(df: DataFrame, table_dir: str, batch_id: int) -> bool:
+    """Two-phase batch_id-keyed commit (the idempotent_batch_sink
+    discipline): write to ``_tmp_<id>``, one atomic rename to
+    ``batch_id=<id>``. A replayed micro-batch (foreachBatch is
+    at-least-once) finds its directory already committed and SKIPS, so
+    the store never double-counts; readers never observe a half-written
+    batch. Returns False when the batch was already committed.
+
+    This is the single-node face of the production keyed-state store
+    (Delta/Iceberg MERGE keyed on batch_id): state lives in executor-
+    written files, the driver holds only paths — no per-batch collect,
+    no unbounded Python lists, so user/key cardinality never lands on
+    the driver heap."""
+    import os
+    import shutil
+
+    final = os.path.join(table_dir, f"batch_id={batch_id}")
+    if os.path.exists(final):  # replayed batch: already committed
+        return False
+    tmp = os.path.join(table_dir, f"_tmp_{batch_id}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+    return True
+
+
+def _read_batch_state(
+    spark: SparkSession, table_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Read the accumulated batch_id-keyed store back as one DataFrame
+    (the partition column ``batch_id`` is available to latest-wins
+    dedup); empty store → empty frame with the declared schema."""
+    import os
+
+    parts = [
+        p for p in os.listdir(table_dir) if p.startswith("batch_id=")
+    ] if os.path.isdir(table_dir) else []
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [T.StructField("batch_id", T.LongType())]
+            ),
+        )
+    return spark.read.option("basePath", table_dir).parquet(
+        *(os.path.join(table_dir, p) for p in parts)
+    )
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     """events schema with the physically-stored ts type plugged in.
     File-source streams require an explicit schema; the ts encoding has
@@ -258,23 +325,35 @@ def run_available_now(
     )
     try:
         if output_mode == "update" and update_key:
-            batches: list[tuple[int, list]] = []
+            # latest-batch-wins, computed DISTRIBUTED: each micro-batch's
+            # updated rows commit to a batch_id-keyed parquet store (never
+            # the driver), then one window keeps each key's row from the
+            # latest batch. Key cardinality never touches the driver heap.
+            from pyspark.sql.window import Window
 
-            def _collect(bdf: DataFrame, bid: int) -> None:
-                batches.append((bid, bdf.collect()))
+            store_dir = _state_dir("upd_drain_")
+
+            def _commit(bdf: DataFrame, bid: int) -> None:
+                _commit_batch_state(bdf, store_dir, bid)
 
             q = (
-                result.writeStream.foreachBatch(_collect)
+                result.writeStream.foreachBatch(_commit)
                 .outputMode("update")
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-            best: dict = {}
-            for _, rows in sorted(batches, key=lambda t: t[0]):
-                for r in rows:
-                    best[tuple(r[k] for k in update_key)] = r
-            return spark.createDataFrame(list(best.values()), result.schema)
+            store = _read_batch_state(spark, store_dir, result.schema)
+            rn = F.row_number().over(
+                Window.partitionBy(*update_key).orderBy(
+                    F.col("batch_id").desc()
+                )
+            )
+            return (
+                store.withColumn("__rn", rn)
+                .filter(F.col("__rn") == 1)
+                .select(*[f.name for f in result.schema.fields])
+            )
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -647,9 +726,10 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
     kilobytes), the serving read is a sketch merge, and no state-store
     operator holds per-user state. foreachBatch is the right tool —
     sketch agg + store append is ordinary batch work per arriving
-    batch. Sketch rows are driver-small and collected per batch (at
-    scale: written to a sketch table instead)."""
-    rows: list = []
+    batch. Sketch rows land in a batch_id-keyed parquet store
+    (idempotent two-phase commit — never the driver); the serving read
+    union-merges the stored sketches."""
+    store_dir = _state_dir("hll_store_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -659,7 +739,7 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
                 "week"
             )
         ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-        rows.extend(sk.collect())
+        _commit_batch_state(sk, store_dir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -675,7 +755,7 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
             T.StructField("sk", T.BinaryType()),
         ]
     )
-    store = spark.createDataFrame(rows, schema)
+    store = _read_batch_state(spark, store_dir, schema)
     return store.groupBy("week").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     )
@@ -692,8 +772,10 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
     upsert.merge_catalog_table keyed on the group columns); the serving
     read is the rollup itself. Complete-mode streaming aggs hold the
     same state inside the state store — this variant makes the state a
-    TABLE you can query, back up, and bootstrap from batch."""
-    partials: list = []
+    TABLE you can query, back up, and bootstrap from batch. Partials
+    commit to a batch_id-keyed parquet store (idempotent two-phase
+    commit), never the driver heap."""
+    store_dir = _state_dir("rollup_store_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -706,7 +788,7 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("value").alias("sum_value"),
         )
-        partials.extend(p.collect())
+        _commit_batch_state(p, store_dir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -724,7 +806,7 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
-    store = spark.createDataFrame(partials, schema)
+    store = _read_batch_state(spark, store_dir, schema)
     return store.groupBy("hour", "event_type").agg(
         F.sum("n").cast("long").alias("n"),
         F.round(F.sum("sum_value"), 2).alias("total_value"),
@@ -934,8 +1016,9 @@ def psi_drift_stream(
     identical doubles out, so the stream==batch twin is hash-exact.
     At 100 TB the store is a catalog table keyed on (type, bucket) —
     tens of rows per model — and the monitor costs one partial agg
-    per arriving batch."""
-    partials: list = []
+    per arriving batch; partials commit to a batch_id-keyed parquet
+    store (idempotent two-phase commit), never the driver heap."""
+    store_dir = _state_dir("psi_store_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cur = batch_df.filter(F.unix_micros(F.col("ts")) > F.lit(mid_us))
@@ -945,7 +1028,7 @@ def psi_drift_stream(
                 F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)
             ).alias("bucket"),
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-        partials.extend(p.collect())
+        _commit_batch_state(p, store_dir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -963,7 +1046,7 @@ def psi_drift_stream(
         ]
     )
     cur = (
-        spark.createDataFrame(partials, schema)
+        _read_batch_state(spark, store_dir, schema)
         .groupBy("event_type", "bucket")
         .agg(F.sum("n").cast("long").alias("n_cur"))
     )
@@ -1004,11 +1087,17 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
     live). Requires arrivals to be time-ordered ACROSS batches (file
     slices ordered by ts — the registry query manufactures exactly
     that; an out-of-order source needs the watermarked as-of variant).
-    State and per-batch partials are |users| / |types|^2 rows — at
-    100 TB both live in keyed tables (transformWithState /
-    MERGE-maintained), same shapes, and the collect here is the
-    documented single-node store stand-in (rollup_merge_stream
-    discipline)."""
+    State and per-batch partials are |users| / |types|^2 rows — both
+    live in KEYED PARQUET TABLES maintained inside foreachBatch (the
+    idempotent_batch_sink discipline): the per-user carry is a
+    versioned table rewritten per batch (one join+overwrite — at
+    100 TB a MERGE into a Delta/Iceberg keyed table or
+    transformWithState), the transition partials commit to a
+    batch_id-keyed store. The driver holds only PATH STRINGS — no
+    per-batch collect, no Python-list state, so user cardinality
+    never lands on the driver heap."""
+    import os
+
     from pyspark.sql.window import Window
 
     carry_schema = T.StructType(
@@ -1019,20 +1108,27 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
             T.StructField("event_id", T.LongType()),
         ]
     )
-    last_rows: list = []
-    partials: list = []
+    partials_dir = _state_dir("trans_partials_")
+    carry_dir = _state_dir("trans_carry_")
+    # driver-held state is ONE PATH, not data: which carry version is live
+    carry_path: dict[str, str | None] = {"cur": None}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
+        new_carry = os.path.join(carry_dir, f"v{batch_id}")
+        if os.path.exists(new_carry):  # replayed batch: already committed
+            carry_path["cur"] = new_carry
+            return
         batch = batch_df.select(
             "user_id", "event_type", "ts", "event_id"
         ).withColumn("__carry", F.lit(False))
-        carry = spark.createDataFrame(last_rows, carry_schema).withColumn(
-            "__carry", F.lit(True)
-        )
-        u = batch.unionByName(carry)
+        if carry_path["cur"]:
+            carry = spark.read.parquet(carry_path["cur"])
+        else:
+            carry = spark.createDataFrame([], carry_schema)
+        u = batch.unionByName(carry.withColumn("__carry", F.lit(True)))
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         seq = u.select(
             "user_id",
@@ -1047,7 +1143,7 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
-        partials.extend(trans.collect())
+        _commit_batch_state(trans, partials_dir, batch_id)
         best = (
             u.groupBy("user_id")
             .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("b"))
@@ -1058,9 +1154,12 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
                 F.col("b.event_id").alias("event_id"),
             )
         )
-        new_last = best.collect()
-        last_rows.clear()
-        last_rows.extend(new_last)
+        # two-phase: write the new carry version, atomic rename, THEN
+        # repoint — a crash mid-write leaves the old version live
+        tmp = os.path.join(carry_dir, f"_tmp_{batch_id}")
+        best.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, new_carry)
+        carry_path["cur"] = new_carry
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -1078,7 +1177,7 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
         ]
     )
     store = (
-        spark.createDataFrame(partials, schema)
+        _read_batch_state(spark, partials_dir, schema)
         .groupBy("prev_type", "next_type")
         .agg(F.sum("n").cast("long").alias("n"))
     )
