@@ -551,8 +551,22 @@ def set_overlap_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     jaccard_on_pairs, minhash_est_error's exact arm, and
     dedup_weighted_pagerank's edge weights — elements must be DISTINCT
     per id (array_intersect is set semantics) and hashed (63-bit) so a
-    collision stays consistent cross-engine."""
-    sets_df = sh.groupBy("id").agg(F.collect_list("sh").alias("__shs"))
+    collision stays consistent cross-engine.
+
+    The set-array frame is persisted and EAGERLY filled: both pair-join
+    sides consume it, usually as two independent broadcast builds, and
+    without materialization each build re-runs the whole collapse
+    aggregate from its upstream (ReuseExchange can't dedupe the two
+    differently-aliased broadcast exchanges; measured as the collapse
+    agg running twice in dedup_family_recall's verify stage). The fill
+    is the kcore-race discipline: materialize BEFORE handing the frame
+    to racing consumers."""
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    sets_df = persist_tracked(
+        sh.groupBy("id").agg(F.collect_list("sh").alias("__shs"))
+    )
+    sets_df.count()
     a = sets_df.select(
         F.col("id").alias("id_a"), F.col("__shs").alias("__sa"),
         F.size("__shs").alias("na"),
@@ -686,21 +700,6 @@ def prefix_filter_candidates(
     from pyspark.sql.window import Window
 
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__dfreq"))
-    # the set size rides the SAME window exchange as the rank (count
-    # over the full frame of the ordered partition) — no separate sizes
-    # aggregate and no extra joins to attach n_a/n_b to the pairs
-    w = Window.partitionBy("id").orderBy("__dfreq", "tok")
-    ranked = toks.join(dfreq, "tok").select(
-        "id",
-        "tok",
-        "__dfreq",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1))
-        .over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
-        .alias("n_toks"),
-    )
     # the prefix-filter guarantee assumes prefix entries are RARE; on a
     # corpus with heavy duplication a doc's "rarest" tokens can still be
     # shared by hundreds of near-identical docs, making candidate groups
@@ -710,9 +709,26 @@ def prefix_filter_candidates(
     # construction. Pairs whose only shared evidence is high-df tokens
     # are the exact-duplicate/templated head, which the upstream
     # exact-dedup and MinHash-LSH stages own (see dedup_family_recall).
-    prefix = ranked.filter(
-        (F.col("__rn") <= prefix_k) & (F.col("__dfreq") <= max_df)
-    ).select("id", "tok", "n_toks")
+    #
+    # The max_df cut happens BEFORE the rank window, which is
+    # equivalent (rank order is dfreq-ASCENDING, so every token with
+    # dfreq > max_df sorts after all of a doc's qualifying tokens:
+    # filtering before or after ranking selects the same prefix set)
+    # and collapses the window input from |tok rows| to only the rare
+    # occurrences — on the heavy-dup bench corpus that is 519k -> ~500
+    # rows, removing the dominant exchange+sort of the old plan. Set
+    # sizes come from a separate tiny groupBy(id) aggregate (they must
+    # count ALL tokens, not just rare ones) that broadcasts back onto
+    # the prefix rows.
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+    rare = toks.join(dfreq.filter(F.col("__dfreq") <= max_df), "tok")
+    w = Window.partitionBy("id").orderBy("__dfreq", "tok")
+    prefix = (
+        rare.select("id", "tok", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= prefix_k)
+        .join(sizes, "id")
+        .select("id", "tok", "n_toks")
+    )
     return (
         prefix.select(
             F.col("id").alias("id_a"), "tok", F.col("n_toks").alias("n_a")
