@@ -1414,10 +1414,20 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, m: int) -> None:
+        """Byte-align, then emit a bare marker (markers are written
+        outside the entropy stream and are never byte-stuffed)."""
+        self.pad_align()
+        self.out.append(0xFF)
+        self.out.append(m)
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
@@ -1425,14 +1435,68 @@ def _jpeg_mag_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def jpeg_encode_gray(gray, *, qtable=None) -> bytes:
+def _jpeg_encode_block(bw, zz, dc_codes, ac_codes, prev_dc: int) -> int:
+    """DPCM-DC + run-length-AC entropy-encode one already-quantized
+    zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    s = _jpeg_mag_category(diff)
+    bw.put(*dc_codes[s])
+    if s:
+        amp = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.put(amp, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _jpeg_mag_category(v)
+        bw.put(*ac_codes[(run << 4) | s])
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.put(amp, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _jpeg_quantize_block(blk, q, m):
+    """Float DCT + zigzag quantization of one 8x8 spatial block."""
+    import numpy as np
+
+    coef = m @ blk.astype(np.float64) @ m.T
+    return np.array(
+        [int(np.round(coef.flat[_JPEG_ZIGZAG[i]] / q[i])) for i in range(64)],
+        dtype=np.int64,
+    )
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
+    return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+
+def jpeg_encode_gray(gray, *, qtable=None, restart_interval: int = 0) -> bytes:
     """Encode an 8-bit grayscale array as a REAL baseline JPEG: float
     DCT per 8x8 block (edge blocks edge-replicated), zigzag +
     quantization (default: uniform 8s — chosen so block-constant
     inputs survive the round trip EXACTLY: DC = v-128 quantizes
     losslessly and reconstructs as dc*8/8), DPCM DC + run-length AC
     entropy coding with the full Annex K luminance Huffman tables,
-    byte-stuffed bitstream, JFIF/DQT/SOF0/DHT/SOS/EOI markers."""
+    byte-stuffed bitstream, JFIF/DQT/SOF0/DHT/SOS/EOI markers.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, D0-D7 cycling, DC predictor reset) after every
+    ``restart_interval`` MCUs — the error-resilience feature real
+    encoders use so one corrupt interval doesn't sink the scan."""
     import struct
 
     import numpy as np
@@ -1449,74 +1513,150 @@ def jpeg_encode_gray(gray, *, qtable=None) -> bytes:
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    ri = int(restart_interval)
+    mcu = 0
+    rst = 0
     for by in range(hb):
         for bx in range(wb):
+            if ri and mcu and mcu % ri == 0:
+                bw.marker(0xD0 + (rst & 7))
+                rst += 1
+                prev_dc = 0
             blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128
-            coef = m @ blk.astype(np.float64) @ m.T
-            zz = np.array(
-                [
-                    int(np.round(coef.flat[_JPEG_ZIGZAG[i]] / q[i]))
-                    for i in range(64)
-                ],
-                dtype=np.int64,
-            )
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _jpeg_mag_category(diff)
-            bw.put(*dc_codes[s])
-            if s:
-                amp = diff if diff >= 0 else diff + (1 << s) - 1
-                bw.put(amp, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s = _jpeg_mag_category(v)
-                bw.put(*ac_codes[(run << 4) | s])
-                amp = v if v >= 0 else v + (1 << s) - 1
-                bw.put(amp, s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*ac_codes[0x00])  # EOB
+            zz = _jpeg_quantize_block(blk, q, m)
+            prev_dc = _jpeg_encode_block(bw, zz, dc_codes, ac_codes, prev_dc)
+            mcu += 1
     body = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dht(cls: int, tid: int, bits, vals) -> bytes:
-        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
-    out += seg(
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    out += _jpeg_seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00",
     )
-    out += seg(0xFFC4, dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS))
-    out += seg(0xFFC4, dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS))
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS))
+    if ri:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", ri))
+    out += _jpeg_seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += body + b"\xff\xd9"  # EOI
     return out
 
 
+def jpeg_encode_ycbcr(
+    y, cb, cr, *, subsample: str = "420", qtable=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode YCbCr planes as a REAL baseline interleaved 3-component
+    JPEG. ``subsample='420'`` takes ``y`` of shape (H, W) with H, W
+    multiples of 16 and ``cb``/``cr`` of shape (H/2, W/2): each MCU is
+    four Y blocks (2x2) plus one Cb and one Cr block, the layout of
+    virtually every camera/web JPEG. ``'444'`` takes three full-size
+    planes (H, W multiples of 8), one block each per MCU. The default
+    uniform-8 quant table makes block-constant planes round-trip
+    EXACTLY (DC-only, lossless quantization) so an arithmetic oracle
+    can predict decoded pixels bit-for-bit. Luma uses Huffman table 0;
+    chroma references table id 1 (registered with the same Annex K
+    luminance spec — spec-legal, and it exercises the decoder's
+    table-id routing; transcribing the Annex K chrominance tables
+    would change compression ratio, not correctness).
+    ``restart_interval`` as in :func:`jpeg_encode_gray`, counted in
+    interleaved MCUs with ALL component DC predictors reset."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64)
+    cr = np.asarray(cr, dtype=np.int64)
+    h, w = y.shape
+    if subsample == "420":
+        sy, sc = (2, 2), (1, 1)
+        if h % 16 or w % 16:
+            raise ValueError("jpeg_encode_ycbcr 420: H, W must be *16")
+        if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+            raise ValueError("jpeg_encode_ycbcr 420: chroma must be H/2 x W/2")
+    elif subsample == "444":
+        sy, sc = (1, 1), (1, 1)
+        if h % 8 or w % 8:
+            raise ValueError("jpeg_encode_ycbcr 444: H, W must be *8")
+        if cb.shape != (h, w) or cr.shape != (h, w):
+            raise ValueError("jpeg_encode_ycbcr 444: chroma must be H x W")
+    else:
+        raise ValueError("subsample must be '420' or '444'")
+    q = np.full(64, 8, dtype=np.int64) if qtable is None else np.asarray(
+        qtable, dtype=np.int64
+    ).reshape(64)
+    m = _dct_basis()
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    hv, wv = sy  # luma sampling factors (v, h) are equal per axis here
+    mcuy, mcux = h // (8 * hv), w // (8 * wv)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    ri = int(restart_interval)
+    rst = 0
+    planes = (y, cb, cr)
+    samp = (sy, sc, sc)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n = my * mcux + mx
+            if ri and n and n % ri == 0:
+                bw.marker(0xD0 + (rst & 7))
+                rst += 1
+                preds = [0, 0, 0]
+            for ci in range(3):
+                v, hh = samp[ci]
+                p = planes[ci]
+                for byy in range(v):
+                    for bxx in range(hh):
+                        r0 = (my * v + byy) * 8
+                        c0 = (mx * hh + bxx) * 8
+                        blk = p[r0:r0 + 8, c0:c0 + 8] - 128
+                        zz = _jpeg_quantize_block(blk, q, m)
+                        preds[ci] = _jpeg_encode_block(
+                            bw, zz, dc_codes, ac_codes, preds[ci]
+                        )
+    body = bw.flush()
+
+    sf_y = (sy[1] << 4) | sy[0]
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, sf_y, 0])      # Y: qtable 0
+    sof += bytes([2, 0x11, 0])      # Cb
+    sof += bytes([3, 0x11, 0])      # Cr
+    out += _jpeg_seg(0xFFC0, sof)
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS))
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS))
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(0, 1, _JPEG_DC_BITS, _JPEG_DC_VALS))
+    out += _jpeg_seg(0xFFC4, _jpeg_dht(1, 1, _JPEG_AC_BITS, _JPEG_AC_VALS))
+    if ri:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", ri))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += _jpeg_seg(0xFFDA, sos)
+    out += body + b"\xff\xd9"
+    return out
+
+
 class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
-    and RSTn transparency (restart markers reset the DC predictor via
-    the ``restart`` flag the block loop checks)."""
+    """MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing. ``_fill`` NEVER consumes a marker (RSTn included): it
+    pads the accumulator with synthetic 1-bits and leaves ``pos`` on
+    the 0xFF, so prefetch across a restart marker cannot discard
+    unconsumed data bits from the preceding interval (the bug a
+    DRI=1 stream exposes when RSTn is eaten inside the fill loop).
+    The decode loop calls :meth:`align_restart` at interval
+    boundaries to byte-align, drop the <=8 pad/synthetic buffered
+    bits, and step over the marker."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.restart = False
 
     def _fill(self) -> None:
         d = self.data
@@ -1530,13 +1670,7 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:  # stuffed FF
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RSTn
-                    self.pos += 2
-                    self.acc = 0
-                    self.nbits = 0
-                    self.restart = True
-                    continue
-                else:  # EOI / next marker: stop consuming
+                else:  # ANY marker (RSTn/EOI/segment): stop consuming
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
@@ -1544,6 +1678,23 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+
+    def align_restart(self) -> None:
+        """Consume an expected RSTn at an interval boundary. All real
+        bytes up to the marker are already in the accumulator (the
+        encoder 1-padded the interval to a byte boundary), so the
+        buffered remainder is pad/synthetic bits only — discard it,
+        skip spec-legal 0xFF fill bytes, and verify the marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes before the marker
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            return
+        raise ValueError("invalid JPEG: expected restart marker")
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -1568,17 +1719,32 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# libjpeg's fixed-point JFIF YCbCr->RGB constants: FIX(x) = round(x<<16).
+_JFIF_CR_R = 91881    # FIX(1.40200)
+_JFIF_CB_G = 22554    # FIX(0.34414)
+_JFIF_CR_G = 46802    # FIX(0.71414)
+_JFIF_CB_B = 116130   # FIX(1.77200)
+
+
 def jpeg_decode_pixels(data: bytes):
-    """(width, height, 1, ndarray) from a baseline sequential grayscale
+    """(width, height, channels, ndarray) from a baseline sequential
     JPEG — REAL decode, library-free: marker walk (DQT 8/16-bit, DHT,
     SOF0, DRI, SOS), canonical Huffman entropy decode (DPCM DC,
-    run-length AC with ZRL/EOB, restart-marker predictor resets),
-    zigzag de-quantization and float 2D IDCT per block, level shift +
-    clip, crop to the declared dimensions. Progressive (SOF2),
-    arithmetic coding, multi-component scans and subsampled chroma
-    raise — that is the documented boundary where a production
-    pipeline links libjpeg-turbo; every layer below it is implemented
-    here."""
+    run-length AC with ZRL/EOB), restart-interval handling driven by
+    the DRI count (byte-align + RSTn consume + all-component DC
+    predictor reset at each boundary), zigzag de-quantization and
+    float 2D IDCT per block, level shift + clip, crop to the declared
+    dimensions. Single-component scans return a grayscale (H, W)
+    plane; 3-component interleaved scans (4:4:4 or subsampled — any
+    per-axis factors that divide the luma's, so 4:2:0 and 4:2:2 both
+    decode) replicate-upsample the chroma planes and convert with
+    libjpeg's integer fixed-point JFIF matrix (R = Y +
+    1.40200*(Cr-128) etc., computed as (Y<<16 + C*coef + 32768) >> 16
+    then clipped), returning an (H, W, 3) RGB array whose every value
+    an integer oracle can reproduce. Progressive (SOF2), arithmetic
+    coding and 4-component (CMYK) scans raise — that is the documented
+    boundary where a production pipeline links libjpeg-turbo; every
+    layer below it is implemented here."""
     import struct
 
     import numpy as np
@@ -1589,7 +1755,9 @@ def jpeg_decode_pixels(data: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     w = h = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple] = []  # (cid, hsamp, vsamp, tq)
+    scan: list[tuple] = []   # (comp_index, td, ta)
+    ri = 0
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1630,57 +1798,110 @@ def jpeg_decode_pixels(data: bytes):
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("invalid JPEG: only 8-bit baseline")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "unsupported JPEG: multi-component scan (decoder "
-                    "scope is single-component baseline)"
+                    "unsupported JPEG: component count %d (decoder "
+                    "scope is grayscale and YCbCr)" % ncomp
                 )
-            if body[7] != 0x11:
+            for ci in range(ncomp):
+                cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 15, tq))
+            if ncomp == 1 and (comps[0][1], comps[0][2]) != (1, 1):
                 raise ValueError("unsupported JPEG: subsampling")
-            comp_q = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG: non-baseline SOF")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 15
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "unsupported JPEG: non-interleaved multi-scan"
+                )
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((by_id[cs], tt >> 4, tt & 15))
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if w is None or h is None:
+    if w is None or h is None or not scan:
         raise ValueError("invalid JPEG: missing SOF0 before SOS")
-    q = qtables[comp_q]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
-    br = _BitReader(data, pos)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hs, vs, _ in comps:
+        if hmax % hs or vmax % vs:
+            raise ValueError("unsupported JPEG: non-dividing sampling")
     m = _dct_basis()
-    hb, wb = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
-    dc = 0
-    for by in range(hb):
-        for bx in range(wb):
-            if br.restart:
-                dc = 0
-                br.restart = False
-            zz = np.zeros(64, dtype=np.int64)
-            s = br.huff(dct)
-            dc += _jpeg_extend(br.bits(s), s)
-            zz[0] = dc
-            k = 1
-            while k < 64:
-                rs = br.huff(act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("invalid JPEG: AC index overrun")
-                zz[k] = _jpeg_extend(br.bits(rs & 15), rs & 15)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[list(_JPEG_ZIGZAG)] = zz * q
-            blk = m.T @ coef.reshape(8, 8) @ m
-            px = np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
-    return w, h, 1, out[:h, :w]
+    if len(comps) == 1:
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    else:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.uint8)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    br = _BitReader(data, pos)
+
+    def decode_block(dct, act, q, pred):
+        zz = np.zeros(64, dtype=np.int64)
+        s = br.huff(dct)
+        pred += _jpeg_extend(br.bits(s), s)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = br.huff(act)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("invalid JPEG: AC index overrun")
+            zz[k] = _jpeg_extend(br.bits(rs & 15), rs & 15)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[list(_JPEG_ZIGZAG)] = zz * q
+        blk = m.T @ coef.reshape(8, 8) @ m
+        return np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8), pred
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n = my * mcux + mx
+            if ri and n and n % ri == 0:
+                br.align_restart()
+                preds = [0] * len(comps)
+            for ci, td, ta in scan:
+                _, hs, vs, tq = comps[ci]
+                if len(comps) == 1:
+                    hs = vs = 1  # non-interleaved: MCU is one block
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        px, preds[ci] = decode_block(
+                            dc_tables[td], ac_tables[ta],
+                            qtables[tq], preds[ci],
+                        )
+                        r0 = (my * vs + byy) * 8
+                        c0 = (mx * hs + bxx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
+    if len(comps) == 1:
+        return w, h, 1, planes[0][:h, :w]
+    full = []
+    ones = np.ones
+    for (cid, hs, vs, _), p in zip(comps, planes):
+        fy, fx = vmax // vs, hmax // hs
+        up = np.kron(p, ones((fy, fx), dtype=np.uint8)) if (
+            fy > 1 or fx > 1
+        ) else p
+        full.append(up[:h, :w].astype(np.int64))
+    yv, cbv, crv = full[0], full[1] - 128, full[2] - 128
+    base = (yv << 16) + 32768
+    r = (base + _JFIF_CR_R * crv) >> 16
+    g = (base - _JFIF_CB_G * cbv - _JFIF_CR_G * crv) >> 16
+    b = (base + _JFIF_CB_B * cbv) >> 16
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb

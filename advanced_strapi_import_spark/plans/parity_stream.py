@@ -87,7 +87,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_resize",
+    "multimodal_resize_plumbing",
     oracle="""
 SELECT doc_id, 8 AS width, 4 AS height, 'fake-raw' AS codec,
        md5(array_to_string(
@@ -96,11 +96,16 @@ SELECT doc_id, 8 AS width, 4 AS height, 'fake-raw' AS codec,
              '')) AS content_md5
 FROM documents
 """,
-    doc="Image-resize plumbing: binary in -> fixed-size binary out via "
-        "mapInPandas; the stub codec is a nearest-neighbor stride over "
-        "the byte stream, mirrored index-for-index in the oracle.",
+    doc="Image-resize PLUMBING ONLY (renamed from multimodal_resize in "
+        "round 8 so the registry is honest about codec coverage): the "
+        "codec here is the documented stub — a nearest-neighbor stride "
+        "over the raw byte stream, mirrored index-for-index in the "
+        "oracle. It checks the mapInPandas fan-in/fan-out schema and "
+        "batch shape, nothing about pixels. REAL pixel resize (decode "
+        "-> area-average -> stats) is multimodal_resize_pixels via "
+        "resize_images_real.",
 )
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_strapi_import_spark.operators.multimodal import resize_images
 
     d = load(spark, sf_dir, "documents").select(
@@ -1933,7 +1938,7 @@ gif_s AS (
 jpg AS (
   SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS wb,
          CAST(n_chars % 3 + 1 AS INT) AS hb
-  FROM documents WHERE doc_id % 4 = 3),
+  FROM documents WHERE doc_id % 8 = 3),
 jpg_v AS (
   SELECT doc_id, wb, hb,
          (doc_id * 19 + (k % wb) * 7 + (k // wb) * 13) % 256 AS val
@@ -1942,9 +1947,34 @@ jpg_s AS (
   SELECT doc_id, wb * 8, hb * 8, 1, 'JPEG', wb * hb * 64,
          sum(val) * 64, NULL, NULL, min(val), max(val)
   FROM jpg_v GROUP BY doc_id, wb, hb),
+cjp AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(n_chars % 3 + 1 AS INT) AS hb
+  FROM documents WHERE doc_id % 8 = 7),
+cjp_y AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 19 + (k % wb) * 7 + (k // wb) * 13) % 256 AS y,
+         (doc_id * 29 + (k % wb) * 11 + (k // wb) * 5) % 256 - 128 AS cb,
+         (doc_id * 37 + (k % wb) * 3 + (k // wb) * 17) % 256 - 128 AS cr
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM cjp)),
+cjp_rgb AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 91881*cr + 32768 + 16777216) // 65536) - 256)) AS r,
+    LEAST(255, GREATEST(0,
+      ((y*65536 - 22554*cb - 46802*cr + 32768 + 16777216) // 65536) - 256)) AS g,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 116130*cb + 32768 + 16777216) // 65536) - 256)) AS b
+  FROM cjp_y),
+cjp_s AS (
+  SELECT doc_id, wb * 16, hb * 16, 3, 'JPEG', wb * hb * 768,
+         sum(r) * 256, sum(g) * 256, sum(b) * 256,
+         min(LEAST(r, g, b)), max(GREATEST(r, g, b))
+  FROM cjp_rgb GROUP BY doc_id, wb, hb),
 allrows AS (
   SELECT * FROM png_s UNION ALL SELECT * FROM bmp_s
-  UNION ALL SELECT * FROM gif_s UNION ALL SELECT * FROM jpg_s)
+  UNION ALL SELECT * FROM gif_s UNION ALL SELECT * FROM jpg_s
+  UNION ALL SELECT * FROM cjp_s)
 SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(channels AS INT) AS channels, format,
        CAST(n_vals AS BIGINT) AS n_vals,
@@ -1955,9 +1985,11 @@ SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
 FROM allrows
 """,
     doc="Mixed-manifest FULL pixel decode: one binary column carrying "
-        "four container formats (doc_id mod 4 -> PNG / BMP / GIF / "
-        "baseline JPEG, each synthesized by its real encoder with its "
-        "own gradient formula) flows through ONE image_pixel_stats "
+        "five container layouts (doc_id mod 4 -> PNG / BMP / GIF / "
+        "baseline JPEG, the JPEG lane further split mod 8 into "
+        "grayscale and 3-component 4:2:0 color, each synthesized by "
+        "its real encoder with its own gradient formula) flows "
+        "through ONE image_pixel_stats "
         "pass — the shared magic-byte dispatch picks the right REAL "
         "decoder per row, so the production shape 'a crawl dump is "
         "never one format' needs no per-format branching in the plan. "
@@ -1975,6 +2007,7 @@ def multimodal_mixed_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         gif_encode_pixels,
         image_pixel_stats,
         jpeg_encode_gray,
+        jpeg_encode_ycbcr,
         png_encode_pixels,
     )
     from advanced_strapi_import_spark.plans.registry import fan_out
@@ -2016,7 +2049,7 @@ def multimodal_mixed_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.uint8
                     )
                     outs.append(gif_encode_pixels(g))
-                else:
+                elif did % 8 == 3:
                     wb, hb = did % 4 + 1, nc % 3 + 1
                     bys = np.arange(hb)[:, None]
                     bxs = np.arange(wb)[None, :]
@@ -2024,6 +2057,23 @@ def multimodal_mixed_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     outs.append(
                         jpeg_encode_gray(
                             np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                        )
+                    )
+                else:  # did % 8 == 7: 3-component 4:2:0 color JPEG
+                    wb, hb = did % 4 + 1, nc % 3 + 1
+                    mys = np.arange(hb)[:, None]
+                    mxs = np.arange(wb)[None, :]
+                    yv = (did * 19 + mxs * 7 + mys * 13) % 256
+                    cbv = (did * 29 + mxs * 11 + mys * 5) % 256
+                    crv = (did * 37 + mxs * 3 + mys * 17) % 256
+                    one16 = np.ones((16, 16), dtype=np.int64)
+                    one8 = np.ones((8, 8), dtype=np.int64)
+                    outs.append(
+                        jpeg_encode_ycbcr(
+                            np.kron(yv, one16),
+                            np.kron(cbv, one8),
+                            np.kron(crv, one8),
+                            subsample="420",
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
@@ -2096,3 +2146,186 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d, glob="events_*.parquet", max_files_per_trigger=1
     )
     return ST.transition_matrix_stream(stream)
+
+
+# ---------------------------------------------------------------------------
+# 3-component 4:2:0 color JPEG pixel decode (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_jpeg_color_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(n_chars % 3 + 1 AS INT) AS hb
+  FROM documents),
+ycc AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 19 + (k % wb) * 7 + (k // wb) * 13) % 256 AS y,
+         (doc_id * 29 + (k % wb) * 11 + (k // wb) * 5) % 256 - 128 AS cb,
+         (doc_id * 37 + (k % wb) * 3 + (k // wb) * 17) % 256 - 128 AS cr
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM dims)),
+rgb AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 91881*cr + 32768 + 16777216) // 65536) - 256)) AS r,
+    LEAST(255, GREATEST(0,
+      ((y*65536 - 22554*cb - 46802*cr + 32768 + 16777216) // 65536) - 256)) AS g,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 116130*cb + 32768 + 16777216) // 65536) - 256)) AS b
+  FROM ycc)
+SELECT doc_id,
+       CAST(wb * 16 AS INT) AS width,
+       CAST(hb * 16 AS INT) AS height,
+       CAST(3 AS INT) AS channels, 'JPEG' AS format,
+       CAST(wb * hb * 768 AS BIGINT) AS n_vals,
+       CAST(sum(r) * 256 AS BIGINT) AS sum_c0,
+       CAST(sum(g) * 256 AS BIGINT) AS sum_c1,
+       CAST(sum(b) * 256 AS BIGINT) AS sum_c2,
+       CAST(min(LEAST(r, g, b)) AS INT) AS px_min,
+       CAST(max(GREATEST(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY doc_id, wb, hb
+""",
+    doc="FULL 3-component 4:2:0 COLOR JPEG pixel decode (round 8 — "
+        "closes the 'baseline codec is grayscale-only' gap): per doc "
+        "jpeg_encode_ycbcr synthesizes an interleaved YCbCr 4:2:0 "
+        "stream (the layout of virtually every camera/web JPEG: 4 Y "
+        "blocks + Cb + Cr per MCU, chroma at half resolution, "
+        "separate Huffman table ids for luma and chroma) and "
+        "jpeg_decode_pixels runs the real interleaved-MCU entropy "
+        "decode, replicate-upsamples the chroma planes, and applies "
+        "libjpeg's fixed-point JFIF YCbCr->RGB matrix in pure integer "
+        "arithmetic. Exactness through a LOSSY, SUBSAMPLED codec: "
+        "MCUs are constant 16x16 macroblocks, so Y and the half-res "
+        "chroma blocks are all DC-only (lossless under the uniform-8 "
+        "quant table) and nearest-neighbor upsampling of a constant "
+        "is exact — the only remaining arithmetic is the fixed-point "
+        "color matrix, which the DuckDB oracle reproduces bit-for-bit "
+        "with the same (x + 32768 + bias) // 65536 integer form. Same "
+        "row-local Arrow encode->decode->stats pipeline as the "
+        "grayscale twin; no shuffle before the stats frame.",
+)
+def multimodal_jpeg_color_pixels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        jpeg_encode_ycbcr,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 4 + 1).cast("int").alias("wb"),
+        (F.col("n_chars") % 3 + 1).cast("int").alias("hb"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        one16 = np.ones((16, 16), dtype=np.int64)
+        one8 = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for did, wb, hb in zip(pdf["doc_id"], pdf["wb"], pdf["hb"]):
+                did, wb, hb = int(did), int(wb), int(hb)
+                mys = np.arange(hb)[:, None]
+                mxs = np.arange(wb)[None, :]
+                yv = (did * 19 + mxs * 7 + mys * 13) % 256
+                cbv = (did * 29 + mxs * 11 + mys * 5) % 256
+                crv = (did * 37 + mxs * 3 + mys * 17) % 256
+                outs.append(
+                    jpeg_encode_ycbcr(
+                        np.kron(yv, one16),
+                        np.kron(cbv, one8),
+                        np.kron(crv, one8),
+                        subsample="420",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# restart-marker (DRI) JPEG decode against the exact oracle (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_jpeg_dri_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 1 AS INT) AS wb,
+         CAST(n_chars % 4 + 1 AS INT) AS hb
+  FROM documents),
+v AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 41 + (k % wb) * 5 + (k // wb) * 3) % 256 AS val
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM dims))
+SELECT doc_id,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(1 AS INT) AS channels, 'JPEG' AS format,
+       CAST(wb * hb * 64 AS BIGINT) AS n_vals,
+       CAST(sum(val) * 64 AS BIGINT) AS sum_c0,
+       CAST(NULL AS BIGINT) AS sum_c1,
+       CAST(NULL AS BIGINT) AS sum_c2,
+       CAST(min(val) AS INT) AS px_min,
+       CAST(max(val) AS INT) AS px_max
+FROM v GROUP BY doc_id, wb, hb
+""",
+    doc="Restart-marker (DRI) JPEG decode against the exact arithmetic "
+        "oracle (round 8): per doc the encoder emits a DRI segment and "
+        "byte-aligned RSTn markers every doc_id % 3 + 1 MCUs (D0-D7 "
+        "cycling, DC predictor reset), so images up to 5x4 MCUs carry "
+        "many interval boundaries at varying phases. This is the "
+        "regression query for the round-8 _BitReader fix: the old "
+        "fill loop consumed RSTn while unconsumed data bits from the "
+        "previous interval were still buffered — a spec-valid DRI=1 "
+        "stream raised 'huffman code overrun'; the reader now stops "
+        "at every marker and the decode loop byte-aligns + consumes "
+        "the RSTn at interval boundaries driven by the DRI count. "
+        "Restart markers change framing, never pixels, so the oracle "
+        "is the same block-constant prediction as the no-DRI twin "
+        "(different gradient constants so a cross-wired query cannot "
+        "accidentally pass). Real-world relevance: restart markers "
+        "appear in most camera JPEGs precisely so parallel/resilient "
+        "decoders can resync — a decoder that chokes on them fails "
+        "the first crawl shard it meets.",
+)
+def multimodal_jpeg_dri_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        jpeg_encode_gray,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 1).cast("int").alias("wb"),
+        (F.col("n_chars") % 4 + 1).cast("int").alias("hb"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        one8 = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for did, wb, hb in zip(pdf["doc_id"], pdf["wb"], pdf["hb"]):
+                did, wb, hb = int(did), int(wb), int(hb)
+                bys = np.arange(hb)[:, None]
+                bxs = np.arange(wb)[None, :]
+                vals = (did * 41 + bxs * 5 + bys * 3) % 256
+                outs.append(
+                    jpeg_encode_gray(
+                        np.kron(vals, one8),
+                        restart_interval=did % 3 + 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)

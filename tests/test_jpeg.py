@@ -88,3 +88,167 @@ def test_dispatch_integration():
     w, h, ch, px, fmt = MM._decode_image_pixels(MM.jpeg_encode_gray(gray))
     assert fmt == "JPEG" and (w, h, ch) == (16, 8, 1)
     assert int(px.reshape(-1).astype(np.int64).sum()) == 64 * (5 + 250)
+
+# ---------------------------------------------------------------------------
+# restart markers (DRI) — the round-8 _BitReader fix: _fill must not
+# consume RSTn while unconsumed data bits from the previous interval
+# are still buffered (a DRI=1 stream used to raise "huffman overrun")
+# ---------------------------------------------------------------------------
+def _expected_rgb(y, cb, cr):
+    """The decoder's documented fixed-point JFIF matrix, applied to
+    full-size int64 planes — the oracle arithmetic for color tests."""
+    yv = y.astype(np.int64)
+    cbv = cb.astype(np.int64) - 128
+    crv = cr.astype(np.int64) - 128
+    base = (yv << 16) + 32768
+    r = (base + 91881 * crv) >> 16
+    g = (base - 22554 * cbv - 46802 * crv) >> 16
+    b = (base + 116130 * cbv) >> 16
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_dri_block_constant_exact_every_interval():
+    vals = (np.arange(20).reshape(4, 5) * 41 + 3) % 256
+    gray = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+    for ri in (1, 2, 3, 7, 20):
+        data = MM.jpeg_encode_gray(gray, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        w, h, ch, px = MM.jpeg_decode_pixels(data)
+        assert (w, h, ch) == (40, 32, 1)
+        assert np.array_equal(px, gray.astype(np.uint8)), f"ri={ri}"
+
+
+def test_dri_gradient_matches_no_dri_decode():
+    gray = _gradient(24, 32, 11, 5)
+    plain = MM.jpeg_decode_pixels(MM.jpeg_encode_gray(gray))[3]
+    with_ri = MM.jpeg_decode_pixels(
+        MM.jpeg_encode_gray(gray, restart_interval=1)
+    )[3]
+    # restart markers change framing only, never reconstructed pixels
+    assert np.array_equal(plain, with_ri)
+
+
+def test_dri_rstn_cycling_and_dc_reset_in_stream():
+    gray = np.kron(
+        (np.arange(12).reshape(1, 12) * 19) % 256,
+        np.ones((8, 8), dtype=np.int64),
+    )
+    data = MM.jpeg_encode_gray(gray, restart_interval=1)
+    body = data[data.find(b"\xff\xda") :]
+    for n in range(8):  # D0..D7 then wrap
+        assert bytes([0xFF, 0xD0 + n]) in body
+
+
+def test_missing_restart_marker_raises():
+    gray = np.kron(
+        np.array([[9, 77, 140, 201]]), np.ones((8, 8), dtype=np.int64)
+    )
+    data = bytearray(MM.jpeg_encode_gray(gray, restart_interval=1))
+    i = data.find(b"\xff\xd0")
+    del data[i : i + 2]  # stream now violates its own DRI contract
+    with pytest.raises(ValueError):
+        MM.jpeg_decode_pixels(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# 3-component color: 4:2:0 and 4:4:4 interleaved scans
+# ---------------------------------------------------------------------------
+def _const_mcu_planes(mby, mbx, seed=0):
+    ys = np.arange(mby)[:, None]
+    xs = np.arange(mbx)[None, :]
+    yv = (ys * 13 + xs * 7 + 19 + seed) % 256
+    cbv = (ys * 5 + xs * 11 + 29 + seed) % 256
+    crv = (ys * 17 + xs * 3 + 37 + seed) % 256
+    return yv, cbv, crv
+
+
+def test_color_420_constant_mcu_exact():
+    yv, cbv, crv = _const_mcu_planes(3, 4)
+    y = np.kron(yv, np.ones((16, 16), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    w, h, ch, px = MM.jpeg_decode_pixels(
+        MM.jpeg_encode_ycbcr(y, cb, cr, subsample="420")
+    )
+    assert (w, h, ch) == (64, 48, 3) and px.shape == (48, 64, 3)
+    exp = _expected_rgb(
+        y,
+        np.kron(cbv, np.ones((16, 16), dtype=np.int64)),
+        np.kron(crv, np.ones((16, 16), dtype=np.int64)),
+    )
+    assert np.array_equal(px, exp)
+
+
+def test_color_444_constant_block_exact():
+    yv, cbv, crv = _const_mcu_planes(2, 5, seed=100)
+    y = np.kron(yv, np.ones((8, 8), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    w, h, ch, px = MM.jpeg_decode_pixels(
+        MM.jpeg_encode_ycbcr(y, cb, cr, subsample="444")
+    )
+    assert (w, h, ch) == (40, 16, 3)
+    assert np.array_equal(px, _expected_rgb(y, cb, cr))
+
+
+def test_color_420_with_dri_exact():
+    yv, cbv, crv = _const_mcu_planes(2, 3, seed=50)
+    y = np.kron(yv, np.ones((16, 16), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    for ri in (1, 2, 4):
+        px = MM.jpeg_decode_pixels(
+            MM.jpeg_encode_ycbcr(y, cb, cr, subsample="420",
+                                 restart_interval=ri)
+        )[3]
+        exp = _expected_rgb(
+            y,
+            np.kron(cbv, np.ones((16, 16), dtype=np.int64)),
+            np.kron(crv, np.ones((16, 16), dtype=np.int64)),
+        )
+        assert np.array_equal(px, exp), f"ri={ri}"
+
+
+def test_color_gradient_bounded_error():
+    h, w = 32, 48
+    y = _gradient(h, w, 3, 2)
+    cb = _gradient(h // 2, w // 2, 5, 1)
+    cr = _gradient(h // 2, w // 2, 1, 7)
+    px = MM.jpeg_decode_pixels(
+        MM.jpeg_encode_ycbcr(y, cb, cr, subsample="420")
+    )[3]
+    exp = _expected_rgb(
+        y,
+        np.kron(cb, np.ones((2, 2), dtype=np.int64)),
+        np.kron(cr, np.ones((2, 2), dtype=np.int64)),
+    )
+    # uniform-8 quant on smooth planes: small reconstruction error,
+    # amplified <=1.8x by the color matrix
+    assert int(np.abs(px.astype(int) - exp.astype(int)).max()) <= 16
+
+
+def test_color_encoder_shape_contracts():
+    y16 = np.zeros((16, 16), dtype=np.int64)
+    with pytest.raises(ValueError, match=r"\*16"):
+        MM.jpeg_encode_ycbcr(
+            np.zeros((8, 8)), np.zeros((4, 4)), np.zeros((4, 4)),
+            subsample="420",
+        )
+    with pytest.raises(ValueError, match="chroma"):
+        MM.jpeg_encode_ycbcr(
+            y16, np.zeros((16, 16)), np.zeros((8, 8)), subsample="420"
+        )
+    with pytest.raises(ValueError, match="subsample"):
+        MM.jpeg_encode_ycbcr(y16, y16, y16, subsample="422")
+
+
+def test_color_dispatch_integration():
+    yv, cbv, crv = _const_mcu_planes(1, 2)
+    y = np.kron(yv, np.ones((16, 16), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    w, h, ch, px, fmt = MM._decode_image_pixels(
+        MM.jpeg_encode_ycbcr(y, cb, cr)
+    )
+    assert fmt == "JPEG" and (w, h, ch) == (32, 16, 3)
+    assert px.shape == (16, 32, 3)
