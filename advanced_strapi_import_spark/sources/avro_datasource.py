@@ -10,15 +10,26 @@ reference implementation on Spark's own classpath reads back verbatim
 spec-real, not a private dialect.
 
 Shape:
-  - planning: the first file's header (magic + metadata map) is read
-    once to derive the Spark schema — data blocks are not touched;
-  - partitions: one per file (OCF files are the unit of parallelism in
-    practice; a single huge file would split on sync markers — the
-    documented extension point);
+  - planning: each file's header (magic + metadata map) is read once —
+    schema from the first file, per-file sync marker + codec for the
+    split readers; data blocks are not touched at plan time;
+  - partitions: byte-range splits WITHIN files, Hadoop-style — a file
+    larger than ``target_partition_bytes`` (option, default 128 MB)
+    yields several splits, and each reader resynchronizes by scanning
+    forward from its range start for the 16-byte sync marker, then
+    reads exactly the blocks whose first byte falls inside its range
+    (a block "belongs" to the split containing its start, the same
+    ownership rule Hadoop input splits use). A single huge OCF file
+    therefore fans out across the cluster instead of serializing into
+    one task. Small files stay one split each;
+  - projection: rows are emitted in the PLANNED schema's field order,
+    whatever order each file's own header declares — files that share
+    fields in different orders read consistently, and a file missing
+    a planned field errors loudly instead of misaligning columns;
   - schema mapping: long/int -> LongType/IntegerType, float/double,
     boolean, string, bytes -> BinaryType; ``["null", T]`` unions mark
     the field nullable. Nested/complex schemas raise at planning time
-    (the avro_ocf subset boundary).
+    (the avro_ocf subset boundary, named per field).
 
 Usage::
 
@@ -62,26 +73,102 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type_from_node(node, field: str):
+    """codec node -> (Spark DataType, nullable) — recursive over
+    nested records and arrays (round 8)."""
+    from pyspark.sql.types import ArrayType
+
+    kind = node[0]
+    if kind == "prim":
+        if node[1] == "null":
+            raise ValueError(
+                f"avro_py: plain-null field {field!r} has no Spark type"
+            )
+        return _SPARK_TYPES[node[1]], False
+    if kind == "null_union":
+        t, _ = _spark_type_from_node(node[2], field)
+        return t, True
+    if kind == "record":
+        return (
+            StructType(
+                [
+                    StructField(n, *_spark_type_from_node(c, f"{field}.{n}"))
+                    for n, c in node[1]
+                ]
+            ),
+            False,
+        )
+    item_t, item_null = _spark_type_from_node(node[1], f"{field}[]")
+    return ArrayType(item_t, containsNull=item_null), False
+
+
 def _spark_schema_from_avro(schema: dict) -> StructType:
-    from advanced_strapi_import_spark.sources.avro_ocf import _check_schema
+    from advanced_strapi_import_spark.sources.avro_ocf import compile_schema
 
     fields = []
-    for name, t, null_idx in _check_schema(schema):
-        if t == "null":
-            raise ValueError("avro_py: plain-null fields have no Spark type")
-        fields.append(
-            StructField(name, _SPARK_TYPES[t], nullable=null_idx is not None)
-        )
+    for name, node in compile_schema(schema):
+        t, nullable = _spark_type_from_node(node, name)
+        fields.append(StructField(name, t, nullable=nullable))
     return StructType(fields)
 
 
 class AvroFilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One byte-range split of one OCF file. ``start``/``end`` bound
+    block STARTS (first split starts at the first block; later splits
+    resync forward to the first sync marker at/after ``start``)."""
+
+    def __init__(self, path: str, start: int, end: int,
+                 header_pos: int, sync: bytes, codec: str):
         self.path = path
+        self.start = start
+        self.end = end
+        self.header_pos = header_pos
+        self.sync = sync
+        self.codec = codec
+
+
+def _find_block_start(f, sync: bytes, start: int, limit: int) -> int | None:
+    """First block start p (end of a sync occurrence) with
+    start <= p < limit, scanning the open file in overlapping chunks —
+    the Hadoop-style resync: a reader dropped at an arbitrary byte
+    offset finds the next sync marker and begins at the block after
+    it. Returns None if no block starts inside the range."""
+    chunk = 1 << 20
+    pos = max(0, start - 16)  # a sync ENDING at `start` qualifies
+    tail = b""
+    while pos - len(tail) < limit:
+        f.seek(pos)
+        buf = f.read(chunk)
+        if not buf:
+            return None
+        hay = tail + buf
+        i = hay.find(sync)
+        if i != -1:
+            p = pos - len(tail) + i + 16
+            if p < start:
+                # partial overlap hit before the range: keep searching
+                nxt = hay.find(sync, i + 1)
+                while nxt != -1:
+                    p = pos - len(tail) + nxt + 16
+                    if p >= start:
+                        break
+                    nxt = hay.find(sync, nxt + 1)
+                if nxt == -1:
+                    tail = hay[-15:]
+                    pos += len(buf)
+                    continue
+            return p if p < limit else None
+        tail = hay[-15:]
+        pos += len(buf)
+    return None
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, options):
+    # default split target: the usual distributed-FS block ballpark, so
+    # bench-scale files stay one split and a 10 GB OCF becomes ~80 tasks
+    DEFAULT_TARGET = 128 * 1024 * 1024
+
+    def __init__(self, options, planned_schema: StructType):
         import glob as globmod
         import os
 
@@ -93,23 +180,90 @@ class AvroReader(DataSourceReader):
         self.files = sorted(globmod.glob(path))
         if not self.files:
             raise ValueError(f"avro_py: no files match {path}")
+        self.planned_names = list(planned_schema.fieldNames())
+        self.target = int(
+            options.get("target_partition_bytes", self.DEFAULT_TARGET)
+        )
+        if self.target <= 0:
+            raise ValueError("avro_py: target_partition_bytes must be > 0")
 
     def partitions(self) -> list[AvroFilePartition]:
-        return [AvroFilePartition(p) for p in self.files]
+        import os
+
+        from advanced_strapi_import_spark.sources.avro_ocf import (
+            read_ocf_header,
+        )
+
+        parts: list[AvroFilePartition] = []
+        for p in self.files:
+            size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                head = f.read(1 << 20)
+            _, codec, sync, header_pos = read_ocf_header(head)
+            nsplits = max(1, (size - header_pos) // self.target)
+            span = (size - header_pos + nsplits - 1) // nsplits
+            for i in range(nsplits):
+                lo = header_pos + i * span
+                hi = min(header_pos + (i + 1) * span, size) if (
+                    i < nsplits - 1
+                ) else size
+                parts.append(
+                    AvroFilePartition(p, lo, hi, header_pos, sync, codec)
+                )
+        return parts
 
     def read(self, partition: AvroFilePartition) -> Iterator[tuple]:
         from advanced_strapi_import_spark.sources.avro_ocf import (
-            _check_schema,
-            iter_ocf,
+            _Reader,
+            compile_schema,
+            decode_block_rows,
             read_ocf_header,
         )
 
         with open(partition.path, "rb") as f:
-            data = f.read()
-        schema, _, _, _ = read_ocf_header(data)
-        names = [n for n, _, _ in _check_schema(schema)]
-        for row in iter_ocf(data):
-            yield tuple(row[n] for n in names)
+            head = f.read(1 << 20)
+            schema, _, _, _ = read_ocf_header(head)
+            fields = compile_schema(schema)
+            have = {n for n, _ in fields}
+            missing = [n for n in self.planned_names if n not in have]
+            if missing:
+                raise ValueError(
+                    f"avro_py: file {partition.path} lacks planned"
+                    f" field(s) {missing} — its header declares"
+                    f" {sorted(have)}"
+                )
+            if partition.start <= partition.header_pos:
+                pos = partition.header_pos
+            else:
+                pos = _find_block_start(
+                    f, partition.sync, partition.start, partition.end
+                )
+                if pos is None:
+                    return  # no block starts inside this range
+            names = self.planned_names
+            while pos < partition.end:
+                f.seek(pos)
+                hdr = f.read(20)  # two varints, <=10 bytes each
+                if not hdr:
+                    return  # clean EOF at a block boundary
+                r = _Reader(hdr)
+                try:
+                    n_rec = r.long()
+                    size = r.long()
+                except IndexError:
+                    raise ValueError(
+                        "invalid avro: truncated block header"
+                    ) from None
+                body = pos + r.pos
+                f.seek(body)
+                payload = f.read(size)
+                if f.read(16) != partition.sync:
+                    raise ValueError("invalid avro: sync marker mismatch")
+                for row in decode_block_rows(
+                    payload, n_rec, partition.codec, fields
+                ):
+                    yield tuple(row[n] for n in names)
+                pos = body + size + 16
 
 
 class AvroDataSource(DataSource):
@@ -142,7 +296,10 @@ class AvroDataSource(DataSource):
         return _spark_schema_from_avro(schema)
 
     def reader(self, schema: StructType) -> AvroReader:
-        return AvroReader(self.options)
+        # `schema` is the PLANNED schema (derived above or user-supplied
+        # via .schema()); the reader projects every file into its field
+        # order so files with reordered headers cannot misalign columns
+        return AvroReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroAtomicWriter:
         return AvroAtomicWriter(self.options, schema, overwrite)
@@ -167,16 +324,47 @@ _AVRO_TYPES = {
 }
 
 
+def _avro_type_from_spark(dt, field: str):
+    """Spark DataType -> Avro type (recursive: structs -> nested
+    records, arrays -> arrays; round 8). Record names derive from the
+    field path (Avro named types must be unique within a schema)."""
+    t = dt.typeName()
+    if t in _AVRO_TYPES:
+        return _AVRO_TYPES[t]
+    if t == "struct":
+        return {
+            "type": "record",
+            "name": field.replace(".", "_") + "_rec",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": (
+                        ["null", _avro_type_from_spark(
+                            f.dataType, f"{field}.{f.name}")]
+                        if f.nullable
+                        else _avro_type_from_spark(
+                            f.dataType, f"{field}.{f.name}")
+                    ),
+                }
+                for f in dt.fields
+            ],
+        }
+    if t == "array":
+        item = _avro_type_from_spark(dt.elementType, f"{field}.item")
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    raise ValueError(
+        f"avro_py sink: unsupported Spark type {t!r} for field"
+        f" {field!r} (primitives, structs and arrays — see avro_ocf)"
+    )
+
+
 def _avro_schema_from_spark(schema: StructType, name: str = "row") -> dict:
     fields = []
     for f in schema.fields:
-        t = f.dataType.typeName()
-        if t not in _AVRO_TYPES:
-            raise ValueError(
-                f"avro_py sink: unsupported Spark type {t!r} for field"
-                f" {f.name!r} (primitive subset — see avro_ocf)"
-            )
-        at = _AVRO_TYPES[t]
+        at = _avro_type_from_spark(f.dataType, f.name)
         fields.append(
             {"name": f.name, "type": ["null", at] if f.nullable else at}
         )
@@ -234,11 +422,24 @@ class AvroAtomicWriter(DataSourceWriter):
         import os
         import uuid
 
+        manifest = []
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
-        manifest = []
+        else:
+            # append: carry forward the published files of previous
+            # jobs — they remain on disk and are read by the glob
+            # reader, so a manifest listing only the latest job's
+            # files would under-report the directory's contents
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success) as f:
+                    prior = json.load(f).get("files", [])
+                manifest.extend(
+                    e for e in prior
+                    if os.path.exists(os.path.join(self.path, e["file"]))
+                )
         published = set()
         for i, m in enumerate(messages):
             if m is None:

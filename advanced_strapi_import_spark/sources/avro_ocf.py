@@ -11,14 +11,17 @@ implements the spec subset a tabular engine needs (public spec:
 Avro 1.11 Object Container Files + binary encoding):
 
 - schemas: a top-level ``record`` whose fields are primitives
-  (null / boolean / int / long / float / double / string / bytes)
-  or the nullable union ``["null", <primitive>]``
+  (null / boolean / int / long / float / double / string / bytes),
+  NESTED records, ARRAYS, or the nullable union ``["null", T]`` of any
+  of those (round 8 extended the original primitive-only subset —
+  nested lake schemas are the first thing a real user ships)
 - codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951)
 
-Unsupported schema features (nested records, arrays, maps, enums,
-fixed, logical types) raise loudly — the documented boundary where a
-production deployment adds the spark-avro jar; the DataSource wrapper
-(`avro_datasource.py`) keeps the same plan shape either way.
+Still-unsupported schema features (maps, enums, fixed, logical types,
+general multi-branch unions, recursive/named type references) raise
+loudly at planning time naming the field — the documented boundary
+where a production deployment adds the spark-avro jar; the DataSource
+wrapper (`avro_datasource.py`) keeps the same plan shape either way.
 """
 
 from __future__ import annotations
@@ -85,34 +88,114 @@ class _Reader:
 
 
 # ---------------------------------------------------------------------------
-# schema-driven record codec
+# recursive schema compiler (round 8: nested records + arrays)
 # ---------------------------------------------------------------------------
-def _check_schema(schema: dict) -> list[tuple[str, str, int | None]]:
-    """-> [(name, primitive_type, null_branch_index|None)] or raise.
+# node forms:
+#   ("prim", type_name)
+#   ("null_union", null_branch_index, node)   # ["null", T] either order
+#   ("record", [(field_name, node), ...])
+#   ("array", item_node)
+def compile_type(t, field: str):
+    """Avro type -> codec node, or raise naming the offending field."""
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t or t[0] == t[1]:
+            raise ValueError(
+                f"avro_ocf: field {field!r}: only [null, T] unions are"
+                f" supported, got {t}"
+            )
+        null_idx = t.index("null")
+        return ("null_union", null_idx, compile_type(t[1 - null_idx], field))
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            return (
+                "record",
+                [
+                    (f["name"], compile_type(f["type"], f"{field}.{f['name']}"))
+                    for f in t["fields"]
+                ],
+            )
+        if kind == "array":
+            return ("array", compile_type(t["items"], f"{field}[]"))
+        if kind in _PRIMS:  # {"type": "long"} annotation form
+            return ("prim", kind)
+        raise ValueError(
+            f"avro_ocf: field {field!r} has unsupported type {kind!r}"
+            " (subset boundary: primitives, nested records, arrays and"
+            " [null, T] unions — add the spark-avro jar for"
+            " maps/enums/fixed/logical types)"
+        )
+    if isinstance(t, str) and t in _PRIMS:
+        return ("prim", t)
+    raise ValueError(
+        f"avro_ocf: field {field!r} has unsupported type {t!r}"
+        " (subset boundary: primitives, nested records, arrays and"
+        " [null, T] unions — add the spark-avro jar for"
+        " maps/enums/fixed/logical types)"
+    )
 
-    ``null_branch_index`` preserves the union's DECLARED branch order —
-    the wire format writes the branch position, so ["null","long"] and
-    ["long","null"] encode the same value differently."""
+
+def compile_schema(schema: dict) -> list[tuple[str, tuple]]:
+    """Top-level record -> [(field_name, node)] or raise."""
     if schema.get("type") != "record":
         raise ValueError("avro_ocf: top-level schema must be a record")
-    out = []
-    for f in schema["fields"]:
-        t = f["type"]
-        null_idx = None
-        if isinstance(t, list):
-            if len(t) != 2 or "null" not in t or t[0] == t[1]:
-                raise ValueError(
-                    f"avro_ocf: only [null, T] unions supported, got {t}"
-                )
-            null_idx = t.index("null")
-            t = t[1 - null_idx]
-        if not isinstance(t, str) or t not in _PRIMS:
-            raise ValueError(
-                f"avro_ocf: unsupported field type {t!r} (subset boundary:"
-                " add the spark-avro jar for nested/complex schemas)"
-            )
-        out.append((f["name"], t, null_idx))
-    return out
+    return [
+        (f["name"], compile_type(f["type"], f["name"]))
+        for f in schema["fields"]
+    ]
+
+
+def _encode_node(buf: bytearray, node, v) -> None:
+    kind = node[0]
+    if kind == "prim":
+        _encode_value(buf, node[1], v)
+    elif kind == "null_union":
+        _, null_idx, inner = node
+        if v is None:
+            write_long(buf, null_idx)
+        else:
+            write_long(buf, 1 - null_idx)
+            _encode_node(buf, inner, v)
+    elif kind == "record":
+        for name, child in node[1]:
+            if v is None:
+                item = None
+            elif isinstance(v, dict):
+                item = v.get(name)
+            else:  # pyspark Row (name-indexable) from the sink path
+                item = v[name]
+            _encode_node(buf, child, item)
+    else:  # array: one block of len(v) items, then the 0 terminator
+        items = list(v) if v is not None else []
+        if items:
+            write_long(buf, len(items))
+            for item in items:
+                _encode_node(buf, node[1], item)
+        write_long(buf, 0)
+
+
+def _decode_node(r: "_Reader", node):
+    kind = node[0]
+    if kind == "prim":
+        return _decode_value(r, node[1])
+    if kind == "null_union":
+        _, null_idx, inner = node
+        idx = r.long()
+        if idx not in (0, 1):
+            raise ValueError("invalid avro: union index")
+        return None if idx == null_idx else _decode_node(r, inner)
+    if kind == "record":
+        return {name: _decode_node(r, child) for name, child in node[1]}
+    out = []  # array: spec allows many blocks; negative count = sized
+    while True:
+        n = r.long()
+        if n == 0:
+            return out
+        if n < 0:
+            n = -n
+            r.long()  # block byte size (used by skippers, not us)
+        for _ in range(n):
+            out.append(_decode_node(r, node[1]))
 
 
 def _encode_value(buf: bytearray, t: str, v) -> None:
@@ -134,7 +217,7 @@ def _encode_value(buf: bytearray, t: str, v) -> None:
         raw = bytes(v)
         write_long(buf, len(raw))
         buf += raw
-    else:  # pragma: no cover — _check_schema guards
+    else:  # pragma: no cover — compile_schema guards
         raise ValueError(f"avro_ocf: unsupported type {t}")
 
 
@@ -168,8 +251,9 @@ def write_ocf(
     block_records: int = 1000,
     sync: bytes | None = None,
 ) -> None:
-    """Write rows (list of dicts) as a spec-valid OCF file."""
-    fields = _check_schema(schema)
+    """Write rows (list of dicts; nested records as dicts, arrays as
+    lists) as a spec-valid OCF file."""
+    fields = compile_schema(schema)
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro_ocf: unsupported codec {codec}")
     # deterministic sync marker unless provided (content-derived, so
@@ -199,14 +283,8 @@ def write_ocf(
         chunk = rows[i:i + block_records]
         body = bytearray()
         for row in chunk:
-            for name, t, null_idx in fields:
-                v = row.get(name)
-                if null_idx is not None:
-                    if v is None:
-                        write_long(body, null_idx)
-                        continue
-                    write_long(body, 1 - null_idx)
-                _encode_value(body, t, v)
+            for name, node in fields:
+                _encode_node(body, node, row.get(name))
         payload = bytes(body)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw RFC1951 frame
@@ -242,31 +320,27 @@ def read_ocf_header(data: bytes):
     return schema, codec, sync, r.pos
 
 
+def decode_block_rows(payload: bytes, n_rec: int, codec: str, fields):
+    """Yield row dicts from one block's (possibly compressed) payload;
+    ``fields`` is a :func:`compile_schema` node list."""
+    if codec == "deflate":
+        payload = zlib.decompress(payload, wbits=-15)
+    elif codec != "null":
+        raise ValueError(f"avro_ocf: unsupported codec {codec}")
+    br = _Reader(payload)
+    for _ in range(n_rec):
+        yield {name: _decode_node(br, node) for name, node in fields}
+
+
 def iter_ocf(data: bytes):
     """Yield row dicts from OCF bytes (null/deflate codecs)."""
     schema, codec, sync, pos = read_ocf_header(data)
-    fields = _check_schema(schema)
+    fields = compile_schema(schema)
     r = _Reader(data, pos)
     while r.pos < len(data):
         n_rec = r.long()
         size = r.long()
         payload = r.raw(size)
-        if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
-        elif codec != "null":
-            raise ValueError(f"avro_ocf: unsupported codec {codec}")
-        br = _Reader(payload)
-        for _ in range(n_rec):
-            row = {}
-            for name, t, null_idx in fields:
-                if null_idx is not None:
-                    idx = br.long()
-                    if idx not in (0, 1):
-                        raise ValueError("invalid avro: union index")
-                    if idx == null_idx:
-                        row[name] = None
-                        continue
-                row[name] = _decode_value(br, t)
-            yield row
+        yield from decode_block_rows(payload, n_rec, codec, fields)
         if r.raw(16) != sync:
             raise ValueError("invalid avro: sync marker mismatch")

@@ -41,10 +41,12 @@ def test_roundtrip(tmp_path, codec):
 def test_rejects_bad_magic_and_complex_schema(tmp_path):
     with pytest.raises(ValueError, match="bad magic"):
         list(A.iter_ocf(b"NOPE" + b"x" * 64))
-    nested = {"type": "record", "name": "n", "fields": [
-        {"name": "a", "type": {"type": "array", "items": "long"}}]}
-    with pytest.raises(ValueError, match="unsupported field type"):
-        A.write_ocf(str(tmp_path / "x.avro"), nested, [])
+    # arrays/records are supported since round 8; enums still are not
+    bad = {"type": "record", "name": "n", "fields": [
+        {"name": "a", "type": {"type": "enum", "name": "e",
+                               "symbols": ["X"]}}]}
+    with pytest.raises(ValueError, match="'a' has unsupported type 'enum'"):
+        A.write_ocf(str(tmp_path / "x.avro"), bad, [])
 
 
 def test_java_reference_reads_our_files(spark, tmp_path):
@@ -175,3 +177,236 @@ def test_datasource_write_empty_and_append(spark, tmp_path):
     )
     assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 3, 4]
     assert len([n for n in os.listdir(out) if n.startswith("part-")]) >= 2
+
+
+def test_datasource_splits_large_file_on_sync_markers(spark, tmp_path):
+    """A single multi-block OCF file fans out to >1 input partition
+    under a small target_partition_bytes: each split resyncs on the
+    16-byte sync marker and reads exactly the blocks whose start falls
+    in its byte range — rows identical to the one-partition read."""
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    rows = [
+        {"id": i, "name": f"row-{i:06d}" * 3, "score": float(i) / 8,
+         "flag": i % 2 == 0, "blob": bytes([i % 256] * 16), "alt": i % 100}
+        for i in range(5000)
+    ]
+    p = str(tmp_path / "big.avro")
+    A.write_ocf(p, SCHEMA, rows, codec="null", block_records=100)
+    import os
+
+    size = os.path.getsize(p)
+    df = (
+        spark.read.format("avro_py")
+        .option("path", p)
+        .option("target_partition_bytes", str(size // 7))
+        .load()
+    )
+    # 6 or 7 depending on how the header bytes round: >1 is the point
+    assert df.rdd.getNumPartitions() in (6, 7)
+    got = sorted(r["id"] for r in df.collect())
+    assert got == list(range(5000))  # no dropped or doubled blocks
+    one = (
+        spark.read.format("avro_py").option("path", p).load()
+    )
+    assert one.rdd.getNumPartitions() == 1
+    assert sorted(
+        tuple(r) for r in df.collect()
+    ) == sorted(tuple(r) for r in one.collect())
+
+
+def test_datasource_projects_reordered_file_headers(spark, tmp_path):
+    """Files sharing fields in DIFFERENT header orders read back with
+    consistent columns: rows are projected into the planned schema's
+    field order, not each file's own (the round-8 ADVICE fix)."""
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    s_ab = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    s_ba = {"type": "record", "name": "t", "fields": [
+        {"name": "b", "type": "string"}, {"name": "a", "type": "long"}]}
+    A.write_ocf(str(tmp_path / "f0.avro"), s_ab,
+                [{"a": 1, "b": "one"}, {"a": 2, "b": "two"}])
+    A.write_ocf(str(tmp_path / "f1.avro"), s_ba,
+                [{"a": 3, "b": "three"}, {"a": 4, "b": "four"}])
+    df = (
+        spark.read.format("avro_py")
+        .option("path", str(tmp_path) + "/*.avro")
+        .load()
+    )
+    got = {r["a"]: r["b"] for r in df.collect()}
+    assert got == {1: "one", 2: "two", 3: "three", 4: "four"}
+
+
+def test_datasource_errors_on_missing_planned_field(spark, tmp_path):
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    s_ab = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    s_a = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}]}
+    A.write_ocf(str(tmp_path / "f0.avro"), s_ab, [{"a": 1, "b": "x"}])
+    A.write_ocf(str(tmp_path / "f1.avro"), s_a, [{"a": 2}])
+    df = (
+        spark.read.format("avro_py")
+        .option("path", str(tmp_path) + "/*.avro")
+        .load()
+    )
+    with pytest.raises(Exception, match="lacks planned field"):
+        df.collect()
+
+
+def test_append_merges_success_manifest(spark, tmp_path):
+    """Append commits merge the prior _SUCCESS manifest instead of
+    rewriting it with only the latest job's files (round-8 ADVICE):
+    the manifest row count must equal the directory's readable rows."""
+    import json
+    import os
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    out = str(tmp_path / "sink3")
+    for lo, hi in [(0, 10), (10, 30), (30, 35)]:
+        spark.range(lo, hi).selectExpr("id").coalesce(2).write.format(
+            "avro_py"
+        ).option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    files = [e["file"] for e in manifest["files"]]
+    on_disk = sorted(
+        n for n in os.listdir(out)
+        if n.startswith("part-") and n.endswith(".avro")
+    )
+    assert sorted(files) == on_disk  # every published file listed
+    assert sum(e["n_rows"] for e in manifest["files"]) == 35
+    back = (
+        spark.read.format("avro_py").option("path", out + "/part-*.avro").load()
+    )
+    assert sorted(r["id"] for r in back.collect()) == list(range(35))
+
+
+NESTED_SCHEMA = {
+    "type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "meta", "type": {"type": "record", "name": "meta_rec",
+            "fields": [
+                {"name": "w", "type": "int"},
+                {"name": "h", "type": ["null", "int"]},
+            ]}},
+        {"name": "scores",
+         "type": ["null", {"type": "array", "items": ["null", "double"]}]},
+    ],
+}
+NESTED_ROWS = [
+    {"id": 1, "tags": ["a", "b"], "meta": {"w": 3, "h": 4},
+     "scores": [1.5, None, -0.25]},
+    {"id": 2, "tags": [], "meta": {"w": 0, "h": None}, "scores": None},
+    {"id": 3, "tags": ["μ"], "meta": {"w": -7, "h": 0}, "scores": []},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_nested_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"n_{codec}.avro")
+    A.write_ocf(p, NESTED_SCHEMA, NESTED_ROWS, codec=codec, block_records=2)
+    assert list(A.iter_ocf(open(p, "rb").read())) == NESTED_ROWS
+
+
+def test_java_reference_reads_nested(spark, tmp_path):
+    """Spec-validity proof for the round-8 nested subset: the Apache
+    Avro Java reader must decode our nested records and arrays."""
+    p = str(tmp_path / "nested_xval.avro")
+    A.write_ocf(p, NESTED_SCHEMA, NESTED_ROWS, codec="deflate")
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while fr.hasNext():
+        got.append(fr.next())
+    fr.close()
+    assert len(got) == 3
+    assert got[0].get("meta").get("w") == 3
+    assert got[0].get("meta").get("h") == 4
+    assert [str(x) for x in got[0].get("tags")] == ["a", "b"]
+    assert list(got[0].get("scores"))[1] is None
+    assert got[1].get("scores") is None and got[1].get("meta").get("h") is None
+
+
+def test_datasource_reads_nested(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    p = str(tmp_path / "nested_ds.avro")
+    A.write_ocf(p, NESTED_SCHEMA, NESTED_ROWS)
+    df = spark.read.format("avro_py").option("path", p).load()
+    assert df.schema["meta"].dataType.typeName() == "struct"
+    assert df.schema["tags"].dataType.typeName() == "array"
+    assert df.schema["scores"].nullable
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["meta"]["w"] == 3 and got[1]["meta"]["h"] == 4
+    assert got[2]["meta"]["h"] is None and got[2]["scores"] is None
+    assert list(got[1]["tags"]) == ["a", "b"]
+    # nested columns compose with Spark expressions like any scan
+    assert df.select(F.col("meta.w")).filter("meta.w > 0").count() == 1
+
+
+def test_datasource_writes_nested_and_java_reads(spark, tmp_path):
+    import os
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    out = str(tmp_path / "nested_sink")
+    src = spark.range(6).selectExpr(
+        "id",
+        "named_struct('w', CAST(id AS INT),"
+        " 'h', CASE WHEN id % 2 = 0 THEN CAST(id*2 AS INT) END) AS meta",
+        "array(CAST(id AS STRING), 'x') AS tags",
+    ).coalesce(1)
+    src.write.format("avro_py").option("path", out).mode("overwrite").save()
+    back = (
+        spark.read.format("avro_py").option("path", out + "/part-*.avro").load()
+    )
+    got = {r["id"]: r for r in back.collect()}
+    assert got[2]["meta"]["h"] == 4 and got[3]["meta"]["h"] is None
+    assert list(got[5]["tags"]) == ["5", "x"]
+    # Java reference cross-check
+    part = [n for n in os.listdir(out) if n.startswith("part-")][0]
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(os.path.join(out, part)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while fr.hasNext():
+        rec = fr.next()
+        n += 1
+    fr.close()
+    assert n == 6
+
+
+def test_still_rejects_maps_and_enums(tmp_path):
+    bad = {"type": "record", "name": "n", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "long"}}]}
+    with pytest.raises(ValueError, match="'m' has unsupported type 'map'"):
+        A.write_ocf(str(tmp_path / "x.avro"), bad, [])
