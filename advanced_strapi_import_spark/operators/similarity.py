@@ -176,10 +176,19 @@ def lsh_bucket_id(vec: Column, *, planes: int = 6, dims: int = 64) -> Column:
 
 
 def _multi_buckets(
-    df: DataFrame, vec_col: str, out_id: str, *, tables: int, planes: int, dims: int
+    df: DataFrame, vec_col: str, out_id: str, *, tables: int, planes: int,
+    dims: int, stride: int | None = None,
 ) -> DataFrame:
     """(id, vec, table, bucket): one bucket per hash table; table t uses
-    planes [t*planes, (t+1)*planes) of the deterministic family.
+    planes [t*s, t*s + planes) of the deterministic family, where the
+    stride s defaults to ``planes`` (contiguous slices — the legacy
+    layout every fixed-parameter oracle mirrors). Passing an explicit
+    ``stride`` > planes pins each table's plane ids independently of
+    the plane COUNT, so a corpus-size-adaptive caller can lengthen the
+    bucket (sharper gating) without reshuffling which hyperplanes each
+    table draws — the adapted bucket is exactly a PREFIX of the
+    full-stride bucket, which is what lets a static SQL oracle mirror
+    adaptive gating with substr().
 
     All tables*planes sign bits are computed in ONE Arrow-batched
     Pandas UDF (a single n x dims @ dims x (tables*planes) float64
@@ -191,8 +200,11 @@ def _multi_buckets(
     import numpy as np
     import pandas as pd
 
+    s = planes if stride is None else stride
+    if s < planes:
+        raise ValueError("_multi_buckets: stride must be >= planes")
     weights = np.array(
-        [plane_signs(t * planes + p, dims)
+        [plane_signs(t * s + p, dims)
          for t in range(tables) for p in range(planes)],
         dtype=np.float64,
     ).T  # dims x (tables*planes)
@@ -484,6 +496,30 @@ def _pair_cosine_udf():
     return F.pandas_udf(_cos, "double")
 
 
+NEAR_DUP_PLANES_FLOOR = 12
+NEAR_DUP_PLANES_CAP = 24
+
+
+def near_dup_auto_planes(n: int) -> int:
+    """Corpus-size-adaptive plane count: ceil(log2(n)) + 2 clamped to
+    [FLOOR, CAP], computed in INTEGER arithmetic (bit_length == the
+    length of bin(n-1)) so a SQL oracle reproduces it without
+    cross-engine float-log2 edge cases. Rationale: expected bucket
+    occupancy is n / 2^planes, so pinning planes ~ log2(n) + const
+    keeps occupancy — and with it the random-candidate-pair count of
+    the LSH self-join — LINEAR in n instead of quadratic. The +2
+    margin puts random occupancy near 1/4 row per bucket. Recall cost
+    is bounded: each +1 plane multiplies a true pair's per-table
+    survival by its per-plane agreement (~0.86 at cos 0.9), and the
+    multi-table OR keeps overall recall high (16 tables at 14 planes:
+    ~0.86 for cos=0.9 pairs, ~0.9997 for the cos>0.98 pairs
+    near-dup detection actually hunts)."""
+    return min(
+        NEAR_DUP_PLANES_CAP,
+        max(NEAR_DUP_PLANES_FLOOR, (max(int(n), 2) - 1).bit_length() + 2),
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,
@@ -491,7 +527,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tables: int = 16,
-    planes: int = 12,
+    planes: int | None = 12,
     dims: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, multi-table
@@ -503,7 +539,22 @@ def embedding_near_dup(
     all pairs, while a cos>=0.9 pair (agree prob ~0.86/plane) survives
     some table with p~0.93. The candidate self-join carries only
     (id, table, bucket); vectors join back AFTER pair-dedup, so the
-    wide rows never ride the candidate shuffle."""
+    wide rows never ride the candidate shuffle.
+
+    ``planes=None`` switches to CORPUS-ADAPTIVE gating (round 8, the
+    fix for the measured superlinear shuffle curve): the plane count
+    follows :func:`near_dup_auto_planes` (~log2(n) + 2, clamped), and
+    plane ids are drawn at the fixed ``NEAR_DUP_PLANES_CAP`` stride so
+    each table's bucket is a PREFIX of its cap-length bucket — gating
+    sharpens as the corpus grows, candidate pairs stay ~linear in n,
+    and a static SQL oracle mirrors the rule exactly via
+    length(bin(count(*)-1)) + substr(). The count() this costs is one
+    cheap scan-level job at plan time."""
+    stride = None
+    if planes is None:
+        n = df.count()
+        planes = near_dup_auto_planes(n)
+        stride = NEAR_DUP_PLANES_CAP
     vecs = persist_tracked(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
     )
@@ -511,6 +562,7 @@ def embedding_near_dup(
         _multi_buckets(
             vecs.select("id", F.col("__v")),
             "__v", "id", tables=tables, planes=planes, dims=dims,
+            stride=stride,
         ).select("id", "__table", "__bucket")
     )
     a, c = b.alias("a"), b.alias("b")

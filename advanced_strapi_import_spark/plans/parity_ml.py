@@ -371,22 +371,28 @@ def _lsh_bucket_sql() -> str:
     return " || ".join(cases)
 
 
-def _table_bucket_sql(table: int, planes_per_table: int) -> str:
+def _table_bucket_sql(
+    table: int, planes_per_table: int, stride: int | None = None
+) -> str:
     """One hash table's bucket expression over column `emb` (list of
-    DOUBLE), planes [table*p, (table+1)*p) — mirrors
-    similarity._multi_buckets exactly."""
+    DOUBLE), planes [table*s, table*s + p) where the stride s defaults
+    to p — mirrors similarity._multi_buckets exactly (including its
+    round-8 fixed-stride mode for corpus-adaptive prefix gating)."""
     cases = []
+    s = planes_per_table if stride is None else stride
     for p in range(planes_per_table):
-        plane = table * planes_per_table + p
+        plane = table * s + p
         arr = "[" + ",".join(str(x) for x in _plane_signs(plane, EMB_DIMS)) + "]"
         cases.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIMS + 1}), "
-            f"i -> emb[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+            f"(CASE WHEN list_inner_product(emb, {arr}) >= 0"
+            " THEN '1' ELSE '0' END)"
         )
     return " || ".join(cases)
 
 
-_ND_TABLES, _ND_PLANES = 16, 12
+_ND_TABLES = 16
+_ND_CAP = 24    # == similarity.NEAR_DUP_PLANES_CAP (fixed plane stride)
+_ND_FLOOR = 12  # == similarity.NEAR_DUP_PLANES_FLOOR
 
 _ND_CORPUS_SQL = f"""
 base AS (
@@ -399,8 +405,20 @@ corpus AS (
   SELECT id + 100000, [emb[1] + 0.5] || emb[2:{EMB_DIMS}] FROM base)
 """
 
+# corpus-adaptive plane count (round 8): ceil(log2(n)) + 2 clamped to
+# [floor, cap], in INTEGER form — length(bin(n-1)) == (n-1).bit_length()
+# — exactly similarity.near_dup_auto_planes. Each table's bucket is the
+# pe-char PREFIX of its cap-length bucket (fixed stride), so one static
+# SQL mirrors every corpus size.
+_ND_PARAMS_SQL = (
+    f"params AS (SELECT LEAST({_ND_CAP}, GREATEST({_ND_FLOOR}, "
+    "length(bin(count(*) - 1)) + 2)) AS pe FROM corpus)"
+)
+
 _ND_BUCKETS_SQL = "buckets AS (\n  " + "\n  UNION ALL ".join(
-    f"SELECT id, emb, {t} AS tbl, {_table_bucket_sql(t, _ND_PLANES)} AS bucket FROM corpus"
+    f"SELECT id, emb, {t} AS tbl, "
+    f"substr({_table_bucket_sql(t, _ND_CAP, stride=_ND_CAP)}, 1, "
+    "(SELECT pe FROM params)) AS bucket FROM corpus"
     for t in range(_ND_TABLES)
 ) + ")"
 
@@ -409,6 +427,7 @@ _ND_BUCKETS_SQL = "buckets AS (\n  " + "\n  UNION ALL ".join(
     "embedding_near_dup",
     oracle=f"""
 WITH {_ND_CORPUS_SQL},
+{_ND_PARAMS_SQL},
 {_ND_BUCKETS_SQL},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -428,8 +447,15 @@ scored AS (
 SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.9
 """,
     doc="Embedding-cosine near-dup detection, multi-table LSH-gated "
-        "(8x4 md5-seeded hyperplanes): corpus doubled with planted "
-        "perturbed copies; oracle replicates the gating exactly.",
+        "(16 tables of md5-seeded hyperplanes): corpus doubled with "
+        "planted perturbed copies; oracle replicates the gating "
+        "exactly. Round 8: the plane count is CORPUS-ADAPTIVE "
+        "(ceil(log2(n)) + 2 clamped to [12, 24], integer-exact on "
+        "both engines via bin(); fixed 24-plane stride so the bucket "
+        "is a prefix) — the fix for the measured superlinear shuffle "
+        "curve (SCALING.md sh x10 was 12.9 under fixed 12-plane "
+        "gating: random-pair candidates grow ~n^2/2^planes, so planes "
+        "must track log2(n) for the candidate set to stay linear).",
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -447,7 +473,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(perturbed)
     return S.embedding_near_dup(
         corpus, threshold=0.9, vec_col="embedding", id_col="id",
-        tables=_ND_TABLES, planes=_ND_PLANES, dims=EMB_DIMS,
+        tables=_ND_TABLES, planes=None, dims=EMB_DIMS,
     )
 
 
@@ -1492,6 +1518,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SEMDEDUP_ORACLE = f"""
 WITH {_ND_CORPUS_SQL},
+{_ND_PARAMS_SQL},
 {_ND_BUCKETS_SQL},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -277,3 +277,49 @@ def test_lsh_query_index_empty_queries(spark, tmp_path):
     out = S.lsh_query_index(spark, idx, empty, k=5, planes=4)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos", "rnk"]
+
+
+def test_near_dup_auto_planes_rule():
+    """Integer rule == the SQL form length(bin(n-1)) + 2 clamped: the
+    cross-engine contract the adaptive oracle depends on."""
+    from advanced_strapi_import_spark.operators.similarity import (
+        NEAR_DUP_PLANES_CAP,
+        NEAR_DUP_PLANES_FLOOR,
+        near_dup_auto_planes,
+    )
+
+    assert near_dup_auto_planes(1) == NEAR_DUP_PLANES_FLOOR
+    assert near_dup_auto_planes(1024) == 12   # bin(1023) is 10 bits
+    assert near_dup_auto_planes(1025) == 13   # bin(1024) is 11 bits
+    assert near_dup_auto_planes(4000) == 14
+    assert near_dup_auto_planes(10**7) == NEAR_DUP_PLANES_CAP
+    for n in (2, 999, 4096, 10**5):
+        assert (
+            near_dup_auto_planes(n)
+            == min(24, max(12, (n - 1).bit_length() + 2))
+        )
+
+
+def test_near_dup_auto_mode_finds_planted_pairs(spark):
+    """planes=None (corpus-adaptive gating) still catches planted
+    near-identical pairs, and its fixed-stride buckets are a PREFIX
+    relation: auto output == explicit (auto_planes(n), stride=cap)."""
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    # planted: ids 100+i are tiny perturbations of ids 0..9
+    rows += [
+        (100 + i, [float(x) for x in base[i] + 0.01]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = S.embedding_near_dup(
+        df, threshold=0.95, vec_col="embedding", id_col="id",
+        tables=8, planes=None, dims=16,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= got  # every planted pair gated in and scored
