@@ -26,20 +26,33 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-7 rotation: union(r01-r06) covers the ENTIRE 267-query round-6
-# registry (never-sampled is empty), so the window leads with the
-# round-7 ADDITIONS (the stats/ML second wave + the real-decode
-# multimodal suite + the text/analytics/embedding batch) plus the
-# queries whose plans materially changed this round (stream ANN serve
-# family: batch_id-keyed idempotent sink + LSH index meta.json; the two
-# distributed_cumsum consumers after its multi-column extension); the
-# remainder of the 50 slots re-verifies the round-6 window tail.
+# Round-8 rotation: the window leads with the round-8 ADDITIONS
+# (color/DRI JPEG decode, Kendall tau, Welch t) and the queries whose
+# plans MATERIALLY CHANGED this round (mixed-pixels now routes 4:2:0
+# color JPEGs; resize stub renamed to _plumbing; near-dup/semdedup now
+# corpus-adaptive LSH gating; every stateful stream twin moved to
+# batch_id-keyed parquet state last commit), then re-verifies the
+# round-7 additions, then the older tail.
 _FIRST = [
-    # --- round-7 additions (second wave: stats/ML batch) ---
-    "multimodal_jpeg_pixels",
+    # --- round-8 additions ---
+    "multimodal_jpeg_color_pixels",
+    "multimodal_jpeg_dri_pixels",
+    "lineitem_kendall_tau",
+    "events_welch_ttest",
+    # --- materially changed in round 8 ---
     "multimodal_mixed_pixels",
-    "events_mann_kendall",
+    "multimodal_resize_plumbing",
+    "embedding_near_dup",
+    "embedding_semdedup",
     "stream_transition_matrix",
+    "stream_psi_drift",
+    "stream_stateful_user_totals",
+    "stream_dedup_incremental",
+    "stream_ann_index_update",
+    "dedup_prefix_filter",
+    "dedup_family_recall",
+    # --- round-7 additions, re-verified (second wave: stats/ML) ---
+    "events_mann_kendall",
     "embedding_pca_top2",
     "lineitem_spearman",
     "lineitem_theil_decomposition",
@@ -47,7 +60,6 @@ _FIRST = [
     "events_user_activity_powerlaw",
     "events_type_entropy_daily",
     "minhash_band_sweep",
-    "stream_psi_drift",
     "dedup_cdc_chunks",
     "lineitem_regression_metrics",
     "lineitem_corr_matrix",
@@ -85,7 +97,6 @@ _FIRST = [
     "doc_lang_kappa",
     # --- re-verified round-6 window tail (driver-green in r06) ---
     "embedding_ivf_nprobe_sweep",
-    "dedup_family_recall",
     "bpe_iterative_merges",
     "dedup_weighted_pagerank",
     "events_score_calibration",

@@ -5074,3 +5074,158 @@ def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_microbits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_kendall_tau",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey * 10 + l_linenumber AS k,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % 199 = 0),
+pairs AS (
+  SELECT a.q AS qa, a.p AS pa, b.q AS qb, b.p AS pb
+  FROM s a JOIN s b ON a.k < b.k),
+cnt AS (
+  SELECT
+    CAST(count(*) FILTER ((qa - qb) * (pa - pb) > 0) AS BIGINT) AS c,
+    CAST(count(*) FILTER ((qa - qb) * (pa - pb) < 0) AS BIGINT) AS d,
+    CAST(count(*) FILTER (qa = qb AND pa <> pb) AS BIGINT) AS tx,
+    CAST(count(*) FILTER (pa = pb AND qa <> qb) AS BIGINT) AS ty,
+    CAST(count(*) FILTER (qa = qb AND pa = pb) AS BIGINT) AS txy
+  FROM pairs)
+SELECT c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+       round((c - d) / (sqrt((c + d + tx + txy)::DOUBLE)
+                        * sqrt((c + d + ty + txy)::DOUBLE)), 6) AS tau_b
+FROM cnt
+""",
+    doc="Kendall tau-b rank correlation between quantity and price on "
+        "a key-sampled lineitem slice (l_orderkey % 199): exact "
+        "concordant/discordant/tie pair counts over the i<j self-join "
+        "(prices scaled to integer cents so every comparison is "
+        "integer-exact), tau-b as the one rounded double. The i<j "
+        "theta-join broadcasts the sampled slice (a few thousand rows "
+        "at any SF — the % 199 gate rides down to the scan), so the "
+        "quadratic pair set never shuffles: each task scans its "
+        "broadcast copy. Complements lineitem_spearman: tau's "
+        "pair-concordance semantics are robust to monotone transforms "
+        "and its tie treatment differs from rank correlation.",
+)
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 199 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pr = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k")).select(
+        (F.col("a.q") - F.col("b.q")).alias("dq"),
+        (F.col("a.p") - F.col("b.p")).alias("dp"),
+    )
+    cnt = pr.agg(
+        F.count_if((F.col("dq") * F.col("dp")) > 0).alias("c"),
+        F.count_if((F.col("dq") * F.col("dp")) < 0).alias("d"),
+        F.count_if((F.col("dq") == 0) & (F.col("dp") != 0)).alias("tx"),
+        F.count_if((F.col("dp") == 0) & (F.col("dq") != 0)).alias("ty"),
+        F.count_if((F.col("dq") == 0) & (F.col("dp") == 0)).alias("txy"),
+    )
+    return cnt.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / (
+                F.sqrt((F.col("c") + F.col("d") + F.col("tx")
+                        + F.col("txy")).cast("double"))
+                * F.sqrt((F.col("c") + F.col("d") + F.col("ty")
+                          + F.col("txy")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "events_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type),
+w AS (
+  SELECT
+    max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+    max(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+    max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+    max(CASE WHEN event_type = 'view' THEN ss END) AS ss2
+  FROM g)
+SELECT n1, n2,
+       round(((s1::DOUBLE / n1) - (s2::DOUBLE / n2))
+             / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1)::DOUBLE))
+                      / n1
+                    + ((n2 * ss2 - s2 * s2)::DOUBLE
+                       / (n2 * (n2 - 1)::DOUBLE)) / n2)
+             / 100.0, 6) AS t_stat
+FROM w
+""",
+    doc="Welch's unequal-variance t statistic comparing click vs view "
+        "event values: group sums and sums-of-squares accumulate in "
+        "exact integer cents (value has 2 decimals, so x*100 is "
+        "integral and n*ss - s^2 stays inside BIGINT through sf0.1 "
+        "and beyond), then ONE double expression — identical operation "
+        "tree on both engines, so IEEE arithmetic is bit-reproducible "
+        "— forms the statistic; /100 converts cents back to units "
+        "(the scale cancels in numerator and denominator sqrt). "
+        "Completes the two-sample testing family (Mann-Whitney and KS "
+        "are rank/distribution tests; Welch is the parametric "
+        "mean-difference test an A/B readout leads with). One "
+        "hash-agg shuffle of 2 groups; scale-indifferent.",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias("ss2"),
+    )
+    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    t = (
+        (F.col("s1").cast("double") / F.col("n1"))
+        - (F.col("s2").cast("double") / F.col("n2"))
+    ) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return w.select("n1", "n2", F.round(t / 100.0, 6).alias("t_stat"))

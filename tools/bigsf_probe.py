@@ -1,0 +1,82 @@
+"""One-extra-SF scaling probe for the pair-generating dedup/ANN
+queries (round-8 VERDICT item: verify dedup_minhash_pairs' pair-verify
+stage, and the new corpus-adaptive embedding_near_dup gating, stay
+near-linear one 3-4x step PAST sf0.1).
+
+There is no sf1 test corpus, so the extra point is synthesized from
+sf0.1 (driver generated, read-only) into $BIGSF_DIR (default
+/tmp/sfbig) with structure-preserving expansion:
+
+- documents x3: copies get per-copy DETERMINISTIC word shuffles
+  (string_agg ordered by md5(word||pos||k)), so a copy is NOT a
+  near-dup of its original — the minhash pair structure replicates per
+  copy (linear growth) instead of fusing dup families (which would
+  fabricate quadratic growth the real corpus doesn't have);
+- embeddings x4: copies carry a +/-0.88-amplitude deterministic
+  per-dimension perturbation — far outside the cos>=0.9 band.
+
+Method mirrors tools/scaling_probe.py: per query, one warm run
+(compile/JIT), release all caches, one timed run with real
+shuffle-bytes-written from the SQL status store. Compare the printed
+ratios against the sf0.01 -> sf0.1 step in SCALING.md (adjusted for
+the 3x / 4x step: linear == ratio ~ step).
+
+Usage: python tools/bigsf_probe.py   (prints rows; paste into
+SCALING.md's round-8 note)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import advanced_strapi_import_spark.plans.all  # noqa: F401
+from advanced_strapi_import_spark import caching
+from advanced_strapi_import_spark.plans.registry import QUERIES
+from advanced_strapi_import_spark.session import get_spark
+from bench import _exec_count, _shuffle_bytes_since, force
+
+BIG = os.environ.get("BIGSF_DIR", "/tmp/sfbig")
+BASE = "/root/testdata/sf0.1"
+
+PROBES = [
+    ("dedup_minhash_pairs", "documents x3"),
+    ("dedup_minhash_bands", "documents x3"),
+    ("embedding_near_dup", "embeddings x4 (adaptive planes)"),
+    ("dedup_prefix_filter", "documents x3"),
+]
+
+
+def main() -> None:
+    spark = get_spark("bigsf-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| query | step | t(s) sf0.1 -> big | t ratio | shuffle B "
+          "sf0.1 -> big | sh ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, step in PROBES:
+        spec = QUERIES[name]
+        vals = []
+        for sf in (BASE, BIG):
+            force(spec.fn(spark, sf))  # warm
+            caching.release_all()
+            mark = _exec_count(spark)
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf))
+            dt = time.perf_counter() - t0
+            sb = _shuffle_bytes_since(spark, mark)
+            caching.release_all()
+            vals.append((dt, sb))
+        (t1, s1), (t2, s2) = vals
+        tr = f"{t2 / t1:.1f}" if t1 > 0 else "-"
+        sr = f"{s2 / s1:.1f}" if s1 and s1 > 0 and s2 >= 0 else "-"
+        print(f"| {name} | {step} | {t1:.2f} -> {t2:.2f} | {tr} "
+              f"| {s1} -> {s2} | {sr} |", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
