@@ -1552,8 +1552,11 @@ def jpeg_encode_ycbcr(
     JPEG. ``subsample='420'`` takes ``y`` of shape (H, W) with H, W
     multiples of 16 and ``cb``/``cr`` of shape (H/2, W/2): each MCU is
     four Y blocks (2x2) plus one Cb and one Cr block, the layout of
-    virtually every camera/web JPEG. ``'444'`` takes three full-size
-    planes (H, W multiples of 8), one block each per MCU. The default
+    virtually every camera/web JPEG. ``'422'`` (the broadcast-video
+    layout) halves chroma horizontally only: H multiple of 8, W
+    multiple of 16, chroma (H, W/2), two Y blocks per MCU. ``'444'``
+    takes three full-size planes (H, W multiples of 8), one block
+    each per MCU. The default
     uniform-8 quant table makes block-constant planes round-trip
     EXACTLY (DC-only, lossless quantization) so an arithmetic oracle
     can predict decoded pixels bit-for-bit. Luma uses Huffman table 0;
@@ -1577,6 +1580,12 @@ def jpeg_encode_ycbcr(
             raise ValueError("jpeg_encode_ycbcr 420: H, W must be *16")
         if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
             raise ValueError("jpeg_encode_ycbcr 420: chroma must be H/2 x W/2")
+    elif subsample == "422":
+        sy, sc = (1, 2), (1, 1)  # (v, h): full-height, half-width chroma
+        if h % 8 or w % 16:
+            raise ValueError("jpeg_encode_ycbcr 422: H must be *8, W *16")
+        if cb.shape != (h, w // 2) or cr.shape != (h, w // 2):
+            raise ValueError("jpeg_encode_ycbcr 422: chroma must be H x W/2")
     elif subsample == "444":
         sy, sc = (1, 1), (1, 1)
         if h % 8 or w % 8:
@@ -1584,14 +1593,14 @@ def jpeg_encode_ycbcr(
         if cb.shape != (h, w) or cr.shape != (h, w):
             raise ValueError("jpeg_encode_ycbcr 444: chroma must be H x W")
     else:
-        raise ValueError("subsample must be '420' or '444'")
+        raise ValueError("subsample must be '420', '422' or '444'")
     q = np.full(64, 8, dtype=np.int64) if qtable is None else np.asarray(
         qtable, dtype=np.int64
     ).reshape(64)
     m = _dct_basis()
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    hv, wv = sy  # luma sampling factors (v, h) are equal per axis here
+    hv, wv = sy  # luma sampling factors (v, h)
     mcuy, mcux = h // (8 * hv), w // (8 * wv)
     bw = _BitWriter()
     preds = [0, 0, 0]

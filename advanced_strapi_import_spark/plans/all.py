@@ -37,6 +37,9 @@ _FIRST = [
     # --- round-8 additions ---
     "multimodal_jpeg_color_pixels",
     "multimodal_jpeg_dri_pixels",
+    "multimodal_jpeg_422_pixels",
+    "orders_avro_roundtrip_agg",
+    "stream_welch_ttest",
     "lineitem_kendall_tau",
     "events_welch_ttest",
     # --- materially changed in round 8 ---

@@ -212,3 +212,68 @@ def component_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.do_number").alias("do_number"),
         F.col("item.quantity").alias("quantity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF round trip under the value-checked gate (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_avro_roundtrip_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Avro OCF round trip inside the value-checked gate (round 8 — "
+        "until now the avro_py source/sink was pytest-only): orders "
+        "(key, priority, integer cents) writes through the "
+        "two-phase-commit avro_py sink, reads back through the avro_py "
+        "source FORCED to split each part file into ~8 byte-range "
+        "partitions (target_partition_bytes = total/8, so the "
+        "sync-marker resync path runs on every gate run, not just in "
+        "unit tests), and aggregates. The oracle aggregates the "
+        "original parquet directly — any row lost or doubled by the "
+        "split ownership rule, any column misaligned by the "
+        "planned-order projection, or any encode/decode drift breaks "
+        "the count or the exact integer cents sum. Integer cents make "
+        "the sum hash-stable; the write is a per-gate temp dir, "
+        "removed at exit.",
+)
+def orders_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="avro_rt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    out = os.path.join(d, "orders")
+    o.write.format("avro_py").option("path", out).mode("overwrite").save()
+    size = sum(
+        os.path.getsize(p) for p in globmod.glob(out + "/part-*.avro")
+    )
+    back = (
+        spark.read.format("avro_py")
+        .option("path", out + "/part-*.avro")
+        .option("target_partition_bytes", str(max(1, size // 8)))
+        .load()
+    )
+    return back.groupBy(
+        F.col("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

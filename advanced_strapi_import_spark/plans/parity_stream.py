@@ -2329,3 +2329,168 @@ def multimodal_jpeg_dri_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = d.mapInPandas(gen, "doc_id long, content binary")
     return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:2 color JPEG pixel decode (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_jpeg_422_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(n_chars % 4 + 1 AS INT) AS hb
+  FROM documents),
+ycc AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 23 + (k % wb) * 9 + (k // wb) * 11) % 256 AS y,
+         (doc_id * 31 + (k % wb) * 13 + (k // wb) * 7) % 256 - 128 AS cb,
+         (doc_id * 43 + (k % wb) * 5 + (k // wb) * 19) % 256 - 128 AS cr
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM dims)),
+rgb AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 91881*cr + 32768 + 16777216) // 65536) - 256)) AS r,
+    LEAST(255, GREATEST(0,
+      ((y*65536 - 22554*cb - 46802*cr + 32768 + 16777216) // 65536) - 256)) AS g,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 116130*cb + 32768 + 16777216) // 65536) - 256)) AS b
+  FROM ycc)
+SELECT doc_id,
+       CAST(wb * 16 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels, 'JPEG' AS format,
+       CAST(wb * hb * 384 AS BIGINT) AS n_vals,
+       CAST(sum(r) * 128 AS BIGINT) AS sum_c0,
+       CAST(sum(g) * 128 AS BIGINT) AS sum_c1,
+       CAST(sum(b) * 128 AS BIGINT) AS sum_c2,
+       CAST(min(LEAST(r, g, b)) AS INT) AS px_min,
+       CAST(max(GREATEST(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY doc_id, wb, hb
+""",
+    doc="4:2:2 color JPEG pixel decode (round 8): the broadcast-video "
+        "chroma layout — full-height, half-width chroma, two Y blocks "
+        "per MCU — through the same generic interleaved-MCU decode "
+        "path as 4:2:0, with horizontal-only chroma upsampling. MCUs "
+        "are constant 8x16 macroblocks (128 pixels each), so the "
+        "whole lossy pipeline is DC-only-exact and the DuckDB oracle "
+        "predicts every RGB value through the shared fixed-point "
+        "matrix. Together with the 4:2:0 and 4:4:4 queries this "
+        "covers all three chroma layouts a crawl actually contains; "
+        "a decoder wired to assume 2x2 sampling would mismatch here.",
+)
+def multimodal_jpeg_422_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        jpeg_encode_ycbcr,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).cast("int").alias("wb"),
+        (F.col("n_chars") % 4 + 1).cast("int").alias("hb"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        oy = np.ones((8, 16), dtype=np.int64)
+        oc = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for did, wb, hb in zip(pdf["doc_id"], pdf["wb"], pdf["hb"]):
+                did, wb, hb = int(did), int(wb), int(hb)
+                mys = np.arange(hb)[:, None]
+                mxs = np.arange(wb)[None, :]
+                yv = (did * 23 + mxs * 9 + mys * 11) % 256
+                cbv = (did * 31 + mxs * 13 + mys * 7) % 256
+                crv = (did * 43 + mxs * 5 + mys * 19) % 256
+                outs.append(
+                    jpeg_encode_ycbcr(
+                        np.kron(yv, oy),
+                        np.kron(cbv, oc),
+                        np.kron(crv, oc),
+                        subsample="422",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
+# streaming two-sample monitor (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "stream_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type),
+w AS (
+  SELECT
+    max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+    max(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+    max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+    max(CASE WHEN event_type = 'view' THEN ss END) AS ss2
+  FROM g)
+SELECT n1, n2,
+       round(((s1::DOUBLE / n1) - (s2::DOUBLE / n2))
+             / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1)::DOUBLE))
+                      / n1
+                    + ((n2 * ss2 - s2 * s2)::DOUBLE
+                       / (n2 * (n2 - 1)::DOUBLE)) / n2)
+             / 100.0, 6) AS t_stat
+FROM w
+""",
+    doc="Streaming twin of events_welch_ttest — the live A/B readout "
+        "shape: the event stream maintains per-arm (n, sum, sum-of-"
+        "squares) in integer cents as a complete-mode streaming "
+        "aggregate (built-in state, mergeable partials — the moments "
+        "any SQL engine can keep incrementally), and the t statistic "
+        "is formed from the drained final state with the SAME double "
+        "expression tree as the batch query, so the drain is "
+        "hash-equal to the batch/DuckDB answer. At scale the state is "
+        "2 rows; the stream never shuffles more than its partial "
+        "aggregates.",
+)
+def stream_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    drained = ST.run_available_now(g, no_data_batch=False)
+    w = drained.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias("ss2"),
+    )
+    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    t = (
+        (F.col("s1").cast("double") / F.col("n1"))
+        - (F.col("s2").cast("double") / F.col("n2"))
+    ) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return w.select("n1", "n2", F.round(t / 100.0, 6).alias("t_stat"))

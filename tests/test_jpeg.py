@@ -239,7 +239,7 @@ def test_color_encoder_shape_contracts():
             y16, np.zeros((16, 16)), np.zeros((8, 8)), subsample="420"
         )
     with pytest.raises(ValueError, match="subsample"):
-        MM.jpeg_encode_ycbcr(y16, y16, y16, subsample="422")
+        MM.jpeg_encode_ycbcr(y16, y16, y16, subsample="411")
 
 
 def test_color_dispatch_integration():
@@ -252,3 +252,27 @@ def test_color_dispatch_integration():
     )
     assert fmt == "JPEG" and (w, h, ch) == (32, 16, 3)
     assert px.shape == (16, 32, 3)
+
+
+def test_color_422_constant_mcu_exact():
+    """4:2:2 (broadcast-video layout): 8x16 constant MCUs, two Y
+    blocks + full-height half-width chroma per MCU — exact through
+    the same fixed-point color path, including restart markers."""
+    yv, cbv, crv = _const_mcu_planes(3, 2, seed=11)
+    y = np.kron(yv, np.ones((8, 16), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    exp = _expected_rgb(
+        y,
+        np.kron(cbv, np.ones((8, 16), dtype=np.int64)),
+        np.kron(crv, np.ones((8, 16), dtype=np.int64)),
+    )
+    for ri in (0, 2):
+        w, h, ch, px = MM.jpeg_decode_pixels(
+            MM.jpeg_encode_ycbcr(y, cb, cr, subsample="422",
+                                 restart_interval=ri)
+        )
+        assert (w, h, ch) == (32, 24, 3)
+        assert np.array_equal(px, exp), f"ri={ri}"
+    with pytest.raises(ValueError, match="chroma must be H x W/2"):
+        MM.jpeg_encode_ycbcr(y, cb[:4], cr[:4], subsample="422")

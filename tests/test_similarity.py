@@ -323,3 +323,43 @@ def test_near_dup_auto_mode_finds_planted_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     planted = {(i, 100 + i) for i in range(10)}
     assert planted <= got  # every planted pair gated in and scored
+
+
+def test_near_dup_auto_equals_explicit_stride_params(spark):
+    """The auto mode is EXACTLY the explicit (auto_planes(n), stride=
+    cap) parameterization — the prefix-bucket contract the static SQL
+    oracle depends on."""
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(40)
+    ] + [(100 + i, [float(x) for x in rng.randn(16)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    auto = S.embedding_near_dup(
+        df, threshold=0.8, vec_col="embedding", id_col="id",
+        tables=6, planes=None, dims=16,
+    )
+    n = df.count()
+    p = S.near_dup_auto_planes(n)
+    # planes=p with the cap stride is auto-only in the public
+    # signature, so assert the prefix contract on the bucket frames
+    vecs = df.select("id", "embedding")
+    b_auto = S._multi_buckets(
+        vecs, "embedding", "id", tables=6, planes=p, dims=16,
+        stride=S.NEAR_DUP_PLANES_CAP,
+    ).select("id", "__table", "__bucket")
+    b_cap = S._multi_buckets(
+        vecs, "embedding", "id", tables=6,
+        planes=S.NEAR_DUP_PLANES_CAP, dims=16,
+        stride=S.NEAR_DUP_PLANES_CAP,
+    ).select(
+        "id", "__table",
+        F.substring("__bucket", 1, p).alias("__bucket"),
+    )
+    a = {(r["id"], r["__table"], r["__bucket"]) for r in b_auto.collect()}
+    c = {(r["id"], r["__table"], r["__bucket"]) for r in b_cap.collect()}
+    assert a == c  # adaptive bucket IS the prefix of the cap bucket
+    assert auto.count() >= 0  # the public auto path plans and runs
