@@ -1023,15 +1023,16 @@ def resize_images_real(
     df: DataFrame, width: int, height: int,
     *, id_col: str = "doc_id", binary_col: str = "content",
 ) -> DataFrame:
-    """REAL image resize for the fully-decodable formats: PNG/BMP
-    payloads are pixel-decoded (:func:`png_decode_pixels` /
-    :func:`bmp_decode_pixels`), nearest-neighbor resampled on the
+    """REAL image resize for every fully-decodable format (PNG, BMP,
+    GIF, grayscale and color JPEG — everything
+    :func:`_decode_image_pixels` dispatches, channel-generic):
+    payloads are pixel-decoded, nearest-neighbor resampled on the
     integer grid (src = dst * src_dim // dst_dim — exact, no float
     interpolation, so an arithmetic oracle can predict every output
     pixel), and RE-ENCODED as PNG — a decode->transform->encode cycle
     entirely on real codecs. This supersedes the byte-striding stub in
-    :func:`resize_images` for decodable formats; that stub remains
-    only as the plumbing stand-in for codec-bound payloads (JPEG/GIF).
+    :func:`resize_images`, which remains only as mapInPandas plumbing
+    (see multimodal_resize_plumbing).
     Undecodable payloads keep their row with NULL content. Row-local,
     no shuffle; output binaries are width*height-bounded regardless of
     input size — the thumbnail/normalize pass of an image pipeline."""
@@ -1335,12 +1336,13 @@ def gif_decode_pixels(data: bytes):
 
 # ---------------------------------------------------------------------------
 # JPEG baseline (ITU T.81) — REAL, library-free: full marker parsing,
-# canonical Huffman coding, zigzag/quantization, float IDCT. Scope:
-# baseline sequential DCT, single-component (grayscale), no
-# subsampling — the bitstream/entropy/transform layers are complete;
-# chroma subsampling + multi-component interleave is where a
-# production deployment links libjpeg-turbo, with the Spark plan
-# shape unchanged.
+# canonical Huffman coding, zigzag/quantization, float IDCT. Scope
+# (round 8): baseline sequential DCT, grayscale AND 3-component
+# interleaved YCbCr at any dividing sampling factors (4:2:0 / 4:2:2 /
+# 4:4:4), restart markers (DRI) with byte-align + predictor reset,
+# fixed-point JFIF color conversion. Progressive (SOF2), arithmetic
+# coding, and CMYK remain the boundary where a production deployment
+# links libjpeg-turbo, with the Spark plan shape unchanged.
 # ---------------------------------------------------------------------------
 # ITU T.81 Annex K standard tables
 _JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)

@@ -276,3 +276,33 @@ def test_color_422_constant_mcu_exact():
         assert np.array_equal(px, exp), f"ri={ri}"
     with pytest.raises(ValueError, match="chroma must be H x W/2"):
         MM.jpeg_encode_ycbcr(y, cb[:4], cr[:4], subsample="422")
+
+
+def test_color_jpeg_flows_through_resize_and_ahash(spark):
+    """Color JPEG payloads compose with the downstream REAL image ops
+    through the shared dispatch: resize_images_real nearest-neighbor
+    resamples the decoded RGB grid and re-encodes PNG; image_ahash
+    hashes the integer-grayscaled pixels. Constant-macroblock input
+    makes both outputs exactly predictable."""
+    yv, cbv, crv = _const_mcu_planes(2, 2, seed=77)
+    y = np.kron(yv, np.ones((16, 16), dtype=np.int64))
+    cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64))
+    cr = np.kron(crv, np.ones((8, 8), dtype=np.int64))
+    data = MM.jpeg_encode_ycbcr(y, cb, cr, subsample="420")
+    exp = _expected_rgb(
+        y,
+        np.kron(cbv, np.ones((16, 16), dtype=np.int64)),
+        np.kron(crv, np.ones((16, 16), dtype=np.int64)),
+    )  # 32x32x3
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, content binary")
+    out = MM.resize_images_real(df, 8, 8).collect()[0]
+    assert out["codec"] == "PNG"
+    w, h, ch, px = MM.png_decode_pixels(bytes(out["content"]))
+    assert (w, h, ch) == (8, 8, 3)
+    ys = (np.arange(8) * 32) // 8
+    xs = (np.arange(8) * 32) // 8
+    assert np.array_equal(px.reshape(8, 8, 3), exp[np.ix_(ys, xs)])
+
+    hashed = MM.image_ahash(df).collect()
+    assert len(hashed) == 1  # decodable -> hashed, no drop
