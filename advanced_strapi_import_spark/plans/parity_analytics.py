@@ -5099,15 +5099,22 @@ cnt AS (
     CAST(count(*) FILTER (qa = qb AND pa = pb) AS BIGINT) AS txy
   FROM pairs)
 SELECT c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
-       round((c - d) / (sqrt((c + d + tx + txy)::DOUBLE)
-                        * sqrt((c + d + ty + txy)::DOUBLE)), 6) AS tau_b
+       round((c - d) / (sqrt((c + d + tx)::DOUBLE)
+                        * sqrt((c + d + ty)::DOUBLE)), 6) AS tau_b
 FROM cnt
 """,
     doc="Kendall tau-b rank correlation between quantity and price on "
         "a key-sampled lineitem slice (l_orderkey % 199): exact "
         "concordant/discordant/tie pair counts over the i<j self-join "
         "(prices scaled to integer cents so every comparison is "
-        "integer-exact), tau-b as the one rounded double. The i<j "
+        "integer-exact), tau-b as the one rounded double. The "
+        "denominator is sqrt((c+d+tx) * (c+d+ty)): each factor is the "
+        "pair count NOT tied in that variable, so pairs tied in BOTH "
+        "(txy, counted for the complete partition c+d+tx+ty+txy = "
+        "n(n-1)/2) are excluded from both factors — including them "
+        "understates tau whenever duplicate (quantity, price) rows "
+        "exist, which lineitem has (the round-8 review counterexample: "
+        "x=y=(1,1,2) must give tau_b=1, not 2/3). The i<j "
         "theta-join broadcasts the sampled slice (a few thousand rows "
         "at any SF — the % 199 gate rides down to the scan), so the "
         "quadratic pair set never shuffles: each task scans its "
@@ -5145,10 +5152,10 @@ def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("c") - F.col("d"))
             / (
-                F.sqrt((F.col("c") + F.col("d") + F.col("tx")
-                        + F.col("txy")).cast("double"))
-                * F.sqrt((F.col("c") + F.col("d") + F.col("ty")
-                          + F.col("txy")).cast("double"))
+                F.sqrt((F.col("c") + F.col("d")
+                        + F.col("tx")).cast("double"))
+                * F.sqrt((F.col("c") + F.col("d")
+                          + F.col("ty")).cast("double"))
             ),
             6,
         ).alias("tau_b"),
@@ -5158,9 +5165,11 @@ def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Welch's unequal-variance t-test (round 8)
 # ---------------------------------------------------------------------------
-@query(
-    "events_welch_ttest",
-    oracle="""
+# Shared by events_welch_ttest and the streaming twin
+# (parity_stream.stream_welch_ttest): the bit-reproducibility contract
+# ("identical double expression tree on both engines") must live in
+# exactly one place, or a fix in one twin silently forks the statistic.
+WELCH_ORACLE = """
 WITH g AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
@@ -5183,33 +5192,36 @@ SELECT n1, n2,
              / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1)::DOUBLE))
                       / n1
                     + ((n2 * ss2 - s2 * s2)::DOUBLE
-                       / (n2 * (n2 - 1)::DOUBLE)) / n2)
-             / 100.0, 6) AS t_stat
+                       / (n2 * (n2 - 1)::DOUBLE)) / n2), 6) AS t_stat
 FROM w
-""",
-    doc="Welch's unequal-variance t statistic comparing click vs view "
-        "event values: group sums and sums-of-squares accumulate in "
-        "exact integer cents (value has 2 decimals, so x*100 is "
-        "integral and n*ss - s^2 stays inside BIGINT through sf0.1 "
-        "and beyond), then ONE double expression — identical operation "
-        "tree on both engines, so IEEE arithmetic is bit-reproducible "
-        "— forms the statistic; /100 converts cents back to units "
-        "(the scale cancels in numerator and denominator sqrt). "
-        "Completes the two-sample testing family (Mann-Whitney and KS "
-        "are rank/distribution tests; Welch is the parametric "
-        "mean-difference test an A/B readout leads with). One "
-        "hash-agg shuffle of 2 groups; scale-indifferent.",
-)
-def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir).filter(
-        F.col("event_type").isin("click", "view")
-    )
+"""
+
+
+def welch_cents_moments(df: DataFrame) -> DataFrame:
+    """(event_type, n, s, ss) integer-cent moments for the click/view
+    arms — the mergeable partial state both the batch and the
+    streaming Welch queries aggregate."""
     cents = F.round(F.col("value") * 100).cast("long")
-    g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(cents).cast("long").alias("s"),
-        F.sum(cents * cents).cast("long").alias("ss"),
+    return (
+        df.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+            F.sum(cents * cents).cast("long").alias("ss"),
+        )
     )
+
+
+def welch_t_from_moments(g: DataFrame) -> DataFrame:
+    """Pivot the moment frame into arms and form Welch's t with ONE
+    fixed double expression tree (mirrored verbatim in WELCH_ORACLE).
+    t is SCALE-INVARIANT: the cents x100 factor multiplies both the
+    mean difference and the standard error, so no de-scaling applies —
+    the round-8 review caught a spurious /100 here that reported t two
+    orders of magnitude small (and its oracle mirrored the mistake, so
+    the parity gate could not see it: cross-engine equality proves
+    agreement, not correctness of the named statistic)."""
     w = g.agg(
         F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
         F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
@@ -5228,4 +5240,27 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1").cast("double") / F.col("n1"))
         - (F.col("s2").cast("double") / F.col("n2"))
     ) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
-    return w.select("n1", "n2", F.round(t / 100.0, 6).alias("t_stat"))
+    return w.select("n1", "n2", F.round(t, 6).alias("t_stat"))
+
+
+@query(
+    "events_welch_ttest",
+    oracle=WELCH_ORACLE,
+    doc="Welch's unequal-variance t statistic comparing click vs view "
+        "event values: group sums and sums-of-squares accumulate in "
+        "exact integer cents (value has 2 decimals, so x*100 is "
+        "integral and n*ss - s^2 stays inside BIGINT through sf0.1 "
+        "and beyond), then ONE double expression — identical operation "
+        "tree on both engines, so IEEE arithmetic is bit-reproducible "
+        "— forms the statistic. t is scale-invariant, so the cents "
+        "encoding needs no de-scaling (round-8 review fix: a spurious "
+        "/100 had shrunk the reported t 100x on both engines at once). "
+        "Completes the two-sample testing family (Mann-Whitney and KS "
+        "are rank/distribution tests; Welch is the parametric "
+        "mean-difference test an A/B readout leads with). One "
+        "hash-agg shuffle of 2 groups; scale-indifferent.",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return welch_t_from_moments(
+        welch_cents_moments(load_events(spark, sf_dir))
+    )

@@ -2424,73 +2424,31 @@ def multimodal_jpeg_422_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # streaming two-sample monitor (round 8)
 # ---------------------------------------------------------------------------
+from advanced_strapi_import_spark.plans.parity_analytics import (  # noqa: E402
+    WELCH_ORACLE,
+    welch_cents_moments,
+    welch_t_from_moments,
+)
+
+
 @query(
     "stream_welch_ttest",
-    oracle="""
-WITH g AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)
-                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
-  FROM events WHERE event_type IN ('click', 'view')
-  GROUP BY event_type),
-w AS (
-  SELECT
-    max(CASE WHEN event_type = 'click' THEN n END) AS n1,
-    max(CASE WHEN event_type = 'click' THEN s END) AS s1,
-    max(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
-    max(CASE WHEN event_type = 'view' THEN n END) AS n2,
-    max(CASE WHEN event_type = 'view' THEN s END) AS s2,
-    max(CASE WHEN event_type = 'view' THEN ss END) AS ss2
-  FROM g)
-SELECT n1, n2,
-       round(((s1::DOUBLE / n1) - (s2::DOUBLE / n2))
-             / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1)::DOUBLE))
-                      / n1
-                    + ((n2 * ss2 - s2 * s2)::DOUBLE
-                       / (n2 * (n2 - 1)::DOUBLE)) / n2)
-             / 100.0, 6) AS t_stat
-FROM w
-""",
+    oracle=WELCH_ORACLE,
     doc="Streaming twin of events_welch_ttest — the live A/B readout "
         "shape: the event stream maintains per-arm (n, sum, sum-of-"
         "squares) in integer cents as a complete-mode streaming "
         "aggregate (built-in state, mergeable partials — the moments "
         "any SQL engine can keep incrementally), and the t statistic "
-        "is formed from the drained final state with the SAME double "
-        "expression tree as the batch query, so the drain is "
-        "hash-equal to the batch/DuckDB answer. At scale the state is "
-        "2 rows; the stream never shuffles more than its partial "
-        "aggregates.",
+        "is formed from the drained final state by the SAME shared "
+        "helper (welch_t_from_moments) and checked against the SAME "
+        "shared oracle constant as the batch query — one expression "
+        "tree, one oracle, zero drift possible between the twins "
+        "(round-8 review consolidation). The drain is hash-equal to "
+        "the batch/DuckDB answer. At scale the state is 2 rows; the "
+        "stream never shuffles more than its partial aggregates.",
 )
 def stream_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type").isin("click", "view")
-    )
-    cents = F.round(F.col("value") * 100).cast("long")
-    g = stream.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(cents).cast("long").alias("s"),
-        F.sum(cents * cents).cast("long").alias("ss"),
-    )
+    stream = ST.read_events_stream(spark, sf_dir)
+    g = welch_cents_moments(stream)
     drained = ST.run_available_now(g, no_data_batch=False)
-    w = drained.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
-        F.max(F.when(F.col("event_type") == "click", F.col("ss"))).alias("ss1"),
-        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
-        F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("s2"),
-        F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias("ss2"),
-    )
-    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
-    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
-        "double"
-    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
-    t = (
-        (F.col("s1").cast("double") / F.col("n1"))
-        - (F.col("s2").cast("double") / F.col("n2"))
-    ) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
-    return w.select("n1", "n2", F.round(t / 100.0, 6).alias("t_stat"))
+    return welch_t_from_moments(drained)

@@ -163,6 +163,29 @@ def _find_block_start(f, sync: bytes, start: int, limit: int) -> int | None:
     return None
 
 
+def _read_header_growing(path: str):
+    """read_ocf_header over a buffer that starts at 1 MiB and doubles
+    until the header parses — the Avro spec puts NO bound on the
+    file-metadata map (a very wide nested schema or large user
+    metadata is legal), so a fixed-size read would reject spec-valid
+    files with a misleading 'truncated' error. Stops growing once the
+    whole file has been read (then the error is real)."""
+    from advanced_strapi_import_spark.sources.avro_ocf import (
+        read_ocf_header,
+    )
+
+    size = 1 << 20
+    while True:
+        with open(path, "rb") as f:
+            head = f.read(size)
+        try:
+            return read_ocf_header(head)
+        except (ValueError, IndexError):
+            if len(head) < size:  # whole file in the buffer: real error
+                raise
+            size *= 2
+
+
 class AvroReader(DataSourceReader):
     # default split target: the usual distributed-FS block ballpark, so
     # bench-scale files stay one split and a 10 GB OCF becomes ~80 tasks
@@ -180,6 +203,7 @@ class AvroReader(DataSourceReader):
         self.files = sorted(globmod.glob(path))
         if not self.files:
             raise ValueError(f"avro_py: no files match {path}")
+        self.planned_schema = planned_schema
         self.planned_names = list(planned_schema.fieldNames())
         self.target = int(
             options.get("target_partition_bytes", self.DEFAULT_TARGET)
@@ -190,16 +214,10 @@ class AvroReader(DataSourceReader):
     def partitions(self) -> list[AvroFilePartition]:
         import os
 
-        from advanced_strapi_import_spark.sources.avro_ocf import (
-            read_ocf_header,
-        )
-
         parts: list[AvroFilePartition] = []
         for p in self.files:
             size = os.path.getsize(p)
-            with open(p, "rb") as f:
-                head = f.read(1 << 20)
-            _, codec, sync, header_pos = read_ocf_header(head)
+            _, codec, sync, header_pos = _read_header_growing(p)
             nsplits = max(1, (size - header_pos) // self.target)
             span = (size - header_pos + nsplits - 1) // nsplits
             for i in range(nsplits):
@@ -217,21 +235,36 @@ class AvroReader(DataSourceReader):
             _Reader,
             compile_schema,
             decode_block_rows,
-            read_ocf_header,
         )
 
-        with open(partition.path, "rb") as f:
-            head = f.read(1 << 20)
-            schema, _, _, _ = read_ocf_header(head)
-            fields = compile_schema(schema)
-            have = {n for n, _ in fields}
-            missing = [n for n in self.planned_names if n not in have]
-            if missing:
+        schema, _, _, _ = _read_header_growing(partition.path)
+        fields = compile_schema(schema)
+        have = {n: node for n, node in fields}
+        missing = [n for n in self.planned_names if n not in have]
+        if missing:
+            raise ValueError(
+                f"avro_py: file {partition.path} lacks planned"
+                f" field(s) {missing} — its header declares"
+                f" {sorted(have)}"
+            )
+        # same-NAME is not enough: a file whose field decodes to a
+        # different Spark type than the planned schema would feed
+        # mistyped Python values into the column (best case an opaque
+        # Arrow error far from the cause) — error loudly here instead
+        for pf in self.planned_schema.fields:
+            ft, fnull = _spark_type_from_node(have[pf.name], pf.name)
+            if ft != pf.dataType:
                 raise ValueError(
-                    f"avro_py: file {partition.path} lacks planned"
-                    f" field(s) {missing} — its header declares"
-                    f" {sorted(have)}"
+                    f"avro_py: file {partition.path} field"
+                    f" {pf.name!r} has type {ft.simpleString()},"
+                    f" planned {pf.dataType.simpleString()}"
                 )
+            if fnull and not pf.nullable:
+                raise ValueError(
+                    f"avro_py: file {partition.path} field"
+                    f" {pf.name!r} is nullable but planned non-null"
+                )
+        with open(partition.path, "rb") as f:
             if partition.start <= partition.header_pos:
                 pos = partition.header_pos
             else:
@@ -278,10 +311,6 @@ class AvroDataSource(DataSource):
         import glob as globmod
         import os
 
-        from advanced_strapi_import_spark.sources.avro_ocf import (
-            read_ocf_header,
-        )
-
         path = self.options.get("path")
         if not path:
             raise ValueError("avro_py source requires .option('path', ...)")
@@ -290,9 +319,7 @@ class AvroDataSource(DataSource):
         files = sorted(globmod.glob(path))
         if not files:
             raise ValueError(f"avro_py: no files match {path}")
-        with open(files[0], "rb") as f:
-            head = f.read(1 << 20)  # header is tiny; 1 MB covers any schema
-        schema, _, _, _ = read_ocf_header(head)
+        schema, _, _, _ = _read_header_growing(files[0])
         return _spark_schema_from_avro(schema)
 
     def reader(self, schema: StructType) -> AvroReader:

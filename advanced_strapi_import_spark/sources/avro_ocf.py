@@ -157,16 +157,23 @@ def _encode_node(buf: bytearray, node, v) -> None:
             write_long(buf, 1 - null_idx)
             _encode_node(buf, inner, v)
     elif kind == "record":
+        # None for a NON-nullable record must fail like a None
+        # primitive does (write_long raises), not silently encode
+        # children-of-nothing — nullable fields are null_union nodes
+        # and never reach here with None
+        if v is None:
+            raise TypeError(
+                "avro_ocf: None for a non-nullable record field"
+            )
         for name, child in node[1]:
-            if v is None:
-                item = None
-            elif isinstance(v, dict):
-                item = v.get(name)
-            else:  # pyspark Row (name-indexable) from the sink path
-                item = v[name]
+            item = v.get(name) if isinstance(v, dict) else v[name]
             _encode_node(buf, child, item)
     else:  # array: one block of len(v) items, then the 0 terminator
-        items = list(v) if v is not None else []
+        if v is None:
+            raise TypeError(
+                "avro_ocf: None for a non-nullable array field"
+            )
+        items = list(v)
         if items:
             write_long(buf, len(items))
             for item in items:

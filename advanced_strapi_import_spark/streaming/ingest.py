@@ -1159,7 +1159,18 @@ def transition_matrix_stream(events_stream: DataFrame) -> DataFrame:
         tmp = os.path.join(carry_dir, f"_tmp_{batch_id}")
         best.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, new_carry)
+        prev = carry_path["cur"]
         carry_path["cur"] = new_carry
+        # prune the superseded version: keeping every per-batch
+        # snapshot would grow disk O(batches x |users|). The version
+        # just replaced is safe to drop AFTER the repoint (the
+        # crash-mid-write window only ever needs the currently-live
+        # one, which the rename above just published); a replayed
+        # batch short-circuits before reaching here.
+        if prev:
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)

@@ -410,3 +410,48 @@ def test_still_rejects_maps_and_enums(tmp_path):
         {"name": "m", "type": {"type": "map", "values": "long"}}]}
     with pytest.raises(ValueError, match="'m' has unsupported type 'map'"):
         A.write_ocf(str(tmp_path / "x.avro"), bad, [])
+
+
+def test_datasource_errors_on_type_mismatched_field(spark, tmp_path):
+    """Same-NAME is not enough: a file whose field has a different
+    type than the planned schema must error loudly, not feed mistyped
+    values into the column (round-8 review fix)."""
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    s_long = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}]}
+    s_str = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "string"}]}
+    A.write_ocf(str(tmp_path / "f0.avro"), s_long, [{"a": 1}])
+    A.write_ocf(str(tmp_path / "f1.avro"), s_str, [{"a": "x"}])
+    df = (
+        spark.read.format("avro_py")
+        .option("path", str(tmp_path) + "/*.avro")
+        .load()
+    )
+    with pytest.raises(Exception, match="has type string, planned bigint"):
+        df.collect()
+
+
+def test_write_rejects_none_for_required_array_and_record(tmp_path):
+    """None for a NON-nullable array/record field raises like a None
+    primitive does — never a silent empty-array/empty-record encode."""
+    s_arr = {"type": "record", "name": "t", "fields": [
+        {"name": "tags", "type": {"type": "array", "items": "string"}}]}
+    with pytest.raises(TypeError, match="non-nullable array"):
+        A.write_ocf(str(tmp_path / "a.avro"), s_arr, [{}])
+    s_rec = {"type": "record", "name": "t", "fields": [
+        {"name": "m", "type": {"type": "record", "name": "mr", "fields": [
+            {"name": "x", "type": "long"}]}}]}
+    with pytest.raises(TypeError, match="non-nullable record"):
+        A.write_ocf(str(tmp_path / "r.avro"), s_rec, [{}])
+    # the nullable forms still accept None
+    s_ok = {"type": "record", "name": "t", "fields": [
+        {"name": "tags", "type": ["null", {"type": "array",
+                                           "items": "string"}]}]}
+    p = str(tmp_path / "ok.avro")
+    A.write_ocf(p, s_ok, [{}])
+    assert list(A.iter_ocf(open(p, "rb").read())) == [{"tags": None}]
