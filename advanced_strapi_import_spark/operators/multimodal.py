@@ -562,6 +562,26 @@ def sniff_media_meta(
 # header-only stub.
 
 
+# Decode-bomb guard for the full pixel decoders: a corrupt or
+# malicious header can declare 65535x65535 (JPEG/GIF) or pair tiny
+# input with a DEFLATE/LZW stream that inflates to gigabytes — in a
+# crawl-ingest pipeline one such payload per executor is an OOM. 2^26
+# pixels (~192 MB decoded RGB) comfortably covers real photos while
+# bounding the per-row allocation; decoders raise ValueError past it
+# (the stats stage records the row as undecodable, never fake pixels).
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid {what}: nonpositive dimensions")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} exceed MAX_DECODE_PIXELS"
+            f" ({MAX_DECODE_PIXELS}) — decode-bomb guard"
+        )
+
+
 def png_decode_pixels(data: bytes):
     """REAL PNG pixel decode with stdlib zlib + numpy: chunk walk ->
     IDAT concat -> DEFLATE decompress -> per-row unfilter (all five
@@ -606,10 +626,16 @@ def png_decode_pixels(data: bytes):
     w, h, depth, color, comp, filt_m, interlace = ihdr
     if depth != 8 or color not in (0, 2) or comp or filt_m or interlace:
         raise ValueError("unsupported PNG variant")
+    _check_decode_dims(w, h, "PNG")
     ch = 3 if color == 2 else 1
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    # bounded inflate: ask for at most want+1 bytes, so a DEFLATE bomb
+    # (tiny IDAT inflating to gigabytes) is detected at want+1 bytes
+    # instead of materializing the whole expansion
+    want = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), want + 1)
+    if len(raw) != want:
         raise ValueError("bad IDAT payload length")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     out = np.empty((h, stride), np.uint8)
@@ -1186,11 +1212,17 @@ def _lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(packed)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+def _lzw_decompress(
+    data: bytes, min_code_size: int = 8, max_out: int | None = None
+) -> bytes:
     """REAL GIF-variant LZW decompressor (pure Python): rebuilds the
     code table as codes arrive, handles the KwKwK self-reference case,
     CLEAR resets, EOI, and the width bumps the growing table implies.
-    Raises ValueError on a code beyond the table (corrupt stream)."""
+    Raises ValueError on a code beyond the table (corrupt stream).
+    ``max_out`` caps the emitted bytes (LZW expands up to
+    quadratically in its input, so a small crafted stream can emit
+    gigabytes): output is truncated at the cap and the CALLER detects
+    the overrun by comparing against the expected pixel count."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -1219,6 +1251,8 @@ def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
             else:
                 raise ValueError("corrupt LZW stream")
             out.extend(entry)
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out[:max_out])
             if prev is not None and len(table) < (1 << 12):
                 table.append(prev + entry[:1])
                 if len(table) == (1 << width) and width < 12:
@@ -1297,6 +1331,7 @@ def gif_decode_pixels(data: bytes):
             pos += 10
             if iflags & 0x40:
                 raise ValueError("interlaced GIF unsupported")
+            _check_decode_dims(w, h, "GIF")
             if iflags & 0x80:  # local color table wins
                 n = 2 << (iflags & 7)
                 palette = np.frombuffer(
@@ -1318,8 +1353,15 @@ def gif_decode_pixels(data: bytes):
                 lzw.extend(data[pos + 1:pos + 1 + ln])
                 pos += 1 + ln
             idx = np.frombuffer(
-                _lzw_decompress(bytes(lzw), mcs), np.uint8
+                # bound the expansion at the pixel count the descriptor
+                # declares (+1 so an LZW bomb is DETECTED, not trimmed)
+                _lzw_decompress(bytes(lzw), mcs, max_out=w * h + 1),
+                np.uint8,
             )
+            if len(idx) > w * h:
+                raise ValueError(
+                    "LZW stream inflates past the declared pixel count"
+                )
             if len(idx) < w * h:
                 raise ValueError("short LZW index stream")
             idx = idx[: w * h]
@@ -1809,6 +1851,7 @@ def jpeg_decode_pixels(data: bytes):
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("invalid JPEG: only 8-bit baseline")
+            _check_decode_dims(w, h, "JPEG")
             if ncomp not in (1, 3):
                 raise ValueError(
                     "unsupported JPEG: component count %d (decoder "

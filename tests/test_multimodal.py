@@ -473,3 +473,113 @@ def test_gif_pixel_roundtrip_and_dispatch(spark):
     assert rows[1]["format"] == "GIF" and rows[1]["n_vals"] == 16 * 12 * 3
     assert rows[1]["sum_c0"] == rows[1]["sum_c1"] == int(g.astype(int).sum())
     assert rows[2]["format"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# decode-bomb guards (round 8): corrupt/malicious headers and
+# expansion bombs must raise BEFORE any gigabyte allocation
+# ---------------------------------------------------------------------------
+def test_png_dimension_bomb_rejected():
+    import pytest
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import multimodal as MM
+
+    # craft a PNG claiming 60000x60000 grayscale with a tiny IDAT
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode-bomb guard"):
+        MM.png_decode_pixels(data)
+
+
+def test_png_deflate_bomb_detected_bounded():
+    import pytest
+    import zlib
+
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import multimodal as MM
+
+    # valid small dims, but the IDAT inflates far past the declared
+    # payload: must raise after at most want+1 inflated bytes
+    good = MM.png_encode_pixels(
+        np.zeros((4, 4), dtype=np.uint8), color=0, filters=[0, 0, 0, 0]
+    )
+    # splice in a bomb IDAT: 1 MB of zeros compressed to ~1 KB
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    import struct
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    i = good.index(b"IDAT") - 4
+    j = good.index(b"IEND") - 4
+    data = good[:i] + chunk(b"IDAT", bomb) + good[j:]
+    with pytest.raises(ValueError, match="IDAT payload length"):
+        MM.png_decode_pixels(data)
+
+
+def test_jpeg_dimension_bomb_rejected():
+    import pytest
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import multimodal as MM
+
+    data = bytearray(MM.jpeg_encode_gray(np.zeros((8, 8), dtype=np.int64)))
+    i = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) — claim 65535x65535
+    data[i + 5:i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="decode-bomb guard"):
+        MM.jpeg_decode_pixels(bytes(data))
+
+
+def test_gif_lzw_bomb_detected_bounded():
+    import pytest
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import multimodal as MM
+
+    # encode a large image, then shrink the DECLARED dims: the LZW
+    # stream now inflates past w*h and must be rejected at the cap,
+    # not materialized
+    big = MM.gif_encode_pixels(np.zeros((64, 64), dtype=np.uint8))
+    data = bytearray(big)
+    import struct
+
+    # image descriptor sits after the 13-byte header + global color
+    # table (find() would hit palette bytes equal to 0x2C first)
+    n = 2 << (data[10] & 7)
+    i = 13 + 3 * n
+    assert data[i] == 0x2C
+    # descriptor: 0x2C l(2) t(2) w(2) h(2) flags — patch w,h to 2x2
+    data[i + 5:i + 9] = struct.pack("<HH", 2, 2)
+    # logical screen dims too (not load-bearing for the guard)
+    data[6:10] = struct.pack("<HH", 2, 2)
+    with pytest.raises(ValueError, match="inflates past"):
+        MM.gif_decode_pixels(bytes(data))
+
+
+def test_guards_leave_valid_payloads_untouched():
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import multimodal as MM
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    assert MM.png_decode_pixels(
+        MM.png_encode_pixels(g, color=0)
+    )[3].shape == (8, 8)
+    assert MM.gif_decode_pixels(MM.gif_encode_pixels(g))[2] == 3
+    w, h, ch, px = MM.jpeg_decode_pixels(
+        MM.jpeg_encode_gray(g.astype(np.int64))
+    )
+    assert (w, h) == (8, 8)
