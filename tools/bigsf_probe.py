@@ -43,6 +43,62 @@ from bench import _exec_count, _shuffle_bytes_since, force
 BIG = os.environ.get("BIGSF_DIR", "/tmp/sfbig")
 BASE = "/root/testdata/sf0.1"
 
+
+def synthesize(out_dir: str = BIG, base: str = BASE) -> None:
+    """Regenerate the expanded tables with DuckDB (no Spark session) —
+    runs automatically when the directory is missing, so the probe is
+    self-contained across environments/reboots."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"""
+COPY (
+WITH d AS (SELECT * FROM read_parquet('{base}/documents.parquet')),
+w AS (
+  SELECT d.doc_id, k.k,
+         string_split(d.text, ' ')[pos.pos] AS word, pos.pos AS pos
+  FROM d
+  CROSS JOIN (SELECT unnest(range(3)) AS k) k
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, len(string_split(d.text, ' ')) + 1)) AS pos
+  ) pos
+),
+t AS (
+  SELECT doc_id, k,
+         string_agg(word, ' ' ORDER BY
+           CASE WHEN k = 0 THEN lpad(pos::VARCHAR, 8, '0')
+                ELSE md5(word || '-' || pos || '-' || k) END) AS text2
+  FROM w GROUP BY doc_id, k
+)
+SELECT t.doc_id + 1000000 * t.k AS doc_id, t.text2 AS text,
+       d.lang, d.source, length(t.text2) AS n_chars
+FROM t JOIN d ON d.doc_id = t.doc_id
+ORDER BY 1
+) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+""")
+    # copy k applies ONE fixed dimension permutation (odd stride ->
+    # bijection on 64 dims): norms and all within-copy cosines are
+    # EXACTLY preserved, so the base pair structure replicates per copy
+    # (linear) — additive noise at the wrong scale fabricates quadratic
+    # structure instead (measured twice while building this probe)
+    con.sql(f"""
+COPY (
+WITH e AS (SELECT * FROM read_parquet('{base}/embeddings.parquet')),
+x AS (
+  SELECT e.vec_id, k.k, e.embedding, e.label
+  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT vec_id + 1000000 * k AS vec_id,
+       CASE WHEN k = 0 THEN embedding
+            ELSE list_transform(range(0, len(embedding)),
+                 i -> embedding[((i * (2 * k * k + 3)) % 64) + 1])
+       END AS embedding,
+       label
+FROM x ORDER BY 1
+) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
 PROBES = [
     ("dedup_minhash_pairs", "documents x3"),
     ("dedup_minhash_bands", "documents x3"),
@@ -52,6 +108,10 @@ PROBES = [
 
 
 def main() -> None:
+    if not (os.path.exists(f"{BIG}/documents.parquet")
+            and os.path.exists(f"{BIG}/embeddings.parquet")):
+        print(f"# synthesizing {BIG} from {BASE}", file=sys.stderr)
+        synthesize()
     spark = get_spark("bigsf-probe")
     spark.sparkContext.setLogLevel("ERROR")
     print("| query | step | t(s) sf0.1 -> big | t ratio | shuffle B "
