@@ -26,22 +26,23 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-8 rotation: the window leads with the round-8 ADDITIONS
-# (color/DRI JPEG decode, Kendall tau, Welch t) and the queries whose
-# plans MATERIALLY CHANGED this round (mixed-pixels now routes 4:2:0
-# color JPEGs; resize stub renamed to _plumbing; near-dup/semdedup now
-# corpus-adaptive LSH gating; every stateful stream twin moved to
-# batch_id-keyed parquet state last commit), then re-verifies the
-# round-7 additions, then the older tail.
+# Round-9 rotation: the window leads with the round-9 ADDITION
+# (Avro logical-type gate query) and the queries whose plans
+# MATERIALLY CHANGED this round (Welch twins now combine moments in
+# DECIMAL(38,0); Kendall tau now uses a corpus-adaptive sampling
+# modulus; the Avro roundtrip rides the new random-sync +
+# chain-validated resync), then the round-8 wave, then the older tail.
 _FIRST = [
+    # --- round-9 addition + materially changed ---
+    "orders_avro_logical_roundtrip",
+    "events_welch_ttest",
+    "stream_welch_ttest",
+    "lineitem_kendall_tau",
+    "orders_avro_roundtrip_agg",
     # --- round-8 additions ---
     "multimodal_jpeg_color_pixels",
     "multimodal_jpeg_dri_pixels",
     "multimodal_jpeg_422_pixels",
-    "orders_avro_roundtrip_agg",
-    "stream_welch_ttest",
-    "lineitem_kendall_tau",
-    "events_welch_ttest",
     # --- materially changed in round 8 ---
     "multimodal_mixed_pixels",
     "multimodal_resize_plumbing",

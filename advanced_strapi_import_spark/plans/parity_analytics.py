@@ -5086,7 +5086,9 @@ WITH s AS (
   SELECT l_orderkey * 10 + l_linenumber AS k,
          CAST(l_quantity AS BIGINT) AS q,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS p
-  FROM lineitem WHERE l_orderkey % 199 = 0),
+  FROM lineitem
+  WHERE l_orderkey
+        % greatest(199, (SELECT count(*) FROM lineitem) // 3000) = 0),
 pairs AS (
   SELECT a.q AS qa, a.p AS pa, b.q AS qb, b.p AS pb
   FROM s a JOIN s b ON a.k < b.k),
@@ -5114,18 +5116,28 @@ FROM cnt
         "n(n-1)/2) are excluded from both factors — including them "
         "understates tau whenever duplicate (quantity, price) rows "
         "exist, which lineitem has (the round-8 review counterexample: "
-        "x=y=(1,1,2) must give tau_b=1, not 2/3). The i<j "
-        "theta-join broadcasts the sampled slice (a few thousand rows "
-        "at any SF — the % 199 gate rides down to the scan), so the "
-        "quadratic pair set never shuffles: each task scans its "
+        "x=y=(1,1,2) must give tau_b=1, not 2/3). The sampling "
+        "modulus is CORPUS-ADAPTIVE (round-9 fix; ADVICE r8): "
+        "m = greatest(199, count(*) div 3000), computed as one "
+        "plan-time count job (the near_dup_auto_planes discipline) "
+        "and mirrored in the oracle as an integer scalar subquery — "
+        "the r8 fixed %199 made the sample grow LINEARLY with the "
+        "table, so pair compute grew quadratically (~4.6e10 pairs at "
+        "100x bench); pinning the sample at ~3k rows pins pairs at "
+        "~5e6 at ANY scale. The i<j theta-join broadcasts the sampled "
+        "slice, so the pair set never shuffles: each task scans its "
         "broadcast copy. Complements lineitem_spearman: tau's "
         "pair-concordance semantics are robust to monotone transforms "
         "and its tie treatment differs from rank correlation.",
 )
 def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # One cheap plan-time count (parquet rowcount metadata job) sets the
+    # modulus; max(199, n div 3000) keeps ~3k sampled rows at any SF so
+    # the i<j pair set stays ~5e6 instead of growing with n^2.
+    m = max(199, li.count() // 3000)
     s = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 199 == 0)
+        li.filter(F.col("l_orderkey") % m == 0)
         .select(
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
             F.col("l_quantity").cast("long").alias("q"),
@@ -5173,9 +5185,9 @@ WELCH_ORACLE = """
 WITH g AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)
-                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
   FROM events WHERE event_type IN ('click', 'view')
   GROUP BY event_type),
 w AS (
@@ -5189,10 +5201,10 @@ w AS (
   FROM g)
 SELECT n1, n2,
        round(((s1::DOUBLE / n1) - (s2::DOUBLE / n2))
-             / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1)::DOUBLE))
-                      / n1
-                    + ((n2 * ss2 - s2 * s2)::DOUBLE
-                       / (n2 * (n2 - 1)::DOUBLE)) / n2), 6) AS t_stat
+             / sqrt(((n1::HUGEINT * ss1 - s1 * s1)::DOUBLE
+                     / (n1::HUGEINT * (n1 - 1))::DOUBLE) / n1
+                    + ((n2::HUGEINT * ss2 - s2 * s2)::DOUBLE
+                       / (n2::HUGEINT * (n2 - 1))::DOUBLE) / n2), 6) AS t_stat
 FROM w
 """
 
@@ -5200,15 +5212,27 @@ FROM w
 def welch_cents_moments(df: DataFrame) -> DataFrame:
     """(event_type, n, s, ss) integer-cent moments for the click/view
     arms — the mergeable partial state both the batch and the
-    streaming Welch queries aggregate."""
+    streaming Welch queries aggregate.
+
+    s and ss accumulate as DECIMAL(38,0), not BIGINT (round-9 fix):
+    ss is a sum of per-row cents^2 (~1e8 each), so a BIGINT ss wraps
+    silently around ~1e11 rows and the downstream n*ss - s*s product
+    wraps ~21x past the sf0.1 corpus (measured n*ss ~ 2.0e16 of the
+    9.2e18 int64 ceiling, growing quadratically with data scale).
+    DECIMAL(38,0) keeps the moments exact to ~1e38 — past 100 TB —
+    and under ANSI mode an overflow raises instead of wrapping. The
+    DuckDB oracle mirrors via native HUGEINT sum (int128, ~1.7e38
+    ceiling). Cost: a 2-group decimal hash-agg, unmeasurable next to
+    the scan."""
     cents = F.round(F.col("value") * 100).cast("long")
+    dec = "decimal(38,0)"
     return (
         df.filter(F.col("event_type").isin("click", "view"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(cents).cast("long").alias("s"),
-            F.sum(cents * cents).cast("long").alias("ss"),
+            F.sum(cents.cast(dec)).cast(dec).alias("s"),
+            F.sum((cents * cents).cast(dec)).cast(dec).alias("ss"),
         )
     )
 
@@ -5221,7 +5245,17 @@ def welch_t_from_moments(g: DataFrame) -> DataFrame:
     the round-8 review caught a spurious /100 here that reported t two
     orders of magnitude small (and its oracle mirrored the mistake, so
     the parity gate could not see it: cross-engine equality proves
-    agreement, not correctness of the named statistic)."""
+    agreement, not correctness of the named statistic).
+
+    The moment combination n*ss - s*s runs in DECIMAL(38,0) (round-9
+    fix; ADVICE r8): in BIGINT the term measured 2.0e16 at sf0.1 —
+    only ~21x data headroom to the 9.2e18 int64 ceiling because it
+    grows quadratically — and Spark non-ANSI long arithmetic wraps
+    silently while the oracle's HUGEINT does not, so past the horizon
+    the twins would either diverge or agree on garbage. DECIMAL keeps
+    every integer op exact to ~1e38; only the final fixed double tree
+    (division, sqrt — identical on both engines) is floating point,
+    so the statistic stays bit-reproducible AND correct at 100 TB."""
     w = g.agg(
         F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
         F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
@@ -5230,12 +5264,16 @@ def welch_t_from_moments(g: DataFrame) -> DataFrame:
         F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("s2"),
         F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias("ss2"),
     )
-    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
-    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
-        "double"
-    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    dec = "decimal(38,0)"
+
+    def _arm_var(n, s, ss):
+        num = (F.col(n).cast(dec) * F.col(ss).cast(dec)
+               - F.col(s).cast(dec) * F.col(s).cast(dec))
+        den = F.col(n).cast(dec) * (F.col(n) - 1).cast(dec)
+        return num.cast("double") / den.cast("double")
+
+    v1 = _arm_var("n1", "s1", "ss1")
+    v2 = _arm_var("n2", "s2", "ss2")
     t = (
         (F.col("s1").cast("double") / F.col("n1"))
         - (F.col("s2").cast("double") / F.col("n2"))
@@ -5249,8 +5287,10 @@ def welch_t_from_moments(g: DataFrame) -> DataFrame:
     doc="Welch's unequal-variance t statistic comparing click vs view "
         "event values: group sums and sums-of-squares accumulate in "
         "exact integer cents (value has 2 decimals, so x*100 is "
-        "integral and n*ss - s^2 stays inside BIGINT through sf0.1 "
-        "and beyond), then ONE double expression — identical operation "
+        "integral) as DECIMAL(38,0) — BIGINT moments had only ~21x "
+        "data headroom before n*ss - s^2 wrapped silently (round-9 "
+        "fix; oracle mirrors with HUGEINT) — then ONE double "
+        "expression — identical operation "
         "tree on both engines, so IEEE arithmetic is bit-reproducible "
         "— forms the statistic. t is scale-invariant, so the cents "
         "encoding needs no de-scaling (round-8 review fix: a spurious "

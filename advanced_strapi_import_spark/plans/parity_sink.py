@@ -277,3 +277,80 @@ def orders_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "orders_avro_logical_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
+                     AS DECIMAL(14,2))) * 100 AS BIGINT) AS dec_cents,
+       strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date,
+       strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS map_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Round-9 logical-type twin of orders_avro_roundtrip_agg: the "
+        "value-checked gate now forces DECIMAL(14,2) (bytes-backed "
+        "decimal logical type), DATE (int/date logical type) and a "
+        "string-keyed MAP column through the avro_py sink and back "
+        "through byte-range-split reads on every run. The decimal "
+        "column is built from exact integer cents (cents/100.0 cast "
+        "to DECIMAL — the double is within 1e-9 of the true "
+        "2-decimal value so the cast rounds identically on both "
+        "engines), summed AFTER the Avro round trip and re-expressed "
+        "as cents for a hash-stable BIGINT; dates aggregate to "
+        "min/max formatted strings; the map column carries the cents "
+        "under key 'c' and is summed back out via element_at. Any "
+        "drift in the two's-complement unscaled-int encoding, the "
+        "epoch-days encoding, or the map block framing breaks a "
+        "column. Oracle aggregates the original parquet directly.",
+)
+def orders_avro_logical_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date(F.col("o_orderdate")).alias("odate"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(cents / 100.0 AS DECIMAL(14,2))").alias("price_dec"),
+        "odate",
+        F.create_map(F.lit("c"), F.col("cents")).alias("m"),
+    )
+    d = tempfile.mkdtemp(prefix="avro_lrt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    out = os.path.join(d, "orders")
+    o.write.format("avro_py").option("path", out).mode("overwrite").save()
+    size = sum(
+        os.path.getsize(p) for p in globmod.glob(out + "/part-*.avro")
+    )
+    back = (
+        spark.read.format("avro_py")
+        .option("path", out + "/part-*.avro")
+        .option("target_partition_bytes", str(max(1, size // 8)))
+        .load()
+    )
+    return back.groupBy(F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("price_dec") * 100).cast("long").alias("dec_cents"),
+        F.date_format(F.min("odate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("odate"), "yyyy-MM-dd").alias("last_date"),
+        F.sum(F.element_at(F.col("m"), "c")).cast("long").alias("map_cents"),
+    )

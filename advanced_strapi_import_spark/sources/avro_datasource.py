@@ -28,8 +28,13 @@ Shape:
     a planned field errors loudly instead of misaligning columns;
   - schema mapping: long/int -> LongType/IntegerType, float/double,
     boolean, string, bytes -> BinaryType; ``["null", T]`` unions mark
-    the field nullable. Nested/complex schemas raise at planning time
-    (the avro_ocf subset boundary, named per field).
+    the field nullable; maps -> MapType(string, V), enum -> StringType,
+    fixed -> BinaryType; logical types (round 9): decimal(p,s) ->
+    DecimalType, date -> DateType, timestamp-millis/micros ->
+    TimestampType (decoded as UTC-aware datetimes),
+    local-timestamp-* -> TimestampNTZType. Multi-branch unions and
+    named-type references raise at planning time (the avro_ocf subset
+    boundary, named per field).
 
 Usage::
 
@@ -75,8 +80,18 @@ _SPARK_TYPES = {
 
 def _spark_type_from_node(node, field: str):
     """codec node -> (Spark DataType, nullable) — recursive over
-    nested records and arrays (round 8)."""
-    from pyspark.sql.types import ArrayType
+    nested records and arrays (round 8); maps, enums, fixed and
+    logical types (round 9): enum -> string, fixed -> binary,
+    decimal(p,s) -> DecimalType, date -> DateType, timestamp-* ->
+    TimestampType (local-* -> TimestampNTZType)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        DecimalType,
+        MapType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     kind = node[0]
     if kind == "prim":
@@ -98,6 +113,19 @@ def _spark_type_from_node(node, field: str):
             ),
             False,
         )
+    if kind == "map":
+        val_t, val_null = _spark_type_from_node(node[1], f"{field}{{}}")
+        return MapType(StringType(), val_t, valueContainsNull=val_null), False
+    if kind == "enum":
+        return StringType(), False
+    if kind == "fixed":
+        return BinaryType(), False
+    if kind == "decimal":
+        return DecimalType(node[1], node[2]), False
+    if kind == "date":
+        return DateType(), False
+    if kind == "timestamp":
+        return (TimestampNTZType() if node[2] else TimestampType()), False
     item_t, item_null = _spark_type_from_node(node[1], f"{field}[]")
     return ArrayType(item_t, containsNull=item_null), False
 
@@ -127,12 +155,55 @@ class AvroFilePartition(InputPartition):
         self.codec = codec
 
 
+def _is_valid_block_start(
+    f, p: int, sync: bytes, file_size: int, depth: int = 2
+) -> bool:
+    """True iff offset ``p`` begins a plausible block CHAIN: up to
+    ``depth`` hops of (positive record-count varint, in-bounds size
+    varint, payload, sync marker) that land exactly on the next sync
+    or clean EOF. Round-9 ADVICE fix: a sync-marker byte pattern can
+    legitimately occur INSIDE a block's payload (especially with a
+    deterministic marker), and the previous resync accepted the first
+    match — a split could start decoding mid-block, yielding a decode
+    error or silently duplicated/garbage rows. Forging a chain
+    through this check requires the payload to embed marker AND a
+    consistent fake header whose size lands on another marker, twice
+    — vanishing probability even adversarially, impossible by chance."""
+    from advanced_strapi_import_spark.sources.avro_ocf import _Reader
+
+    for _ in range(depth):
+        if p == file_size:
+            return True  # previous hop ended exactly at EOF
+        f.seek(p)
+        r = _Reader(f.read(20))  # two varints, <= 10 bytes each
+        try:
+            n_rec = r.long()
+            size = r.long()
+        except (IndexError, ValueError):
+            return False
+        if n_rec <= 0 or size < 0:
+            return False
+        nxt = p + r.pos + size
+        if nxt + 16 > file_size:
+            return False
+        f.seek(nxt)
+        if f.read(16) != sync:
+            return False
+        p = nxt + 16
+    return True
+
+
 def _find_block_start(f, sync: bytes, start: int, limit: int) -> int | None:
-    """First block start p (end of a sync occurrence) with
+    """First VALIDATED block start p (end of a sync occurrence, block
+    chain verified by :func:`_is_valid_block_start`) with
     start <= p < limit, scanning the open file in overlapping chunks —
     the Hadoop-style resync: a reader dropped at an arbitrary byte
     offset finds the next sync marker and begins at the block after
-    it. Returns None if no block starts inside the range."""
+    it. False sync occurrences inside payloads are skipped. Returns
+    None if no block starts inside the range."""
+    import os
+
+    file_size = os.fstat(f.fileno()).st_size
     chunk = 1 << 20
     pos = max(0, start - 16)  # a sync ENDING at `start` qualifies
     tail = b""
@@ -142,22 +213,17 @@ def _find_block_start(f, sync: bytes, start: int, limit: int) -> int | None:
         if not buf:
             return None
         hay = tail + buf
+        hay_base = pos - len(tail)
         i = hay.find(sync)
-        if i != -1:
-            p = pos - len(tail) + i + 16
-            if p < start:
-                # partial overlap hit before the range: keep searching
-                nxt = hay.find(sync, i + 1)
-                while nxt != -1:
-                    p = pos - len(tail) + nxt + 16
-                    if p >= start:
-                        break
-                    nxt = hay.find(sync, nxt + 1)
-                if nxt == -1:
-                    tail = hay[-15:]
-                    pos += len(buf)
-                    continue
-            return p if p < limit else None
+        while i != -1:
+            p = hay_base + i + 16
+            if p >= limit:
+                return None
+            if p >= start and _is_valid_block_start(
+                f, p, sync, file_size
+            ):
+                return p
+            i = hay.find(sync, i + 1)
         tail = hay[-15:]
         pos += len(buf)
     return None
@@ -353,11 +419,38 @@ _AVRO_TYPES = {
 
 def _avro_type_from_spark(dt, field: str):
     """Spark DataType -> Avro type (recursive: structs -> nested
-    records, arrays -> arrays; round 8). Record names derive from the
-    field path (Avro named types must be unique within a schema)."""
+    records, arrays -> arrays; round 8; maps + logical types round 9:
+    DecimalType -> bytes/decimal, DateType -> int/date, TimestampType
+    -> long/timestamp-micros, TimestampNTZType ->
+    long/local-timestamp-micros). Record names derive from the field
+    path (Avro named types must be unique within a schema)."""
     t = dt.typeName()
     if t in _AVRO_TYPES:
         return _AVRO_TYPES[t]
+    if t == "decimal":
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if t == "date":
+        return {"type": "int", "logicalType": "date"}
+    if t == "timestamp":
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if t == "timestamp_ntz":
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if t == "map":
+        if dt.keyType.typeName() != "string":
+            raise ValueError(
+                f"avro_py sink: map field {field!r} needs string keys"
+                " (Avro map keys are strings)"
+            )
+        val = _avro_type_from_spark(dt.valueType, f"{field}.value")
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
     if t == "struct":
         return {
             "type": "record",
@@ -384,7 +477,8 @@ def _avro_type_from_spark(dt, field: str):
         }
     raise ValueError(
         f"avro_py sink: unsupported Spark type {t!r} for field"
-        f" {field!r} (primitives, structs and arrays — see avro_ocf)"
+        f" {field!r} (primitives, structs, arrays, string-keyed maps,"
+        " decimal, date and timestamps — see avro_ocf)"
     )
 
 

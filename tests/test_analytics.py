@@ -213,3 +213,51 @@ def test_distributed_cumsum_matches_window(spark):
     empty = df.filter("k < 0")
     assert distributed_cumsum(empty, ["k"], "v").count() == 0
     release_tracked()
+
+
+def test_welch_moments_survive_int64_overflow(spark):
+    """welch_t_from_moments must stay exact PAST the int64 horizon
+    (round-9 fix; ADVICE r8): with ~2e7 rows/arm the n*ss - s*s
+    moment combination exceeds 9.2e18, where the former BIGINT tree
+    wrapped silently under Spark's non-ANSI long arithmetic. Plant
+    arm moments just past the horizon, verify (a) the DECIMAL(38,0)
+    tree reproduces the exact-integer reference t, and (b) a 64-bit
+    wrap of the same combination would have produced a DIFFERENT
+    (garbage) variance — proving the test actually crosses the
+    horizon rather than passing vacuously."""
+    import math
+    from decimal import Decimal
+
+    from advanced_strapi_import_spark.plans.parity_analytics import (
+        welch_t_from_moments,
+    )
+
+    n1, n2 = 20_000_000, 25_000_000
+    s1 = n1 * 10_050 + 1_234_567
+    s2 = n2 * 9_980 + 7_654_321
+    # variance term n*ss - s*s ~ n * pad >> 2^63
+    ss1 = s1 * s1 // n1 + 987_654_321_000
+    ss2 = s2 * s2 // n2 + 876_543_210_000
+    true1 = n1 * ss1 - s1 * s1
+    true2 = n2 * ss2 - s2 * s2
+    assert true1 > 2**63 and true2 > 2**63  # past the int64 ceiling
+
+    def wrap64(x):
+        return (x + 2**63) % 2**64 - 2**63
+
+    # the old BIGINT tree: each product wraps, then the difference wraps
+    wrapped1 = wrap64(wrap64(n1 * ss1) - wrap64(s1 * s1))
+    assert wrapped1 != true1  # the bug this test pins down
+
+    g = spark.createDataFrame(
+        [("click", n1, Decimal(s1), Decimal(ss1)),
+         ("view", n2, Decimal(s2), Decimal(ss2))],
+        "event_type string, n long, s decimal(38,0), ss decimal(38,0)",
+    )
+    got = welch_t_from_moments(g).collect()[0]
+
+    v1 = float(true1) / float(n1 * (n1 - 1))
+    v2 = float(true2) / float(n2 * (n2 - 1))
+    t = (float(s1) / n1 - float(s2) / n2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert (got.n1, got.n2) == (n1, n2)
+    assert abs(got.t_stat - round(t, 6)) <= 2e-6, (got.t_stat, t)

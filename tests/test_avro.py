@@ -41,11 +41,11 @@ def test_roundtrip(tmp_path, codec):
 def test_rejects_bad_magic_and_complex_schema(tmp_path):
     with pytest.raises(ValueError, match="bad magic"):
         list(A.iter_ocf(b"NOPE" + b"x" * 64))
-    # arrays/records are supported since round 8; enums still are not
+    # maps/enums/fixed/logical types are supported since round 9;
+    # multi-branch unions remain the loud subset boundary
     bad = {"type": "record", "name": "n", "fields": [
-        {"name": "a", "type": {"type": "enum", "name": "e",
-                               "symbols": ["X"]}}]}
-    with pytest.raises(ValueError, match="'a' has unsupported type 'enum'"):
+        {"name": "a", "type": ["long", "string", "null"]}]}
+    with pytest.raises(ValueError, match="only .null, T. unions"):
         A.write_ocf(str(tmp_path / "x.avro"), bad, [])
 
 
@@ -405,11 +405,251 @@ def test_datasource_writes_nested_and_java_reads(spark, tmp_path):
     assert n == 6
 
 
-def test_still_rejects_maps_and_enums(tmp_path):
-    bad = {"type": "record", "name": "n", "fields": [
-        {"name": "m", "type": {"type": "map", "values": "long"}}]}
-    with pytest.raises(ValueError, match="'m' has unsupported type 'map'"):
-        A.write_ocf(str(tmp_path / "x.avro"), bad, [])
+def test_still_rejects_multibranch_unions_and_named_refs(tmp_path):
+    bad_ref = {"type": "record", "name": "n", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": "long"}]}},
+        {"name": "b", "type": "r"}]}  # named-type reference
+    with pytest.raises(ValueError, match="'b' has unsupported type 'r'"):
+        A.write_ocf(str(tmp_path / "x.avro"), bad_ref, [])
+
+
+# ---------------------------------------------------------------------------
+# round 9: maps / enums / fixed / logical types
+# ---------------------------------------------------------------------------
+LOGICAL_SCHEMA = {
+    "type": "record", "name": "lake", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 18, "scale": 2}},
+        {"name": "big", "type": ["null", {
+            "type": "fixed", "name": "bigdec", "size": 16,
+            "logicalType": "decimal", "precision": 38, "scale": 4}]},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {
+            "type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "ts_ms", "type": ["null", {
+            "type": "long", "logicalType": "timestamp-millis"}]},
+        {"name": "lts", "type": {
+            "type": "long", "logicalType": "local-timestamp-micros"}},
+        {"name": "labels", "type": {"type": "map", "values": "long"}},
+        {"name": "color", "type": {
+            "type": "enum", "name": "col",
+            "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "digest", "type": {
+            "type": "fixed", "name": "md5ish", "size": 4}},
+        {"name": "t_us", "type": {
+            "type": "long", "logicalType": "time-micros"}},  # unknown->long
+    ],
+}
+
+
+def _logical_rows():
+    import datetime as dt
+    from decimal import Decimal
+
+    utc = dt.timezone.utc
+    return [
+        {"id": 1, "amount": Decimal("1234.56"),
+         "big": Decimal("-99999999999999999999999999999999.0001"),
+         "d": dt.date(2026, 8, 16),
+         "ts": dt.datetime(2026, 8, 16, 12, 34, 56, 789012, tzinfo=utc),
+         "ts_ms": dt.datetime(2001, 2, 3, 4, 5, 6, 7000, tzinfo=utc),
+         "lts": dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+         "labels": {"a": 1, "b": -2},
+         "color": "GREEN", "digest": b"\x01\x02\x03\x04",
+         "t_us": 86_399_000_000},
+        {"id": 2, "amount": Decimal("-0.01"), "big": None,
+         "d": dt.date(1969, 7, 20),  # pre-epoch: negative days
+         "ts": dt.datetime(1960, 1, 1, 0, 0, 0, 1, tzinfo=utc),
+         "ts_ms": None,
+         "lts": dt.datetime(1970, 1, 1),
+         "labels": {}, "color": "RED", "digest": b"\xff\xfe\xfd\xfc",
+         "t_us": 0},
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_logical_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"lg_{codec}.avro")
+    rows = _logical_rows()
+    A.write_ocf(p, LOGICAL_SCHEMA, rows, codec=codec, block_records=1)
+    assert list(A.iter_ocf(open(p, "rb").read())) == rows
+
+
+def test_unknown_logical_type_falls_back_to_underlying(tmp_path):
+    """Per the Avro spec an unknown/invalid logicalType is ignored:
+    time-micros reads as its long; a decimal with missing precision
+    reads as raw bytes."""
+    s = {"type": "record", "name": "t", "fields": [
+        {"name": "t_us", "type": {
+            "type": "long", "logicalType": "time-micros"}},
+        {"name": "maldec", "type": {
+            "type": "bytes", "logicalType": "decimal"}},  # no precision
+    ]}
+    p = str(tmp_path / "u.avro")
+    A.write_ocf(p, s, [{"t_us": 123, "maldec": b"\x07"}])
+    assert list(A.iter_ocf(open(p, "rb").read())) == [
+        {"t_us": 123, "maldec": b"\x07"}]
+
+
+def test_java_reference_reads_logical(spark, tmp_path):
+    """Spec-validity proof for the round-9 subset: the Apache Avro
+    Java reader decodes our maps/enums/fixed and the logical types'
+    underlying values (GenericDatumReader without registered
+    conversions surfaces decimal as ByteBuffer, date as int, etc. —
+    so we check the UNDERLYING encodings match spec)."""
+    p = str(tmp_path / "lg_xval.avro")
+    A.write_ocf(p, LOGICAL_SCHEMA, _logical_rows(), codec="deflate")
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while fr.hasNext():
+        got.append(fr.next())
+    fr.close()
+    assert len(got) == 2
+    r0 = got[0]
+    assert str(r0.get("color")) == "GREEN"
+    # Avro Java surfaces map keys as org.apache.avro.util.Utf8
+    labels = {
+        str(e.getKey()): e.getValue()
+        for e in r0.get("labels").entrySet().toArray()
+    }
+    assert labels == {"a": 1, "b": -2}
+    # decimal(18,2) 1234.56 -> unscaled 123456 big-endian
+    amt = r0.get("amount")
+    raw = bytes([amt.get(i) % 256 for i in range(amt.remaining())])
+    assert int.from_bytes(raw, "big", signed=True) == 123456
+    # date 2026-08-16 = 20681 days since epoch
+    assert r0.get("d") == 20681
+    assert got[1].get("d") == -165  # 1969-07-20
+    assert got[1].get("big") is None
+    assert got[1].get("t_us") == 0 and r0.get("t_us") == 86_399_000_000
+
+
+def test_datasource_reads_logical_types(spark, tmp_path):
+    """avro_py maps the round-9 subset onto Spark types: decimal(p,s)
+    -> DecimalType, date -> DateType, timestamp-micros/millis ->
+    TimestampType, local-* -> TimestampNTZType, map -> MapType, enum
+    -> string, fixed -> binary, unknown logical -> underlying."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    p = str(tmp_path / "lg_ds.avro")
+    A.write_ocf(p, LOGICAL_SCHEMA, _logical_rows())
+    df = spark.read.format("avro_py").option("path", p).load()
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert t["amount"] == "decimal(18,2)"
+    assert t["big"] == "decimal(38,4)"
+    assert t["d"] == "date" and t["ts"] == "timestamp"
+    assert t["lts"] == "timestamp_ntz"
+    assert t["labels"] == "map<string,bigint>"
+    assert t["color"] == "string" and t["digest"] == "binary"
+    assert t["t_us"] == "bigint"  # unknown logical: underlying long
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["amount"] == Decimal("1234.56")
+    assert got[1]["big"] == Decimal(
+        "-99999999999999999999999999999999.0001")
+    assert got[2]["big"] is None
+    assert got[1]["d"] == dt.date(2026, 8, 16)
+    assert got[2]["d"] == dt.date(1969, 7, 20)
+    # session tz is UTC, so the aware micros surface verbatim
+    assert got[1]["ts"] == dt.datetime(2026, 8, 16, 12, 34, 56, 789012)
+    assert got[2]["ts_ms"] is None
+    assert got[1]["lts"] == dt.datetime(1999, 12, 31, 23, 59, 59, 999999)
+    assert dict(got[1]["labels"]) == {"a": 1, "b": -2}
+    assert got[1]["color"] == "GREEN"
+    assert bytes(got[1]["digest"]) == b"\x01\x02\x03\x04"
+
+
+def test_datasource_writes_logical_types_roundtrip(spark, tmp_path):
+    """Sink half: DecimalType/DateType/TimestampType/MapType columns
+    write as Avro logical types and read back value-identical; the
+    Java reference reader accepts the published file."""
+    import os
+
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    out = str(tmp_path / "lg_sink")
+    src = spark.range(4).selectExpr(
+        "id",
+        "CAST(CAST(id AS DECIMAL(12,3)) / 8 AS DECIMAL(12,3)) AS amt",
+        "date_add(DATE'2020-01-01', CAST(id AS INT)) AS d",
+        "timestamp_micros(1000000 * id + id) AS ts",
+        "map('k', id, 'k2', id * 2) AS m",
+    ).coalesce(1)
+    src.write.format("avro_py").option("path", out).mode("overwrite").save()
+    back = (
+        spark.read.format("avro_py").option("path", out + "/part-*.avro")
+        .load()
+    )
+    tb = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert tb["amt"] == "decimal(12,3)" and tb["d"] == "date"
+    assert tb["ts"] == "timestamp" and tb["m"] == "map<string,bigint>"
+    a = sorted(src.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    for ra, rb in zip(a, b):
+        assert (ra["id"], ra["amt"], ra["d"], ra["ts"]) == (
+            rb["id"], rb["amt"], rb["d"], rb["ts"])
+        assert dict(ra["m"]) == dict(rb["m"])
+    part = [n for n in os.listdir(out) if n.startswith("part-")][0]
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(os.path.join(out, part)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while fr.hasNext():
+        fr.next()
+        n += 1
+    fr.close()
+    assert n == 4
+
+
+def test_split_resync_rejects_false_sync_in_payload(spark, tmp_path):
+    """Round-9 ADVICE fix: a payload byte-string that CONTAINS the
+    16-byte sync marker must not fool a byte-range split into
+    starting mid-block. Write with a known deterministic marker,
+    embed it inside bytes values, split small — row set must equal
+    the one-partition read."""
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    sync = bytes(range(16))
+    s = {"type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "blob", "type": "bytes"}]}
+    rows = [
+        {"id": i, "blob": (b"pad" * 11) + sync + bytes([i % 256] * 40)}
+        for i in range(2000)
+    ]
+    p = str(tmp_path / "trap.avro")
+    A.write_ocf(p, s, rows, codec="null", block_records=50, sync=sync)
+    import os
+
+    size = os.path.getsize(p)
+    df = (
+        spark.read.format("avro_py")
+        .option("path", p)
+        .option("target_partition_bytes", str(size // 5))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 4
+    assert sorted(r["id"] for r in df.collect()) == list(range(2000))
 
 
 def test_datasource_errors_on_type_mismatched_field(spark, tmp_path):
