@@ -865,21 +865,137 @@ def wav_encode_samples(sample_rate: int, samples) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# optional system-codec bridge (round 9, VERDICT r8 task 5)
+# ---------------------------------------------------------------------------
+# The pure-Python codecs are correct and executor-parallel but pay a
+# large per-image CPU constant vs C decoders (libjpeg-turbo, zlib-C
+# unfiltering). When PIL/Pillow is importable, the SAME mapInPandas
+# stages can dispatch eligible payloads to it — plan shape, schema and
+# partitioning unchanged; only the per-batch Python kernel gets
+# faster. Modes via SPARK_GRAFT_SYSTEM_CODECS:
+#   "auto" (default): bridge LOSSLESS formats (PNG, BMP) and ONLY
+#       files inside the pure decoders' declared scope — output is
+#       bit-identical to the pure path, so oracle hashes cannot move;
+#   "all": additionally route GIF and JPEG to PIL at PIL's full scope
+#       — this closes the progressive-JPEG gap and the throughput
+#       ceiling in production, but JPEG decoders legitimately differ
+#       by ±1/pixel (T.81 IDCT tolerance), so parity-gate hashes are
+#       NOT guaranteed in this mode (never use it under the oracle);
+#   "off": pure Python always.
+# The scope pre-checks below mirror the pure decoders' eligibility
+# EXACTLY: a payload the pure path would reject (16-bit PNG,
+# interlaced PNG, 8bpp BMP, ...) must keep raising through the pure
+# path even when PIL could decode it, or the bridge would silently
+# change which rows a query counts as decodable.
+_PIL_CACHE: list = []
+
+
+def _pil_image_module():
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_CACHE.append(Image)
+        except ImportError:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
+
+
+def _png_pure_scope(b: bytes) -> bool:
+    """True iff the pure PNG decoder accepts this variant: first chunk
+    IHDR, bit depth 8, color type 0/2, no interlace (mirrors
+    :func:`png_decode_pixels`'s guard)."""
+    if len(b) < 29 or b[12:16] != b"IHDR":
+        return False
+    depth, color, comp, filt, inter = b[24], b[25], b[26], b[27], b[28]
+    return depth == 8 and color in (0, 2) and not (comp or filt or inter)
+
+
+def _bmp_pure_scope(b: bytes) -> bool:
+    """Mirror of :func:`bmp_decode_pixels`'s guard: BITMAPINFOHEADER+,
+    24bpp, uncompressed, sane pixel-array offset."""
+    import struct
+
+    if len(b) < 54:
+        return False
+    (off,) = struct.unpack("<I", b[10:14])
+    (hsz,) = struct.unpack("<I", b[14:18])
+    w, h = struct.unpack("<ii", b[18:26])
+    bits = struct.unpack("<HH", b[26:30])[1]
+    (compression,) = struct.unpack("<I", b[30:34])
+    return (
+        hsz >= 40 and bits == 24 and compression == 0
+        and w > 0 and h != 0 and off >= 54
+    )
+
+
+def _system_decode_pixels(b: bytes, fmt: str):
+    """(w, h, channels, (h, w*ch) uint8 array) via PIL for eligible
+    payloads, else None to fall through to the pure decoder. Applies
+    the same decode-bomb caps as the pure path BEFORE loading pixels
+    (PIL's open() is lazy, so dimensions are known pre-decode)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SYSTEM_CODECS", "auto")
+    if mode == "off":
+        return None
+    if fmt in ("PNG", "BMP"):
+        scope_ok = (_png_pure_scope if fmt == "PNG" else _bmp_pure_scope)(b)
+        if not scope_ok:
+            return None  # pure path raises its documented error
+    elif mode != "all":
+        return None  # GIF/JPEG bridge only under explicit "all"
+    Image = _pil_image_module()
+    if Image is None:
+        return None
+    import io as _io
+
+    import numpy as np
+
+    try:
+        img = Image.open(_io.BytesIO(b))
+        w, h = img.size
+        _check_decode_dims(w, h, fmt)
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        if img.mode == "RGB" and w * h > MAX_DECODE_PIXELS // 4:
+            # same 3-component cap as the pure JPEG path
+            raise ValueError(
+                f"{fmt} color dimensions {w}x{h} exceed"
+                f" MAX_DECODE_PIXELS/4 — decode-bomb guard"
+            )
+        arr = np.asarray(img, dtype=np.uint8)
+    except ValueError:
+        raise
+    except Exception:
+        return None  # PIL-side failure: let the pure decoder decide
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    return w, h, ch, np.ascontiguousarray(arr.reshape(h, w * ch))
+
+
 def _decode_image_pixels(b: bytes):
     """Magic-byte dispatch to the full pixel decoders — the ONE place
     that decides which payloads are pixel-decodable, shared by
     :func:`image_pixel_stats` and :func:`resize_images_real` so the
     stats and resize stages can never disagree. Returns
     ``(width, height, channels, ndarray, format)``; raises like the
-    underlying decoders."""
+    underlying decoders. Eligible payloads take the optional system
+    codec bridge (:func:`_system_decode_pixels`) when PIL is present;
+    the fallback — and the only path in this container — is the pure
+    decoders."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return (*png_decode_pixels(b), "PNG")
+        px = _system_decode_pixels(b, "PNG")
+        return (*(px or png_decode_pixels(b)), "PNG")
     if b[:2] == b"BM":
-        return (*bmp_decode_pixels(b), "BMP")
+        px = _system_decode_pixels(b, "BMP")
+        return (*(px or bmp_decode_pixels(b)), "BMP")
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        return (*gif_decode_pixels(b), "GIF")
+        px = _system_decode_pixels(b, "GIF")
+        return (*(px or gif_decode_pixels(b)), "GIF")
     if b[:3] == b"\xff\xd8\xff":
-        return (*jpeg_decode_pixels(b), "JPEG")
+        px = _system_decode_pixels(b, "JPEG")
+        return (*(px or jpeg_decode_pixels(b)), "JPEG")
     raise UnknownContainer("no pixel decoder")
 
 
@@ -1857,6 +1973,18 @@ def jpeg_decode_pixels(data: bytes):
                     "unsupported JPEG: component count %d (decoder "
                     "scope is grayscale and YCbCr)" % ncomp
                 )
+            # 3-component reconstruction holds ~6 full-size int32
+            # planes live (upsampled Y/Cb/Cr + r/g/b before the clip);
+            # a quarter cap keeps worst-case allocation ~0.5 GB, in
+            # line with the guard's documented bound (round-9 ADVICE
+            # fix — at the full 2^26 cap the old int64 math peaked
+            # ~3-4 GB per image)
+            if ncomp == 3 and w * h > MAX_DECODE_PIXELS // 4:
+                raise ValueError(
+                    f"JPEG color dimensions {w}x{h} exceed"
+                    f" MAX_DECODE_PIXELS/4 ({MAX_DECODE_PIXELS // 4})"
+                    " — decode-bomb guard (3-component)"
+                )
             for ci in range(ncomp):
                 cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, sf >> 4, sf & 15, tq))
@@ -1951,7 +2079,11 @@ def jpeg_decode_pixels(data: bytes):
         up = np.kron(p, ones((fy, fx), dtype=np.uint8)) if (
             fy > 1 or fx > 1
         ) else p
-        full.append(up[:h, :w].astype(np.int64))
+        # int32 intermediates (round-9 ADVICE fix): every fixed-point
+        # term fits comfortably — |y<<16 + 32768 ± coef*chroma| <
+        # 2.6e7 < 2^31 — and halving the element width halves the
+        # peak reconstruction allocation
+        full.append(up[:h, :w].astype(np.int32))
     yv, cbv, crv = full[0], full[1] - 128, full[2] - 128
     base = (yv << 16) + 32768
     r = (base + _JFIF_CR_R * crv) >> 16

@@ -46,13 +46,46 @@ def _state_dir(prefix: str) -> str:
     return path
 
 
+def _live_gen(table_dir: str) -> tuple[int, str]:
+    """(generation number, generation dir) of the store's LIVE
+    generation, creating ``gen=0`` on first use. Compaction (round 9)
+    publishes a new generation and swaps the ``_gen`` marker with one
+    atomic replace — the unit of atomicity for the whole store."""
+    import os
+
+    mk = os.path.join(table_dir, "_gen")
+    g = 0
+    if os.path.exists(mk):
+        with open(mk) as f:
+            g = int(f.read())
+    d = os.path.join(table_dir, f"gen={g}")
+    os.makedirs(d, exist_ok=True)
+    return g, d
+
+
+def _compacted_upto(gen_dir: str) -> int:
+    """Highest batch_id folded into this generation's snapshot
+    partition (-1 if the generation carries no snapshot). Replayed
+    micro-batches at or below this id must SKIP even though their
+    per-batch partition no longer exists."""
+    import os
+
+    p = os.path.join(gen_dir, "_upto")
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read())
+
+
 def _commit_batch_state(df: DataFrame, table_dir: str, batch_id: int) -> bool:
     """Two-phase batch_id-keyed commit (the idempotent_batch_sink
     discipline): write to ``_tmp_<id>``, one atomic rename to
-    ``batch_id=<id>``. A replayed micro-batch (foreachBatch is
-    at-least-once) finds its directory already committed and SKIPS, so
-    the store never double-counts; readers never observe a half-written
-    batch. Returns False when the batch was already committed.
+    ``batch_id=<id>`` inside the live generation. A replayed
+    micro-batch (foreachBatch is at-least-once) finds its directory
+    already committed — or its id already folded into the compaction
+    snapshot — and SKIPS, so the store never double-counts; readers
+    never observe a half-written batch. Returns False when the batch
+    was already committed.
 
     This is the single-node face of the production keyed-state store
     (Delta/Iceberg MERGE keyed on batch_id): state lives in executor-
@@ -62,10 +95,13 @@ def _commit_batch_state(df: DataFrame, table_dir: str, batch_id: int) -> bool:
     import os
     import shutil
 
-    final = os.path.join(table_dir, f"batch_id={batch_id}")
+    _, gd = _live_gen(table_dir)
+    if batch_id <= _compacted_upto(gd):
+        return False  # replayed batch, already folded into the snapshot
+    final = os.path.join(gd, f"batch_id={batch_id}")
     if os.path.exists(final):  # replayed batch: already committed
         return False
-    tmp = os.path.join(table_dir, f"_tmp_{batch_id}")
+    tmp = os.path.join(gd, f"_tmp_{batch_id}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
@@ -78,12 +114,12 @@ def _read_batch_state(
 ) -> DataFrame:
     """Read the accumulated batch_id-keyed store back as one DataFrame
     (the partition column ``batch_id`` is available to latest-wins
-    dedup); empty store → empty frame with the declared schema."""
+    dedup; a compaction snapshot reads back as its high-water batch
+    id); empty store → empty frame with the declared schema."""
     import os
 
-    parts = [
-        p for p in os.listdir(table_dir) if p.startswith("batch_id=")
-    ] if os.path.isdir(table_dir) else []
+    _, gd = _live_gen(table_dir)
+    parts = [p for p in os.listdir(gd) if p.startswith("batch_id=")]
     if not parts:
         return spark.createDataFrame(
             [],
@@ -92,9 +128,75 @@ def _read_batch_state(
                 + [T.StructField("batch_id", T.LongType())]
             ),
         )
-    return spark.read.option("basePath", table_dir).parquet(
-        *(os.path.join(table_dir, p) for p in parts)
+    return spark.read.option("basePath", gd).parquet(
+        *(os.path.join(gd, p) for p in parts)
     )
+
+
+# Compaction threshold: a drain re-reads the store's partitions on
+# every serving read, and a long-running stream commits one partition
+# per micro-batch — unbounded, that is O(batches) listing+open cost
+# per read (the round-8 VERDICT scale caveat). Folding every
+# _COMPACT_EVERY batches bounds the live partition count while the
+# per-compaction cost stays O(|merged state|), which for these stores
+# (weekly sketches, hourly rollups, type-pair matrices) is tiny.
+_COMPACT_EVERY = 16
+
+
+def _compact_batch_state(
+    spark: SparkSession,
+    table_dir: str,
+    schema: T.StructType,
+    merge_fn,
+    *,
+    threshold: int = _COMPACT_EVERY,
+) -> bool:
+    """Fold the live generation's ``batch_id=`` partitions into ONE
+    snapshot partition once ``threshold`` have accumulated (round 9,
+    VERDICT r8 task 6 — generalizes the transition-matrix carry's
+    pruning to every batch_id-keyed store).
+
+    ``merge_fn(store_df) -> df`` must collapse the store (which
+    carries the ``batch_id`` column) back to the declared ``schema``
+    with merge semantics matching the serving read: re-aggregate for
+    decomposable partials (sums, HLL unions), latest-wins for keyed
+    upserts. The snapshot keeps the high-water batch id, so
+    latest-wins ordering against FUTURE batches is preserved.
+
+    Crash safety is generation-swap (the Delta checkpoint pattern):
+    the merged snapshot materializes fully inside ``gen=<g+1>`` (built
+    under ``_gen_tmp`` + one rename), and only then does one atomic
+    ``_gen`` marker replace make it live; a crash at any point leaves
+    either the old generation fully intact or the new one fully live
+    — never a mix, never a double-count. The superseded generation is
+    reaped best-effort after the swap. Returns True when a compaction
+    ran."""
+    import os
+    import shutil
+
+    g, gd = _live_gen(table_dir)
+    parts = [p for p in os.listdir(gd) if p.startswith("batch_id=")]
+    if len(parts) < threshold:
+        return False
+    hwm = max(int(p.split("=", 1)[1]) for p in parts)
+    merged = merge_fn(
+        _read_batch_state(spark, table_dir, schema)
+    ).select(list(schema.fieldNames()))
+    tmp = os.path.join(table_dir, "_gen_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # snapshot state is small (merged aggregates); one file per store
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, f"batch_id={hwm}")
+    )
+    with open(os.path.join(tmp, "_upto"), "w") as f:
+        f.write(str(hwm))
+    os.rename(tmp, os.path.join(table_dir, f"gen={g + 1}"))
+    mk_tmp = os.path.join(table_dir, "_gen.tmp")
+    with open(mk_tmp, "w") as f:
+        f.write(str(g + 1))
+    os.replace(mk_tmp, os.path.join(table_dir, "_gen"))  # the swap
+    shutil.rmtree(gd, ignore_errors=True)
+    return True
 
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -332,9 +434,28 @@ def run_available_now(
             from pyspark.sql.window import Window
 
             store_dir = _state_dir("upd_drain_")
+            out_cols = [f.name for f in result.schema.fields]
+            rn = F.row_number().over(
+                Window.partitionBy(*update_key).orderBy(
+                    F.col("batch_id").desc()
+                )
+            )
+
+            def _latest_wins(store: DataFrame) -> DataFrame:
+                return (
+                    store.withColumn("__rn", rn)
+                    .filter(F.col("__rn") == 1)
+                    .select(*out_cols)
+                )
 
             def _commit(bdf: DataFrame, bid: int) -> None:
                 _commit_batch_state(bdf, store_dir, bid)
+                # long-stream hygiene: fold committed partitions into a
+                # latest-wins snapshot so per-drain read cost stays flat
+                _compact_batch_state(
+                    bdf.sparkSession, store_dir, result.schema,
+                    _latest_wins,
+                )
 
             q = (
                 result.writeStream.foreachBatch(_commit)
@@ -343,16 +464,8 @@ def run_available_now(
                 .start()
             )
             q.awaitTermination()
-            store = _read_batch_state(spark, store_dir, result.schema)
-            rn = F.row_number().over(
-                Window.partitionBy(*update_key).orderBy(
-                    F.col("batch_id").desc()
-                )
-            )
-            return (
-                store.withColumn("__rn", rn)
-                .filter(F.col("__rn") == 1)
-                .select(*[f.name for f in result.schema.fields])
+            return _latest_wins(
+                _read_batch_state(spark, store_dir, result.schema)
             )
         q = (
             result.writeStream.format("memory")
@@ -730,6 +843,17 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
     (idempotent two-phase commit — never the driver); the serving read
     union-merges the stored sketches."""
     store_dir = _state_dir("hll_store_")
+    schema = T.StructType(
+        [
+            T.StructField("week", T.StringType()),
+            T.StructField("sk", T.BinaryType()),
+        ]
+    )
+
+    def merge(store: DataFrame) -> DataFrame:
+        # sketches are mergeable state: the compacted snapshot is one
+        # unioned sketch per week, exactly what the serving read builds
+        return store.groupBy("week").agg(F.hll_union_agg("sk").alias("sk"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -740,6 +864,7 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
             )
         ).agg(F.hll_sketch_agg("user_id").alias("sk"))
         _commit_batch_state(sk, store_dir, batch_id)
+        _compact_batch_state(batch_df.sparkSession, store_dir, schema, merge)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -749,12 +874,6 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
     )
     q.awaitTermination()
     spark = events_stream.sparkSession
-    schema = T.StructType(
-        [
-            T.StructField("week", T.StringType()),
-            T.StructField("sk", T.BinaryType()),
-        ]
-    )
     store = _read_batch_state(spark, store_dir, schema)
     return store.groupBy("week").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
@@ -776,6 +895,21 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
     commit to a batch_id-keyed parquet store (idempotent two-phase
     commit), never the driver heap."""
     store_dir = _state_dir("rollup_store_")
+    schema = T.StructType(
+        [
+            T.StructField("hour", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+    def merge(store: DataFrame) -> DataFrame:
+        # counts/sums are decomposable; the snapshot IS the rollup
+        return store.groupBy("hour", "event_type").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -789,6 +923,7 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
         _commit_batch_state(p, store_dir, batch_id)
+        _compact_batch_state(batch_df.sparkSession, store_dir, schema, merge)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -798,14 +933,6 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
     )
     q.awaitTermination()
     spark = events_stream.sparkSession
-    schema = T.StructType(
-        [
-            T.StructField("hour", T.StringType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("sum_value", T.DoubleType()),
-        ]
-    )
     store = _read_batch_state(spark, store_dir, schema)
     return store.groupBy("hour", "event_type").agg(
         F.sum("n").cast("long").alias("n"),
@@ -1019,6 +1146,18 @@ def psi_drift_stream(
     per arriving batch; partials commit to a batch_id-keyed parquet
     store (idempotent two-phase commit), never the driver heap."""
     store_dir = _state_dir("psi_store_")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def merge(store: DataFrame) -> DataFrame:
+        return store.groupBy("event_type", "bucket").agg(
+            F.sum("n").cast("long").alias("n")
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cur = batch_df.filter(F.unix_micros(F.col("ts")) > F.lit(mid_us))
@@ -1029,6 +1168,7 @@ def psi_drift_stream(
             ).alias("bucket"),
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
         _commit_batch_state(p, store_dir, batch_id)
+        _compact_batch_state(batch_df.sparkSession, store_dir, schema, merge)
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -1038,13 +1178,6 @@ def psi_drift_stream(
     )
     q.awaitTermination()
     spark = events_stream.sparkSession
-    schema = T.StructType(
-        [
-            T.StructField("event_type", T.StringType()),
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("n", T.LongType()),
-        ]
-    )
     cur = (
         _read_batch_state(spark, store_dir, schema)
         .groupBy("event_type", "bucket")

@@ -583,3 +583,122 @@ def test_guards_leave_valid_payloads_untouched():
         MM.jpeg_encode_gray(g.astype(np.int64))
     )
     assert (w, h) == (8, 8)
+
+
+def test_system_codec_scope_mirrors_pure_decoders():
+    """The bridge's eligibility pre-checks must accept exactly what
+    the pure decoders accept — a payload outside pure scope must fall
+    through (and keep raising via the pure path) even when PIL could
+    decode it, or the bridge would silently change which rows a query
+    counts as decodable."""
+    import numpy as np
+
+    px = (np.arange(48, dtype=np.uint8)).reshape(4, 12)
+    png = MM.png_encode_pixels(px, color=2)
+    assert MM._png_pure_scope(png)
+    # 16-bit depth and interlace are outside pure scope
+    deep = bytearray(png)
+    deep[24] = 16
+    assert not MM._png_pure_scope(bytes(deep))
+    inter = bytearray(png)
+    inter[28] = 1
+    assert not MM._png_pure_scope(bytes(inter))
+    assert not MM._png_pure_scope(b"\x89PNG\r\n\x1a\n")  # truncated
+
+    bmp = MM.bmp_encode_pixels(px)
+    assert MM._bmp_pure_scope(bmp)
+    bad_bits = bytearray(bmp)
+    bad_bits[28] = 8  # 8bpp palette BMP: pure decoder rejects
+    assert not MM._bmp_pure_scope(bytes(bad_bits))
+    rle = bytearray(bmp)
+    rle[30] = 1  # BI_RLE8 compression
+    assert not MM._bmp_pure_scope(bytes(rle))
+
+
+def test_system_codec_bridge_off_and_absent(monkeypatch):
+    """With SPARK_GRAFT_SYSTEM_CODECS=off — or PIL unimportable, the
+    state of this container — the bridge must return None and
+    _decode_image_pixels must produce pure-path output."""
+    import numpy as np
+
+    px = ((np.arange(60) * 4 % 251).astype(np.uint8)).reshape(5, 12)
+    png = MM.png_encode_pixels(px, color=2)
+    monkeypatch.setenv("SPARK_GRAFT_SYSTEM_CODECS", "off")
+    assert MM._system_decode_pixels(png, "PNG") is None
+    monkeypatch.delenv("SPARK_GRAFT_SYSTEM_CODECS", raising=False)
+    w, h, ch, arr, fmt = MM._decode_image_pixels(png)
+    assert (w, h, ch, fmt) == (4, 5, 3, "PNG")
+    assert np.array_equal(arr, px)
+
+
+def test_system_codec_bridge_plumbing_with_fake_pil(monkeypatch):
+    """Exercise the PIL-side plumbing (open/size/mode/__array__ ->
+    reshape to the pure (h, w*ch) convention) with a stub module that
+    decodes via the pure codecs — validates the bridge produces
+    BIT-IDENTICAL arrays to the pure path, which is the 'auto' mode
+    contract. Runs everywhere; the Pillow-backed equality test below
+    runs where Pillow exists."""
+    import io
+
+    import numpy as np
+
+    class _Img:
+        def __init__(self, w, h, ch, arr):
+            self.size = (w, h)
+            self.mode = "RGB" if ch == 3 else "L"
+            self._a = (
+                arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w)
+            )
+
+        def convert(self, mode):
+            assert mode == "RGB" and self.mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._a
+
+    class _FakeImage:
+        @staticmethod
+        def open(fobj):
+            data = fobj.read()
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                return _Img(*MM.png_decode_pixels(data))
+            return _Img(*MM.bmp_decode_pixels(data))
+
+    monkeypatch.setattr(MM, "_PIL_CACHE", [_FakeImage])
+    px = (np.arange(144) * 7 % 256).astype(np.uint8).reshape(6, 24)
+    for blob in (MM.png_encode_pixels(px, color=2),
+                 MM.bmp_encode_pixels(px)):
+        got = MM._system_decode_pixels(blob, 
+              "PNG" if blob[:2] != b"BM" else "BMP")
+        assert got is not None  # bridge engaged
+        w, h, ch, arr = got
+        assert (w, h, ch) == (8, 6, 3)
+        assert arr.flags["C_CONTIGUOUS"] and arr.dtype == np.uint8
+        assert np.array_equal(arr, px)  # bit-identical to pure path
+    # grayscale lane
+    g = (np.arange(35) * 3 % 256).astype(np.uint8).reshape(5, 7)
+    got = MM._system_decode_pixels(MM.png_encode_pixels(g, color=0), "PNG")
+    assert got is not None and got[2] == 1
+    assert np.array_equal(got[3], g)
+
+
+def test_system_codec_bridge_pillow_equality():
+    """Where real Pillow exists: PNG/BMP decode through PIL must be
+    bit-identical to the pure decoders (lossless formats)."""
+    import numpy as np
+    import pytest as _pt
+
+    if MM._pil_image_module.__globals__:  # reset probe cache first
+        MM._PIL_CACHE.clear()
+    if MM._pil_image_module() is None:
+        _pt.skip("Pillow not installed in this container")
+    px = ((np.arange(300) * 11 % 256).astype(np.uint8)).reshape(10, 30)
+    for blob, fmt in ((MM.png_encode_pixels(px, color=2), "PNG"),
+                      (MM.bmp_encode_pixels(px), "BMP")):
+        got = MM._system_decode_pixels(blob, fmt)
+        assert got is not None
+        pure = (MM.png_decode_pixels(blob) if fmt == "PNG"
+                else MM.bmp_decode_pixels(blob))
+        assert got[:3] == pure[:3]
+        assert np.array_equal(got[3], pure[3])

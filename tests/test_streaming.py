@@ -327,3 +327,92 @@ def test_transition_matrix_stream_cross_batch_carry(spark, tmp_path):
         ("click", "click"): 1,      # ACROSS the boundary (user 1)
         ("signup", "purchase"): 1,  # across the boundary (user 2)
     }
+
+
+def test_batch_state_compaction_mechanism(spark, tmp_path):
+    """Round-9 keyed-state compaction (VERDICT r8 task 6): drive 60
+    synthetic micro-batch commits through the batch_id-keyed store
+    with a sum merge. Invariants: (a) the live generation never holds
+    more than _COMPACT_EVERY partitions, so per-read listing/open cost
+    is FLAT over an unbounded stream; (b) the served totals are exact
+    after any number of compactions; (c) a replayed batch whose id was
+    folded into a snapshot still SKIPS (no double count); (d) the
+    generation marker advanced, proving snapshots actually ran."""
+    import os
+
+    from pyspark.sql import types as T
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def merge(df):
+        return df.groupBy("k").agg(F.sum("n").cast("long").alias("n"))
+
+    max_live = 0
+    for bid in range(60):
+        bdf = spark.createDataFrame([(bid % 5, 1)], schema)
+        assert ST._commit_batch_state(bdf, store, bid)
+        ST._compact_batch_state(spark, store, schema, merge)
+        _, gd = ST._live_gen(store)
+        live = len([p for p in os.listdir(gd) if p.startswith("batch_id=")])
+        max_live = max(max_live, live)
+    assert max_live <= ST._COMPACT_EVERY
+    g, gd = ST._live_gen(store)
+    assert g >= 3  # 60 batches / threshold 16 -> several generations
+
+    # replay of a folded batch must skip: its id <= the snapshot hwm
+    upto = ST._compacted_upto(gd)
+    assert upto >= 0
+    replay = spark.createDataFrame([(0, 10_000)], schema)
+    assert not ST._commit_batch_state(replay, store, upto)
+
+    got = {
+        r["k"]: r["n"]
+        for r in merge(ST._read_batch_state(spark, store, schema)).collect()
+    }
+    assert got == {k: 12 for k in range(5)}  # 60 batches over 5 keys
+
+
+def test_long_drain_rollup_compacts_and_stays_correct(spark, tmp_path):
+    """End-to-end long drain: >= 50 micro-batches (one file each)
+    through rollup_merge_stream — enough to trigger several in-sink
+    compactions (threshold 16) — and the served rollup must still
+    equal the batch aggregate over all files. The partition-count and
+    generation invariants are asserted directly in
+    test_batch_state_compaction_mechanism."""
+    import glob as globmod
+    import os
+
+    src = load_events(spark, SF_TEST).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).limit(550)
+    files_dir = str(tmp_path / "events_files")
+    # 55 single-row-group files -> 55 micro-batches at 1 file/trigger
+    src.repartition(55).write.mode("overwrite").parquet(files_dir)
+    n_files = len(globmod.glob(files_dir + "/part-*.parquet"))
+    assert n_files >= 50
+
+    stream = ST.read_events_stream(
+        spark, files_dir, glob="part-*.parquet", max_files_per_trigger=1
+    )
+    served = ST.rollup_merge_stream(stream)
+    got = sorted(map(tuple, served.collect()))
+
+    batch = (
+        spark.read.parquet(files_dir)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert got == sorted(map(tuple, batch.collect()))
