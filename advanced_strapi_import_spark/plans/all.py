@@ -34,6 +34,7 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 # chain-validated resync), then the round-8 wave, then the older tail.
 _FIRST = [
     # --- round-9 addition + materially changed ---
+    "multimodal_jpeg_progressive_pixels",
     "orders_avro_logical_roundtrip",
     "events_welch_ttest",
     "stream_welch_ttest",

@@ -2249,6 +2249,110 @@ def multimodal_jpeg_color_pixels(
 
 
 # ---------------------------------------------------------------------------
+# PROGRESSIVE (SOF2) color JPEG pixel decode (round 9)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_jpeg_progressive_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(n_chars % 3 + 1 AS INT) AS hb
+  FROM documents),
+ycc AS (
+  SELECT doc_id, wb, hb,
+         (doc_id * 23 + (k % wb) * 9 + (k // wb) * 3) % 256 AS y,
+         (doc_id * 31 + (k % wb) * 13 + (k // wb) * 7) % 256 - 128 AS cb,
+         (doc_id * 41 + (k % wb) * 5 + (k // wb) * 11) % 256 - 128 AS cr
+  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS k FROM dims)),
+rgb AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 91881*cr + 32768 + 16777216) // 65536) - 256)) AS r,
+    LEAST(255, GREATEST(0,
+      ((y*65536 - 22554*cb - 46802*cr + 32768 + 16777216) // 65536) - 256)) AS g,
+    LEAST(255, GREATEST(0,
+      ((y*65536 + 116130*cb + 32768 + 16777216) // 65536) - 256)) AS b
+  FROM ycc)
+SELECT doc_id,
+       CAST(wb * 16 AS INT) AS width,
+       CAST(hb * 16 AS INT) AS height,
+       CAST(3 AS INT) AS channels, 'JPEG' AS format,
+       CAST(wb * hb * 768 AS BIGINT) AS n_vals,
+       CAST(sum(r) * 256 AS BIGINT) AS sum_c0,
+       CAST(sum(g) * 256 AS BIGINT) AS sum_c1,
+       CAST(sum(b) * 256 AS BIGINT) AS sum_c2,
+       CAST(min(LEAST(r, g, b)) AS INT) AS px_min,
+       CAST(max(GREATEST(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY doc_id, wb, hb
+""",
+    doc="PROGRESSIVE (SOF2) color JPEG pixel decode (round 9 — closes "
+        "the last codec boundary the r8 VERDICT named: 'a large share "
+        "of web-crawled JPEGs are progressive'): per doc "
+        "jpeg_encode_progressive emits a REAL multi-scan 4:2:0 stream "
+        "— interleaved DC scan, then per-component full-band AC scans "
+        "— with doc_id parity alternating between the spectral-"
+        "selection-only script and the successive-approximation "
+        "script (Al=1 first scans + DC/AC refinement scans running "
+        "the T.81 G.1.2.3 correction-bit algorithm with EOB runs), "
+        "so BOTH progressive modes are under the value-checked gate "
+        "on every run. jpeg_decode_pixels detects SOF2 and "
+        "accumulates coefficients across scans before one IDCT pass. "
+        "Exactness through the lossy multi-scan codec: constant 16x16 "
+        "macroblocks are DC-only, every AC scan degenerates to EOB "
+        "runs, successive approximation reassembles the DC bits "
+        "exactly, and the only remaining arithmetic is the shared "
+        "fixed-point JFIF matrix the oracle reproduces bit-for-bit. "
+        "Different gradient constants from the baseline color twin, "
+        "so a dispatch mix-up cannot accidentally pass. Entropy "
+        "semantics cross-validated against the JDK ImageIO codec in "
+        "tests/test_jpeg.py (both directions).",
+)
+def multimodal_jpeg_progressive_pixels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from advanced_strapi_import_spark.operators.multimodal import (
+        image_pixel_stats,
+        jpeg_encode_progressive,
+    )
+    from advanced_strapi_import_spark.plans.registry import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % 4 + 1).cast("int").alias("wb"),
+        (F.col("n_chars") % 3 + 1).cast("int").alias("hb"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        one16 = np.ones((16, 16), dtype=np.int64)
+        one8 = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for did, wb, hb in zip(pdf["doc_id"], pdf["wb"], pdf["hb"]):
+                did, wb, hb = int(did), int(wb), int(hb)
+                mys = np.arange(hb)[:, None]
+                mxs = np.arange(wb)[None, :]
+                yv = (did * 23 + mxs * 9 + mys * 3) % 256
+                cbv = (did * 31 + mxs * 13 + mys * 7) % 256
+                crv = (did * 41 + mxs * 5 + mys * 11) % 256
+                outs.append(
+                    jpeg_encode_progressive(
+                        np.kron(yv, one16),
+                        np.kron(cbv, one8),
+                        np.kron(crv, one8),
+                        subsample="420",
+                        successive=(did % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": outs})
+
+    payload = d.mapInPandas(gen, "doc_id long, content binary")
+    return image_pixel_stats(payload)
+
+
+# ---------------------------------------------------------------------------
 # restart-marker (DRI) JPEG decode against the exact oracle (round 8)
 # ---------------------------------------------------------------------------
 @query(

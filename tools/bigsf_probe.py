@@ -99,11 +99,33 @@ FROM x ORDER BY 1
 ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
+def synthesize_lineitem(out_dir: str = BIG, base: str = BASE) -> None:
+    """lineitem x3 (round 9, for the Kendall adaptive-modulus probe):
+    copies shift l_orderkey by 100M per copy — key distribution scales
+    linearly, so the corpus-adaptive modulus greatest(199, n div 3000)
+    must keep the SAMPLED ROW COUNT flat while the table triples."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    duckdb.sql(f"""
+COPY (
+SELECT * REPLACE (l_orderkey + 100000000 * k.k AS l_orderkey)
+FROM read_parquet('{base}/lineitem.parquet')
+CROSS JOIN (SELECT unnest(range(3)) AS k) k
+ORDER BY l_orderkey, l_linenumber
+) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+
 PROBES = [
     ("dedup_minhash_pairs", "documents x3"),
     ("dedup_minhash_bands", "documents x3"),
     ("embedding_near_dup", "embeddings x4 (adaptive planes)"),
     ("dedup_prefix_filter", "documents x3"),
+    # round-9 additions (VERDICT r8 tasks 2 + 8)
+    ("dedup_weighted_pagerank", "documents x3"),
+    ("dedup_kcore", "documents x3"),
+    ("lineitem_kendall_tau", "lineitem x3 (adaptive modulus)"),
 ]
 
 
@@ -112,6 +134,26 @@ def main() -> None:
             and os.path.exists(f"{BIG}/embeddings.parquet")):
         print(f"# synthesizing {BIG} from {BASE}", file=sys.stderr)
         synthesize()
+    if not os.path.exists(f"{BIG}/lineitem.parquet"):
+        print(f"# synthesizing {BIG}/lineitem.parquet", file=sys.stderr)
+        synthesize_lineitem()
+    # flat-sample evidence for the Kendall adaptive modulus (DuckDB,
+    # no Spark): the sampled slice must stay ~3k rows as the table x3
+    import duckdb
+
+    for tag, path in (("sf0.1", BASE), ("x3", BIG)):
+        n, m, s = duckdb.sql(f"""
+            WITH c AS (SELECT count(*) AS n
+                       FROM read_parquet('{path}/lineitem.parquet'))
+            SELECT c.n, greatest(199, c.n // 3000) AS m,
+                   (SELECT count(*)
+                    FROM read_parquet('{path}/lineitem.parquet')
+                    WHERE l_orderkey % greatest(199, c.n // 3000) = 0)
+            FROM c
+        """).fetchone()
+        print(f"# kendall sample {tag}: rows={n} modulus={m} "
+              f"sampled={s} (pairs ~ {s * (s - 1) // 2:,})",
+              file=sys.stderr, flush=True)
     spark = get_spark("bigsf-probe")
     spark.sparkContext.setLogLevel("ERROR")
     print("| query | step | t(s) sf0.1 -> big | t ratio | shuffle B "
