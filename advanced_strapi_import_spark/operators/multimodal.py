@@ -1818,7 +1818,7 @@ _PROG_AC_VALS = list(range(256))
 
 def jpeg_encode_progressive(
     y, cb=None, cr=None, *, subsample: str = "420", qtable=None,
-    successive: bool = False,
+    successive: bool = False, restart_interval: int = 0,
 ) -> bytes:
     """Encode a REAL progressive (SOF2) JPEG — round 9. With only
     ``y``, a grayscale image; with ``cb``/``cr``, YCbCr at the same
@@ -1839,7 +1839,11 @@ def jpeg_encode_progressive(
     (same float DCT, same uniform-8 default table), so a progressive
     encode decodes to the SAME pixels as the baseline encode of the
     same input — the roundtrip equality tests and the exact DC-only
-    oracle construction both rest on that."""
+    oracle construction both rest on that. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers in EVERY scan (counted in
+    MCUs for the interleaved DC scan, blocks for AC scans; DC
+    predictors and EOB runs reset per interval — an EOB run never
+    spans a restart)."""
     import struct
 
     import numpy as np
@@ -1911,11 +1915,19 @@ def jpeg_encode_progressive(
     else:
         mcuy, mcux = h // (8 * samp[0][0]), w // (8 * samp[0][1])
 
+    ri = int(restart_interval)
+
     def dc_scan(al: int, refine: bool) -> bytes:
         bw = _BitWriter()
         preds = [0] * ncomp
+        rst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                n = my * mcux + mx
+                if ri and n and n % ri == 0:
+                    bw.marker(0xD0 + (rst & 7))
+                    rst += 1
+                    preds = [0] * ncomp
                 for ci in range(ncomp):
                     sv, sh = samp[ci]
                     if ncomp == 1:
@@ -1954,8 +1966,15 @@ def jpeg_encode_progressive(
         bw = _BitWriter()
         g = grids[ci]
         st = {"eobrun": 0, "be": []}
+        rst = 0
         for by in range(g.shape[0]):
             for bx in range(g.shape[1]):
+                n = by * g.shape[1] + bx
+                if ri and n and n % ri == 0:
+                    # EOB runs cannot span a restart interval
+                    _flush_eob(bw, st)
+                    bw.marker(0xD0 + (rst & 7))
+                    rst += 1
                 blk = g[by, bx]
                 r = 0
                 for k in range(1, 64):
@@ -1986,8 +2005,14 @@ def jpeg_encode_progressive(
         bw = _BitWriter()
         g = grids[ci]
         st = {"eobrun": 0, "be": []}
+        rst = 0
         for by in range(g.shape[0]):
             for bx in range(g.shape[1]):
+                n = by * g.shape[1] + bx
+                if ri and n and n % ri == 0:
+                    _flush_eob(bw, st)
+                    bw.marker(0xD0 + (rst & 7))
+                    rst += 1
                 blk = g[by, bx]
                 absv = [abs(int(blk[k])) >> al for k in range(1, 64)]
                 eob = 0  # 0-based index PAST the last newly-nonzero
@@ -2053,6 +2078,8 @@ def jpeg_encode_progressive(
         out += _jpeg_seg(
             0xFFC4, _jpeg_dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
         )
+    if ri:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", ri))
     dc_comps = (
         [(1, 0x00)] if ncomp == 1 else [(1, 0x00), (2, 0x11), (3, 0x11)]
     )

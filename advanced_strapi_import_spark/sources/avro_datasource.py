@@ -103,6 +103,24 @@ def _spark_type_from_node(node, field: str):
     if kind == "null_union":
         t, _ = _spark_type_from_node(node[2], field)
         return t, True
+    if kind == "union":  # general union (round 9, spark-avro shape)
+        from pyspark.sql.types import DoubleType, LongType
+
+        _, nodes, ukind = node
+        has_null = ("prim", "null") in nodes
+        if ukind == "promote_long":
+            return LongType(), has_null
+        if ukind == "promote_double":
+            return DoubleType(), has_null
+        members = []
+        j = 0
+        for b in nodes:
+            if b == ("prim", "null"):
+                continue
+            bt, _ = _spark_type_from_node(b, f"{field}.member{j}")
+            members.append(StructField(f"member{j}", bt, nullable=True))
+            j += 1
+        return StructType(members), has_null
     if kind == "record":
         return (
             StructType(

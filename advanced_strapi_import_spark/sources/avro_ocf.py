@@ -25,11 +25,18 @@ Avro 1.11 Object Container Files + binary encoding):
   type is used — so e.g. ``time-micros`` reads as its long
 - codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951)
 
-Still-unsupported schema features (general multi-branch unions,
-recursive/named type references) raise loudly at planning time naming
-the field — the documented boundary where a production deployment
-adds the spark-avro jar; the DataSource wrapper
-(`avro_datasource.py`) keeps the same plan shape either way.
+- general multi-branch unions (round 9): read support with the
+  spark-avro mapping conventions — {int,long} promotes to long,
+  {float,double} to double, anything else surfaces as
+  struct<member0, member1, ...> over the non-null branches (nullable
+  when a null branch exists); write_ocf takes explicit
+  ``(branch_index, value)`` tuples for them
+
+Still-unsupported schema features (recursive/named type references)
+raise loudly at planning time naming the field — the documented
+boundary where a production deployment adds the spark-avro jar; the
+DataSource wrapper (`avro_datasource.py`) keeps the same plan shape
+either way.
 """
 
 from __future__ import annotations
@@ -151,13 +158,33 @@ def _compile_logical(lt: str, t: dict, field: str):
 def compile_type(t, field: str):
     """Avro type -> codec node, or raise naming the offending field."""
     if isinstance(t, list):
-        if len(t) != 2 or "null" not in t or t[0] == t[1]:
+        if len(t) < 2:
             raise ValueError(
-                f"avro_ocf: field {field!r}: only [null, T] unions are"
-                f" supported, got {t}"
+                f"avro_ocf: field {field!r}: union needs >= 2 branches"
             )
-        null_idx = t.index("null")
-        return ("null_union", null_idx, compile_type(t[1 - null_idx], field))
+        if len(t) == 2 and "null" in t and t[0] != t[1]:
+            null_idx = t.index("null")
+            return (
+                "null_union", null_idx, compile_type(t[1 - null_idx], field)
+            )
+        # GENERAL union (round 9): every branch keeps its WIRE position;
+        # the Spark mapping follows the spark-avro conventions —
+        # {int,long} promotes to long, {float,double} to double,
+        # anything else becomes struct<member0, member1, ...> over the
+        # non-null branches (nullable when a null branch exists)
+        nodes = tuple(
+            ("prim", "null") if b == "null" else compile_type(b, field)
+            for b in t
+        )
+        non_null = [n for n in nodes if n != ("prim", "null")]
+        prims = {n[1] for n in non_null if n[0] == "prim"}
+        if len(non_null) == len(prims) and prims == {"int", "long"}:
+            kind = "promote_long"
+        elif len(non_null) == len(prims) and prims == {"float", "double"}:
+            kind = "promote_double"
+        else:
+            kind = "struct"
+        return ("union", nodes, kind)
     if isinstance(t, dict):
         lt = t.get("logicalType")
         if lt is not None:
@@ -246,6 +273,32 @@ def _encode_node(buf: bytearray, node, v) -> None:
         else:
             write_long(buf, 1 - null_idx)
             _encode_node(buf, inner, v)
+    elif kind == "union":
+        _, nodes, ukind = node
+        if v is None:
+            for i, b in enumerate(nodes):
+                if b == ("prim", "null"):
+                    write_long(buf, i)
+                    return
+            raise TypeError("avro_ocf: None for a union without null")
+        if isinstance(v, tuple) and len(v) == 2 and isinstance(v[0], int):
+            idx, val = v  # explicit (wire_branch_index, value)
+            if not 0 <= idx < len(nodes):
+                raise ValueError(f"avro_ocf: union branch {idx} out of range")
+            write_long(buf, idx)
+            _encode_node(buf, nodes[idx], val)
+            return
+        if ukind == "promote_long" and isinstance(v, int):
+            idx = nodes.index(("prim", "long"))
+        elif ukind == "promote_double" and isinstance(v, (int, float)):
+            idx = nodes.index(("prim", "double"))
+        else:
+            raise TypeError(
+                "avro_ocf: general-union values must be written as"
+                " (branch_index, value) tuples"
+            )
+        write_long(buf, idx)
+        _encode_node(buf, nodes[idx], v)
     elif kind == "map":
         if v is None:
             raise TypeError("avro_ocf: None for a non-nullable map field")
@@ -368,6 +421,22 @@ def _decode_node(r: "_Reader", node):
         return None if idx == null_idx else _decode_node(r, inner)
     if kind == "record":
         return {name: _decode_node(r, child) for name, child in node[1]}
+    if kind == "union":
+        _, nodes, ukind = node
+        idx = r.long()
+        if not 0 <= idx < len(nodes):
+            raise ValueError("invalid avro: union index out of range")
+        branch = nodes[idx]
+        if branch == ("prim", "null"):
+            return None
+        val = _decode_node(r, branch)
+        if ukind.startswith("promote"):
+            return val
+        j = sum(1 for b in nodes[:idx] if b != ("prim", "null"))
+        n = sum(1 for b in nodes if b != ("prim", "null"))
+        return {
+            f"member{i}": (val if i == j else None) for i in range(n)
+        }
     if kind == "map":  # same block structure as array, with string keys
         out_m: dict = {}
         while True:

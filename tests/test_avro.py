@@ -41,11 +41,12 @@ def test_roundtrip(tmp_path, codec):
 def test_rejects_bad_magic_and_complex_schema(tmp_path):
     with pytest.raises(ValueError, match="bad magic"):
         list(A.iter_ocf(b"NOPE" + b"x" * 64))
-    # maps/enums/fixed/logical types are supported since round 9;
-    # multi-branch unions remain the loud subset boundary
+    # maps/enums/fixed/logical types AND multi-branch unions are
+    # supported since round 9; named-type references remain the loud
+    # subset boundary
     bad = {"type": "record", "name": "n", "fields": [
-        {"name": "a", "type": ["long", "string", "null"]}]}
-    with pytest.raises(ValueError, match="only .null, T. unions"):
+        {"name": "a", "type": "sometype"}]}
+    with pytest.raises(ValueError, match="unsupported type 'sometype'"):
         A.write_ocf(str(tmp_path / "x.avro"), bad, [])
 
 
@@ -695,3 +696,90 @@ def test_write_rejects_none_for_required_array_and_record(tmp_path):
     p = str(tmp_path / "ok.avro")
     A.write_ocf(p, s_ok, [{}])
     assert list(A.iter_ocf(open(p, "rb").read())) == [{"tags": None}]
+
+
+# ---------------------------------------------------------------------------
+# round 9: general multi-branch unions
+# ---------------------------------------------------------------------------
+UNION_SCHEMA = {
+    "type": "record", "name": "u", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "num", "type": ["int", "long"]},          # -> long
+        {"name": "fp", "type": ["null", "float", "double"]},  # -> double?
+        {"name": "v", "type": ["null", "string", "long",
+                               {"type": "array", "items": "long"}]},
+    ],
+}
+
+
+def test_multibranch_union_roundtrip(tmp_path):
+    """General unions read back with the spark-avro conventions:
+    {int,long} promotes, {null,float,double} promotes nullable, mixed
+    branches surface as memberN dicts; writes take explicit
+    (branch_index, value) tuples."""
+    rows_in = [
+        {"id": 1, "num": (0, 7), "fp": (2, 1.5), "v": (1, "hello")},
+        {"id": 2, "num": (1, 2**40), "fp": None, "v": (2, -9)},
+        {"id": 3, "num": 5, "fp": (1, 0.25), "v": (3, [1, 2, 3])},
+        {"id": 4, "num": (0, -1), "fp": (2, -0.5), "v": None},
+    ]
+    p = str(tmp_path / "u.avro")
+    A.write_ocf(p, UNION_SCHEMA, rows_in, block_records=2)
+    got = list(A.iter_ocf(open(p, "rb").read()))
+    assert [g["num"] for g in got] == [7, 2**40, 5, -1]
+    assert got[1]["fp"] is None and got[0]["fp"] == 1.5
+    # float branch decodes float32 0.25 exactly
+    assert got[2]["fp"] == 0.25
+    assert got[0]["v"] == {"member0": "hello", "member1": None,
+                           "member2": None}
+    assert got[1]["v"] == {"member0": None, "member1": -9,
+                           "member2": None}
+    assert got[2]["v"]["member2"] == [1, 2, 3]
+    assert got[3]["v"] is None
+
+
+def test_java_reference_reads_multibranch_union(spark, tmp_path):
+    p = str(tmp_path / "u_xval.avro")
+    A.write_ocf(p, UNION_SCHEMA, [
+        {"id": 1, "num": (1, 99), "fp": (2, 2.5), "v": (1, "xyz")},
+        {"id": 2, "num": (0, 3), "fp": None, "v": (2, 11)},
+    ], codec="deflate")
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while fr.hasNext():
+        got.append(fr.next())
+    fr.close()
+    assert got[0].get("num") == 99 and got[1].get("num") == 3
+    assert got[0].get("fp") == 2.5 and got[1].get("fp") is None
+    assert str(got[0].get("v")) == "xyz" and got[1].get("v") == 11
+
+
+def test_datasource_reads_multibranch_union(spark, tmp_path):
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    p = str(tmp_path / "u_ds.avro")
+    A.write_ocf(p, UNION_SCHEMA, [
+        {"id": 1, "num": (0, 7), "fp": (2, 1.5), "v": (1, "hi")},
+        {"id": 2, "num": (1, 2**40), "fp": None, "v": (3, [4, 5])},
+        {"id": 3, "num": (0, -2), "fp": (1, 0.5), "v": None},
+    ])
+    df = spark.read.format("avro_py").option("path", p).load()
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert t["num"] == "bigint"
+    assert t["fp"] == "double" and df.schema["fp"].nullable
+    assert t["v"].startswith("struct<member0:string,member1:bigint,")
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["num"] == 7 and got[2]["num"] == 2**40
+    assert got[2]["fp"] is None and got[3]["fp"] == 0.5
+    assert got[1]["v"]["member0"] == "hi"
+    assert list(got[2]["v"]["member2"]) == [4, 5]
+    assert got[3]["v"] is None
+    # struct members compose with Spark expressions
+    assert df.filter("v.member1 IS NOT NULL").count() == 0

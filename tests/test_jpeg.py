@@ -478,3 +478,31 @@ def test_jdk_imageio_reads_our_progressive(spark):
         blob = MM.jpeg_encode_progressive(g, successive=succ)
         jdk_prog = _jdk_read_gray(jvm, blob)
         assert np.array_equal(jdk_prog, jdk_base), f"successive={succ}"
+
+
+def test_progressive_with_restart_intervals():
+    """Restart markers inside progressive scans: DC-predictor and
+    EOB-run reset at every interval in every scan, for both scan
+    scripts — pixels identical to the no-DRI progressive decode."""
+    g = _gradient(24, 32, 6, 5)
+    plain = MM.jpeg_decode_pixels(MM.jpeg_encode_progressive(g))[3]
+    for succ in (False, True):
+        for ri in (1, 2, 5):
+            blob = MM.jpeg_encode_progressive(
+                g, successive=succ, restart_interval=ri
+            )
+            assert b"\xff\xdd" in blob
+            got = MM.jpeg_decode_pixels(blob)[3]
+            assert np.array_equal(got, plain), f"succ={succ} ri={ri}"
+
+
+def test_jdk_reads_our_progressive_with_dri(spark):
+    """The JDK codec must also accept our DRI-bearing progressive
+    files and decode them to its own baseline answer."""
+    jvm = spark._jvm
+    g = _gradient(16, 24, 7, 2)
+    jdk_base = _jdk_read_gray(jvm, MM.jpeg_encode_gray(g))
+    blob = MM.jpeg_encode_progressive(
+        g, successive=True, restart_interval=2
+    )
+    assert np.array_equal(_jdk_read_gray(jvm, blob), jdk_base)
