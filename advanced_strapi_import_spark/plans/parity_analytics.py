@@ -4574,21 +4574,21 @@ yd AS (
   FROM b GROUP BY y),
 yr AS (SELECT y, 2 * coalesce(cb, 0) + c + 1 AS ry FROM yd),
 r AS (
-  SELECT CAST(xr.rx AS BIGINT) AS rx, CAST(yr.ry AS BIGINT) AS ry
+  SELECT CAST(xr.rx AS BIGINT)
+           - (SELECT count(*) + 1 FROM lineitem) AS cx,
+         CAST(yr.ry AS BIGINT)
+           - (SELECT count(*) + 1 FROM lineitem) AS cy
   FROM b JOIN xr USING (x) JOIN yr USING (y)),
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
-         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
-         sum(CAST(ry AS HUGEINT) * ry) AS syy
+         sum(CAST(cx AS HUGEINT) * cy) AS cnum,
+         sum(CAST(cx AS HUGEINT) * cx) AS cxx,
+         sum(CAST(cy AS HUGEINT) * cy) AS cyy
   FROM r)
 SELECT n,
-       round(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
-             (sqrt(CAST(greatest(sxx * n - CAST(sx AS HUGEINT) * sx, 1)
-                        AS DOUBLE))
-              * sqrt(CAST(greatest(syy * n - CAST(sy AS HUGEINT) * sy, 1)
-                          AS DOUBLE))), 6) AS spearman_rho
+       round(CAST(cnum AS DOUBLE) /
+             (sqrt(CAST(greatest(cxx, 1) AS DOUBLE))
+              * sqrt(CAST(greatest(cyy, 1) AS DOUBLE))), 6) AS spearman_rho
 FROM g
 """,
     doc="Spearman rank correlation (quantity vs price) — the "
@@ -4600,8 +4600,17 @@ FROM g
         "averaging — the Mann-Whitney trick), computed by collapsing "
         "each variable to its VALUE DOMAIN and cumsum-ing counts "
         "(domain-sized windows, never a data-sized sort), joined back "
-        "to rows by value; the co-moments then run in "
-        "HUGEINT/DECIMAL(38,0) and one final sqrt/divide on exact "
+        "to rows by value. Round 9: the co-moments run on CENTERED "
+        "doubled ranks, crx = rx - (n+1) with n a plan-time count "
+        "(oracle: integer scalar subquery) — the doubled-rank mean is "
+        "exactly n+1, so sum(crx) = 0 and rho reduces to "
+        "sum(crx*cry)/sqrt(sum(crx^2)*sum(cry^2)): identical value to "
+        "the raw-moment form (the uncentered num and den are each "
+        "exactly n times the centered ones), but the dominant term "
+        "drops from ~4n^4 to ~n^3, lifting the DECIMAL(38,0) "
+        "data-scale headroom from ~37,000x (the steepest tree in the "
+        "round-8 suite, ~2x margin past 100 TB) to ~1e8x. Co-moments "
+        "in HUGEINT/DECIMAL(38,0); one final sqrt/divide on exact "
         "integers rounds identically in both engines. Plan: two "
         "domain rollups broadcast back onto the fact, one co-moment "
         "reduce — the fact table shuffles zero times beyond its "
@@ -4632,28 +4641,37 @@ def lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     xr = doubled_ranks("x", "rx")
     yr = doubled_ranks("y", "ry")
-    r = b.join(F.broadcast(xr), "x").join(yr, "y").select("rx", "ry")
+    # plan-time count sets the exact doubled-rank mean n+1 (parquet
+    # rowcount metadata job); centering BEFORE the products keeps the
+    # co-moments at ~n^3 instead of ~4n^4 (round-9 headroom fix)
+    m = li.count() + 1
+    r = (
+        b.join(F.broadcast(xr), "x")
+        .join(yr, "y")
+        .select(
+            (F.col("rx") - F.lit(m)).alias("cx"),
+            (F.col("ry") - F.lit(m)).alias("cy"),
+        )
+    )
+    # operands cast BEFORE the multiply: a centered rank is ~n, so the
+    # per-row product is ~n^2 and would wrap int64 past ~3e9 rows if
+    # formed in long first (the corr-matrix queries cast the product
+    # because their per-row values are domain-bounded; ranks are not)
+    dx = F.col("cx").cast("decimal(19,0)")
+    dy = F.col("cy").cast("decimal(19,0)")
     g = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("cnum"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("cxx"),
+        F.sum((dy * dy).cast("decimal(38,0)")).alias("cyy"),
     )
-    num = "(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy)"
-    denx = (
-        "greatest(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx,"
-        " CAST(1 AS DECIMAL(38,0)))"
-    )
-    deny = (
-        "greatest(syy * n - CAST(sy AS DECIMAL(38,0)) * sy,"
-        " CAST(1 AS DECIMAL(38,0)))"
-    )
+    guard = "CAST(1 AS DECIMAL(38,0))"
     return g.selectExpr(
         "n",
-        f"round(CAST({num} AS DOUBLE) / (sqrt(CAST({denx} AS DOUBLE))"
-        f" * sqrt(CAST({deny} AS DOUBLE))), 6) AS spearman_rho",
+        f"round(CAST(cnum AS DOUBLE) /"
+        f" (sqrt(CAST(greatest(cxx, {guard}) AS DOUBLE))"
+        f" * sqrt(CAST(greatest(cyy, {guard}) AS DOUBLE))), 6)"
+        " AS spearman_rho",
     )
 
 

@@ -76,8 +76,9 @@ def main() -> None:
     probes.append(("lineitem_regression_metrics", "max |num| * 1e6",
                    float(reg), 2, D38, "DECIMAL(38,0)"))
 
-    # Spearman: rank co-moment num = sxy*n - sx*sy with doubled ranks
-    # (rx ~ 2n) -> n^4 growth, the steepest tree in the suite
+    # Spearman (round-9 centered form): co-moments on crx = rx - (n+1)
+    # doubled ranks -> ~n^3 growth (was ~4n^4 uncentered — the r8
+    # suite's steepest tree at only ~2x margin past 100 TB)
     (sp,) = con.sql("""
         WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                           CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
@@ -86,14 +87,15 @@ def main() -> None:
                FROM (SELECT x, count(*)::BIGINT AS c FROM b GROUP BY x)),
         yr AS (SELECT y, 2*(sum(c) OVER (ORDER BY y) - c) + c + 1 AS ry
                FROM (SELECT y, count(*)::BIGINT AS c FROM b GROUP BY y)),
-        r AS (SELECT rx, ry FROM b JOIN xr USING (x) JOIN yr USING (y)),
-        g AS (SELECT count(*)::HUGEINT AS n, sum(rx)::HUGEINT AS sx,
-                     sum(ry)::HUGEINT AS sy, sum(rx::HUGEINT * ry) AS sxy
-              FROM r)
-        SELECT abs(sxy*n - sx*sy) FROM g
+        r AS (SELECT rx - (SELECT count(*)+1 FROM b) AS cx,
+                     ry - (SELECT count(*)+1 FROM b) AS cy
+              FROM b JOIN xr USING (x) JOIN yr USING (y))
+        SELECT greatest(abs(sum(cx::HUGEINT * cy)),
+                        sum(cx::HUGEINT * cx), sum(cy::HUGEINT * cy))
+        FROM r
     """).fetchone()
-    probes.append(("lineitem_spearman", "|sxy*n - sx*sy| (doubled ranks)",
-                   float(sp), 4, D38, "DECIMAL(38,0)"))
+    probes.append(("lineitem_spearman", "max centered co-moment",
+                   float(sp), 3, D38, "DECIMAL(38,0), centered ranks"))
 
     # Gram matrix: largest accumulated cell of sum(q_i*q_j) over the
     # 16 sliced dims, q = floor(x*1000); linear in rows
