@@ -1535,6 +1535,9 @@ _JPEG_ZIGZAG = (
 def _huff_canonical(bits, vals):
     """(symbol -> (code, length)) canonical Huffman assignment per
     T.81 C.2: codes of each length count up from (prev+1) << 1."""
+    if sum(bits) > len(vals):  # truncated DHT: raise the decoder's
+        # documented corrupt-stream error, not a bare IndexError
+        raise ValueError("invalid JPEG: truncated Huffman table")
     out = {}
     code = 0
     k = 0

