@@ -84,6 +84,40 @@ class UnknownContainer(ValueError):
     must surface as bad data (NULL), never fall through to a stub."""
 
 
+def _corrupt_raises_valueerror(what: str):
+    """Decorator enforcing the decoders' documented error contract:
+    a corrupt or truncated stream raises ValueError. Deterministic
+    truncation/bit-flip fuzzing (round 9) showed low-level exceptions
+    leaking from inner parsing — struct.error on short unpacks,
+    zlib.error on corrupt DEFLATE, Index/KeyError on out-of-range
+    table lookups — which the Arrow stats kernel tolerated (broad
+    except) but direct callers would mis-classify as bugs rather
+    than bad data. Wrapping ONCE here keeps the hot paths free of
+    per-field try blocks."""
+    import functools
+    import struct
+    import zlib
+
+    low_level = (
+        struct.error, zlib.error, IndexError, KeyError, OverflowError,
+        UnicodeDecodeError,
+    )
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except low_level as e:
+                raise ValueError(
+                    f"invalid {what}: corrupt stream ({type(e).__name__})"
+                ) from e
+
+        return wrapped
+
+    return deco
+
+
 def header_dimensions(data: bytes) -> tuple[int, int, str]:
     """REAL metadata decode with no codec library: parse width/height
     out of the container header for PNG / JPEG / GIF / BMP — the same
@@ -582,6 +616,7 @@ def _check_decode_dims(w: int, h: int, what: str) -> None:
         )
 
 
+@_corrupt_raises_valueerror("PNG")
 def png_decode_pixels(data: bytes):
     """REAL PNG pixel decode with stdlib zlib + numpy: chunk walk ->
     IDAT concat -> DEFLATE decompress -> per-row unfilter (all five
@@ -735,6 +770,7 @@ def png_encode_pixels(pixels, *, color: int = 2, filters=None) -> bytes:
     )
 
 
+@_corrupt_raises_valueerror("BMP")
 def bmp_decode_pixels(data: bytes):
     """REAL BMP pixel decode — 24bpp uncompressed BMP is raw BGR rows,
     each padded to a 4-byte boundary, stored bottom-up unless the
@@ -798,6 +834,7 @@ def bmp_encode_pixels(pixels) -> bytes:
     return head + info + body
 
 
+@_corrupt_raises_valueerror("WAV")
 def wav_decode_samples(data: bytes):
     """REAL PCM sample demux — 16-bit PCM WAV needs no codec, only the
     chunk walk :func:`audio_header_meta` already does plus a
@@ -1404,6 +1441,7 @@ def gif_encode_pixels(gray, *, palette=None) -> bytes:
     return head + desc + bytes(blocks) + b"\x3b"
 
 
+@_corrupt_raises_valueerror("GIF")
 def gif_decode_pixels(data: bytes):
     """REAL GIF pixel decode (pure Python — GIF's only compression is
     LZW, no external codec needed): parse the logical screen
@@ -2185,6 +2223,7 @@ _JFIF_CR_G = 46802    # FIX(0.71414)
 _JFIF_CB_B = 116130   # FIX(1.77200)
 
 
+@_corrupt_raises_valueerror("JPEG")
 def jpeg_decode_pixels(data: bytes):
     """(width, height, channels, ndarray) from a baseline sequential
     JPEG — REAL decode, library-free: marker walk (DQT 8/16-bit, DHT,
@@ -2399,6 +2438,7 @@ def _jpeg_reconstruct(w, h, comps, planes, hmax, vmax):
     return w, h, 3, rgb
 
 
+@_corrupt_raises_valueerror("JPEG")
 def _jpeg_decode_progressive(data: bytes):
     """(width, height, channels, ndarray) from a PROGRESSIVE (SOF2)
     JPEG — round 9, closing the last codec boundary the VERDICT

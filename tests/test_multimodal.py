@@ -702,3 +702,38 @@ def test_system_codec_bridge_pillow_equality():
                 else MM.bmp_decode_pixels(blob))
         assert got[:3] == pure[:3]
         assert np.array_equal(got[3], pure[3])
+
+
+def test_decoder_corrupt_streams_raise_valueerror_only():
+    """Deterministic truncation + bit-flip fuzz over every pixel
+    decoder (round 9): a corrupt stream must either decode (bit flips
+    in pixel payloads are legal data changes; a truncated PROGRESSIVE
+    stream is by design a valid lower-precision image) or raise
+    ValueError — never a bare struct/zlib/Index/Key error and never a
+    hang. This is the documented contract the Arrow stats kernel's
+    guard row and direct callers both rely on."""
+    import numpy as np
+
+    px = (np.arange(16 * 24 * 3) * 7 % 256).astype(np.uint8).reshape(
+        16, 24 * 3
+    )
+    gray = px[:, :24].astype(np.int64)
+    samples = [
+        MM.png_encode_pixels(px, color=2),
+        MM.bmp_encode_pixels(px),
+        MM.gif_encode_pixels(px),
+        MM.jpeg_encode_gray(gray),
+        MM.jpeg_encode_progressive(gray, successive=True),
+    ]
+    for blob in samples:
+        n = len(blob)
+        cases = [blob[:c] for c in range(1, n, max(1, n // 60))]
+        for pos in range(0, n, max(1, n // 90)):
+            b = bytearray(blob)
+            b[pos] ^= 0x5A
+            cases.append(bytes(b))
+        for c in cases:
+            try:
+                MM._decode_image_pixels(bytes(c))
+            except ValueError:
+                pass  # includes UnknownContainer
