@@ -52,6 +52,47 @@ _PRIMS = {"null", "boolean", "int", "long", "float", "double",
           "string", "bytes"}
 
 
+def _corrupt_raises_valueerror(fn):
+    """Boundary decorator enforcing the reader contract: corrupt or
+    truncated OCF bytes raise ValueError (round 9 — truncation/bit-
+    flip fuzzing showed struct.error, zlib.error on corrupt DEFLATE,
+    Index/KeyErrors on mangled metadata leaking through). Generator
+    functions are wrapped around ITERATION, not just the call, or the
+    lazily-raised error would escape unconverted."""
+    import functools
+    import inspect
+
+    low_level = (
+        struct.error, zlib.error, IndexError, KeyError, OverflowError,
+        UnicodeDecodeError, TypeError,
+    )
+
+    if inspect.isgeneratorfunction(fn):
+
+        @functools.wraps(fn)
+        def gen_wrapped(*args, **kwargs):
+            try:
+                yield from fn(*args, **kwargs)
+            except low_level as e:
+                raise ValueError(
+                    f"invalid avro: corrupt stream"
+                    f" ({type(e).__name__})"
+                ) from e
+
+        return gen_wrapped
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except low_level as e:
+            raise ValueError(
+                f"invalid avro: corrupt stream ({type(e).__name__})"
+            ) from e
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # binary primitives
 # ---------------------------------------------------------------------------
@@ -851,6 +892,7 @@ def write_ocf(
     os.replace(tmp, path)
 
 
+@_corrupt_raises_valueerror
 def read_ocf_header(data: bytes):
     """-> (schema_dict, codec, sync, first_block_pos)."""
     if data[:4] != MAGIC:
@@ -873,6 +915,7 @@ def read_ocf_header(data: bytes):
     return schema, codec, sync, r.pos
 
 
+@_corrupt_raises_valueerror
 def decode_block_rows(payload: bytes, n_rec: int, codec: str, fields):
     """Yield row dicts from one block's (possibly compressed) payload;
     ``fields`` is a :func:`compile_schema` node list."""
@@ -886,6 +929,7 @@ def decode_block_rows(payload: bytes, n_rec: int, codec: str, fields):
         yield {name: fn(br) for name, fn in fns}
 
 
+@_corrupt_raises_valueerror
 def iter_ocf(data: bytes):
     """Yield row dicts from OCF bytes (null/deflate codecs)."""
     schema, codec, sync, pos = read_ocf_header(data)

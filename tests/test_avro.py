@@ -783,3 +783,39 @@ def test_datasource_reads_multibranch_union(spark, tmp_path):
     assert got[3]["v"] is None
     # struct members compose with Spark expressions
     assert df.filter("v.member1 IS NOT NULL").count() == 0
+
+
+def test_reader_corrupt_streams_raise_valueerror_only(tmp_path):
+    """Deterministic truncation + bit-flip fuzz over the OCF reader
+    (round 9): corrupt bytes must either decode or raise ValueError —
+    never a bare struct/zlib/Index/Key/Type error. Split readers and
+    the stats-style callers rely on this contract to classify rows as
+    bad data instead of crashing the task."""
+    from decimal import Decimal
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 2}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "e", "type": {"type": "enum", "name": "c",
+                               "symbols": ["A", "B"]}},
+    ]}
+    rows = [{"id": i, "s": f"x{i}" if i % 3 else None,
+             "d": Decimal(i) / 4, "m": {"k": i}, "e": "AB"[i % 2]}
+            for i in range(200)]
+    p = str(tmp_path / "fz.avro")
+    A.write_ocf(p, schema, rows, codec="deflate", block_records=50)
+    blob = open(p, "rb").read()
+    n = len(blob)
+    cases = [blob[:c] for c in range(1, n, max(1, n // 60))]
+    for pos in range(0, n, max(1, n // 90)):
+        b = bytearray(blob)
+        b[pos] ^= 0x5A
+        cases.append(bytes(b))
+    for c in cases:
+        try:
+            list(A.iter_ocf(bytes(c)))
+        except ValueError:
+            pass
