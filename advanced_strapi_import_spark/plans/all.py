@@ -35,6 +35,7 @@ from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 _FIRST = [
     # --- round-9 addition + materially changed ---
     "multimodal_jpeg_progressive_pixels",
+    "stream_rollup_compacted",
     "orders_avro_logical_roundtrip",
     "events_welch_ttest",
     "stream_welch_ttest",

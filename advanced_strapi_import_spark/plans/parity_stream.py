@@ -482,6 +482,51 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.rollup_merge_stream(ST.read_events_stream(spark, sf_dir))
 
 
+@query(
+    "stream_rollup_compacted",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="Keyed-state COMPACTION under the value-checked gate (round 9 "
+        "— the generation-swap store fold was previously pytest-only): "
+        "the events table is re-sliced into 6 parquet files drained "
+        "at one file per trigger through rollup_merge_stream with "
+        "compact_every=4, so the drain commits 6 batch_id partitions "
+        "and the in-sink compaction fires mid-stream — folding the "
+        "first 4 into a merged snapshot behind the atomic _gen marker "
+        "swap WHILE batches 5-6 keep arriving and committing on top "
+        "of the new generation. The served rollup must still equal "
+        "the batch/DuckDB hourly aggregate exactly: any row lost or "
+        "double-counted through the generation swap, the _upto replay "
+        "guard, or the merge re-aggregation breaks the count or the "
+        "rounded sum. Slicing is an unordered repartition — counts/"
+        "sums are decomposable, so arrival order is irrelevant, which "
+        "is exactly why the rollup store can compact by "
+        "re-aggregation. (The 16-batch default threshold and the "
+        "flat-read-cost invariant are exercised by the 60-batch "
+        "pytest mechanism test; this query keeps the gate's per-run "
+        "cost at ~6 micro-batches.)",
+)
+def stream_rollup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d = tempfile.mkdtemp(prefix="rollup_slices_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    e.repartition(6).write.mode("overwrite").parquet(d)
+    stream = ST.read_events_stream(
+        spark, d, glob="part-*.parquet", max_files_per_trigger=1
+    )
+    return ST.rollup_merge_stream(stream, compact_every=4)
+
+
 def _drained_outer_vp_join(
     spark: SparkSession, sf_dir: str, join_fn, region_col
 ) -> DataFrame:

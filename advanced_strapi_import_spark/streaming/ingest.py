@@ -880,7 +880,9 @@ def hll_rollup_stream(events_stream: DataFrame) -> DataFrame:
     )
 
 
-def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
+def rollup_merge_stream(
+    events_stream: DataFrame, *, compact_every: int | None = None
+) -> DataFrame:
     """Incremental materialized-aggregate maintenance: each micro-batch
     collapses to PARTIAL (hour, event_type) aggregates that merge into
     a stored rollup table — counts/sums are decomposable, so merge =
@@ -923,7 +925,10 @@ def rollup_merge_stream(events_stream: DataFrame) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
         _commit_batch_state(p, store_dir, batch_id)
-        _compact_batch_state(batch_df.sparkSession, store_dir, schema, merge)
+        _compact_batch_state(
+            batch_df.sparkSession, store_dir, schema, merge,
+            threshold=compact_every or _COMPACT_EVERY,
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
