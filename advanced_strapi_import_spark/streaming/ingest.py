@@ -190,7 +190,13 @@ def _compact_batch_state(
     )
     with open(os.path.join(tmp, "_upto"), "w") as f:
         f.write(str(hwm))
-    os.rename(tmp, os.path.join(table_dir, f"gen={g + 1}"))
+    # a crash between the rename below and the marker swap leaves a
+    # complete-but-unreferenced gen=<g+1> dir; the marker still points
+    # to g, so that orphan is garbage — reap it or this rename (and
+    # with it every future compaction) would fail forever
+    nxt = os.path.join(table_dir, f"gen={g + 1}")
+    shutil.rmtree(nxt, ignore_errors=True)
+    os.rename(tmp, nxt)
     mk_tmp = os.path.join(table_dir, "_gen.tmp")
     with open(mk_tmp, "w") as f:
         f.write(str(g + 1))

@@ -416,3 +416,40 @@ def test_long_drain_rollup_compacts_and_stays_correct(spark, tmp_path):
         )
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_compaction_recovers_from_orphaned_next_generation(spark, tmp_path):
+    """Crash-window recovery: a crash between the gen=<g+1> rename and
+    the _gen marker swap leaves a complete-but-unreferenced next
+    generation. The marker still points to g (old data intact — the
+    atomicity contract), and the NEXT compaction must reap the orphan
+    and succeed rather than failing the rename forever."""
+    import os
+
+    from pyspark.sql import types as T
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def merge(df):
+        return df.groupBy("k").agg(F.sum("n").cast("long").alias("n"))
+
+    for bid in range(4):
+        ST._commit_batch_state(
+            spark.createDataFrame([(0, 1)], schema), store, bid
+        )
+    # simulate the crash artifact: a fully-built but unreferenced gen=1
+    os.makedirs(os.path.join(store, "gen=1", "batch_id=99"))
+    with open(os.path.join(store, "gen=1", "_upto"), "w") as f:
+        f.write("99")
+
+    assert ST._compact_batch_state(spark, store, schema, merge, threshold=4)
+    g, gd = ST._live_gen(store)
+    assert g == 1  # the orphan was reaped, the REAL gen=1 published
+    assert ST._compacted_upto(gd) == 3  # hwm of the four real batches
+    got = merge(ST._read_batch_state(spark, store, schema)).collect()
+    assert [(r["k"], r["n"]) for r in got] == [(0, 4)]  # no 99-garbage
