@@ -993,15 +993,27 @@ def _system_decode_pixels(b: bytes, fmt: str):
     try:
         img = Image.open(_io.BytesIO(b))
         w, h = img.size
-        _check_decode_dims(w, h, fmt)
+        # decode-bomb guards MIRROR each format's pure path EXACTLY
+        # (round-10 ADVICE fix): the pure PNG decoder caps at
+        # MAX_DECODE_PIXELS with no RGB/4 cap, the pure BMP decoder has
+        # no pixel cap at all (24bpp payload length already bounds it —
+        # no amplification). Applying the JPEG-only RGB/4 cap here made
+        # a ~20MP RGB PNG decode fine without Pillow but raise WITH it,
+        # breaking auto mode's bit-identity invariant. The dims + RGB/4
+        # caps apply only to the "all" route (GIF/JPEG), where pure-path
+        # parity is not promised anyway.
+        if fmt == "PNG" or fmt == "GIF":
+            _check_decode_dims(w, h, fmt)
+        elif fmt == "JPEG":
+            _check_decode_dims(w, h, fmt)
+            if img.mode != "L" and w * h > MAX_DECODE_PIXELS // 4:
+                # same 3-component cap as the pure JPEG path
+                raise ValueError(
+                    f"{fmt} color dimensions {w}x{h} exceed"
+                    f" MAX_DECODE_PIXELS/4 — decode-bomb guard"
+                )
         if img.mode not in ("L", "RGB"):
             img = img.convert("RGB")
-        if img.mode == "RGB" and w * h > MAX_DECODE_PIXELS // 4:
-            # same 3-component cap as the pure JPEG path
-            raise ValueError(
-                f"{fmt} color dimensions {w}x{h} exceed"
-                f" MAX_DECODE_PIXELS/4 — decode-bomb guard"
-            )
         arr = np.asarray(img, dtype=np.uint8)
     except ValueError:
         raise

@@ -917,12 +917,138 @@ def build_lsh_index(
         .parquet(f"{path}/vectors")
     )
     _os.makedirs(path, exist_ok=True)
-    # write-then-rename: a crash mid-write must not leave a truncated
-    # meta.json that bricks every later serve call
+    _write_index_meta(
+        path, {"planes": planes, "dims": dims, "vectors_dir": "vectors"}
+    )
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    """Atomic meta.json publish (write-then-rename): a crash mid-write
+    must not leave a truncated meta.json that bricks every later serve
+    call — and the rename is also the COMMIT POINT for compaction's
+    generation swap (the ``vectors_dir`` key)."""
+    import json as _json
+    import os as _os
+
     tmp = f"{path}/meta.json.tmp"
     with open(tmp, "w") as fh:
-        _json.dump({"planes": planes, "dims": dims}, fh)
+        _json.dump(meta, fh)
     _os.rename(tmp, f"{path}/meta.json")
+
+
+def _read_index_meta(path: str) -> dict:
+    """meta.json contents, {} when absent/corrupt (an unreadable meta
+    must not brick an intact index — pre-meta default behavior)."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(f"{path}/meta.json"):
+        return {}
+    try:
+        with open(f"{path}/meta.json") as fh:
+            return _json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _live_vectors_dir(path: str) -> str:
+    """Absolute path of the index's LIVE vectors directory. Compaction
+    publishes rewritten generations under ``vectors_gen<k>`` and swaps
+    the meta.json ``vectors_dir`` pointer atomically."""
+    return f"{path}/{_read_index_meta(path).get('vectors_dir', 'vectors')}"
+
+
+def append_lsh_vectors(
+    batch: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append new vectors INTO the stored LSH index's bucket
+    partitions: the same deterministic bucket expression (parameters
+    from meta.json) routes each arrival to its directory, so an append
+    is a partition-local file add — zero index rebuild, zero reshuffle
+    of the existing corpus. Pair with :func:`compact_lsh_index` on a
+    long-running stream so per-bucket file counts stay bounded."""
+    meta = _read_index_meta(path)
+    planes = meta.get("planes", 6)
+    dims = meta.get("dims", 64)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    (
+        batch.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_id(dbl, planes=planes, dims=dims).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(_live_vectors_dir(path))
+    )
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_bucket: int = 16,
+) -> bool:
+    """Fold a streamed-into LSH index back to one file per bucket once
+    any bucket accumulates ``max_files_per_bucket`` data files (round
+    10, VERDICT r9 task 5 — the bucket-partition twin of the keyed
+    stores' generation-swap compaction in ``streaming/ingest.py``).
+    Without this, a long-running maintenance stream adds one file per
+    (bucket, micro-batch) forever and serve-side footer reads grow
+    O(batches).
+
+    Crash safety is the same generation-swap discipline: the rewritten
+    corpus materializes fully under ``vectors_gen<k+1>``, then ONE
+    atomic meta.json replace moves the ``vectors_dir`` pointer; a crash
+    leaves either the old generation live or the new one live, never a
+    mix. Orphaned non-live generations (crash before swap) and
+    superseded ones (crash before cleanup) are reaped best-effort on
+    the next call. Returns True when a compaction ran."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    meta = _read_index_meta(path)
+    live = meta.get("vectors_dir", "vectors")
+    live_dir = f"{path}/{live}"
+    # reap every non-live vectors generation, orphan or superseded
+    try:
+        for p in _os.listdir(path):
+            if (p == "vectors" or p.startswith("vectors_gen")) and p != live:
+                _shutil.rmtree(f"{path}/{p}", ignore_errors=True)
+    except OSError:
+        pass
+    worst = 0
+    try:
+        for b in _os.listdir(live_dir):
+            if b.startswith("bucket="):
+                n = sum(
+                    1
+                    for f in _os.listdir(f"{live_dir}/{b}")
+                    if f.endswith(".parquet")
+                )
+                worst = max(worst, n)
+    except OSError:
+        return False
+    if worst < max_files_per_bucket:
+        return False
+    m = _re.fullmatch(r"vectors_gen(\d+)", live)
+    nxt = f"vectors_gen{int(m.group(1)) + 1 if m else 1}"
+    (
+        spark.read.parquet(live_dir)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{nxt}")
+    )
+    _write_index_meta(path, {**meta, "vectors_dir": nxt})  # the swap
+    _shutil.rmtree(live_dir, ignore_errors=True)
+    return True
 
 
 def lsh_query_index(
@@ -948,21 +1074,9 @@ def lsh_query_index(
     ``planes``/``dims`` default from the index's ``meta.json`` (written
     by :func:`build_lsh_index`); passing a value that CONTRADICTS the
     meta raises instead of silently probing the wrong buckets."""
-    import json as _json
-    import os as _os
-
     from pyspark.sql import types as _T
 
-    meta = {}
-    if _os.path.exists(f"{path}/meta.json"):
-        try:
-            with open(f"{path}/meta.json") as fh:
-                meta = _json.load(fh)
-        except (OSError, ValueError):
-            # unreadable/corrupt meta must not brick an intact index:
-            # explicit params can still serve; defaulting without meta
-            # is the pre-meta behavior
-            meta = {}
+    meta = _read_index_meta(path)
     for name, given in (("planes", planes), ("dims", dims)):
         if given is not None and name in meta and meta[name] != given:
             raise ValueError(
@@ -997,7 +1111,7 @@ def lsh_query_index(
                 ]
             ),
         )
-    cand = spark.read.parquet(f"{path}/vectors").filter(
+    cand = spark.read.parquet(_live_vectors_dir(path)).filter(
         F.col("bucket").isin(wanted)
     )
     scored = (

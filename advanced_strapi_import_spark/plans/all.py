@@ -26,13 +26,17 @@ import advanced_strapi_import_spark.plans.parity_relational  # noqa: F401
 
 from advanced_strapi_import_spark.plans.registry import QUERIES as _Q
 
-# Round-9 rotation: the window leads with the round-9 ADDITION
-# (Avro logical-type gate query) and the queries whose plans
-# MATERIALLY CHANGED this round (Welch twins now combine moments in
-# DECIMAL(38,0); Kendall tau now uses a corpus-adaptive sampling
-# modulus; the Avro roundtrip rides the new random-sync +
-# chain-validated resync), then the round-8 wave, then the older tail.
+# Round-10 rotation: the window leads with the round-10 ADDITIONS
+# (CSV-sink and ZIP-source round trips — the last file-I/O surfaces
+# now under the hash gate) and the queries whose plans MATERIALLY
+# CHANGED this round (both Avro roundtrips ride the new codegen block
+# decoder + per-file compilation; stream_ann_index_update rides the
+# generation-swap bucket compaction), then the round-9 wave, then the
+# older tail.
 _FIRST = [
+    # --- round-10 additions + materially changed ---
+    "export_csv_roundtrip_agg",
+    "zip_roundtrip_agg",
     # --- round-9 addition + materially changed ---
     "multimodal_jpeg_progressive_pixels",
     "stream_rollup_compacted",

@@ -229,10 +229,12 @@ FROM orders GROUP BY o_orderpriority
     doc="Avro OCF round trip inside the value-checked gate (round 8 — "
         "until now the avro_py source/sink was pytest-only): orders "
         "(key, priority, integer cents) writes through the "
-        "two-phase-commit avro_py sink, reads back through the avro_py "
-        "source FORCED to split each part file into ~8 byte-range "
-        "partitions (target_partition_bytes = total/8, so the "
-        "sync-marker resync path runs on every gate run, not just in "
+        "two-phase-commit avro_py sink 8 files wide (round 10: the "
+        "single-split scan used to serialize the whole encode in one "
+        "Python worker), reads back through the avro_py source FORCED "
+        "to split each part file into ~4 byte-range partitions "
+        "(target_partition_bytes = total/32, so the sync-marker resync "
+        "path runs ~24 times on every gate run, not just in "
         "unit tests), and aggregates. The oracle aggregates the "
         "original parquet directly — any row lost or doubled by the "
         "split ownership rule, any column misaligned by the "
@@ -261,14 +263,21 @@ def orders_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="avro_rt_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     out = os.path.join(d, "orders")
-    o.write.format("avro_py").option("path", out).mode("overwrite").save()
+    # 8-way write: the single-row-group orders scan is ONE split, and
+    # without the repartition the whole encode serializes in one
+    # Python worker (round-10 decomposition: 3.9 s of a ~6 s query).
+    # 8 files x 4 byte-range splits each keeps the sync-marker resync
+    # path exercised on every gate run (24 mid-file split starts).
+    o.repartition(8).write.format("avro_py").option(
+        "path", out
+    ).mode("overwrite").save()
     size = sum(
         os.path.getsize(p) for p in globmod.glob(out + "/part-*.avro")
     )
     back = (
         spark.read.format("avro_py")
         .option("path", out + "/part-*.avro")
-        .option("target_partition_bytes", str(max(1, size // 8)))
+        .option("target_partition_bytes", str(max(1, size // 32)))
         .load()
     )
     return back.groupBy(
@@ -276,6 +285,155 @@ def orders_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "export_csv_roundtrip_agg",
+    oracle="""
+WITH src AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         'v,"' || o_orderstatus || '",' || CAST(o_orderkey AS VARCHAR)
+           AS comment
+  FROM orders)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(length(comment)) AS BIGINT) AS comment_chars,
+       CAST(sum(length(comment)
+                - length(replace(comment, ',', ''))) AS BIGINT) AS commas
+FROM src GROUP BY o_orderpriority
+""",
+    doc="CSV sink round trip under the value-checked gate (round 10, "
+        "VERDICT r9 task 8 — S7/S1 were pytest-only): orders plus a "
+        "synthesized RFC-4180-hostile comment column (embedded commas "
+        "AND double quotes, so the writer MUST quote and escape and "
+        "the reader MUST parse both) writes through the S7 CSV sink "
+        "and reads back through the S1 all-string header-driven scan; "
+        "aggregates re-derive integer cents and byte-exact comment "
+        "stats. Any quoting/escape drift splits a column or mangles a "
+        "comment and breaks comment_chars/commas; any cast drift "
+        "breaks total_cents. Oracle synthesizes the identical comment "
+        "from the parquet directly. Reference: RFC-4180 quoting is "
+        "controllers/csv-import.js:442-445 semantics.",
+)
+def export_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.sources.csv_source import csv_scan
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.concat(
+            F.lit('v,"'),
+            F.col("o_orderstatus"),
+            F.lit('",'),
+            F.col("o_orderkey").cast("string"),
+        ).alias("comment"),
+    )
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    out = os.path.join(d, "orders_csv")
+    X.write_csv(o, out)
+    back = csv_scan(spark, out)  # all strings, header-driven (S1)
+    return back.groupBy(F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("long")).cast("long").alias(
+            "total_cents"
+        ),
+        F.sum(F.length("comment")).cast("long").alias("comment_chars"),
+        F.sum(
+            F.length("comment")
+            - F.length(F.replace(F.col("comment"), F.lit(","), F.lit("")))
+        ).cast("long").alias("commas"),
+    )
+
+
+@query(
+    "zip_roundtrip_agg",
+    oracle="""
+WITH sel AS (
+  SELECT doc_id, doc_id % 3 AS folder_id, text FROM documents
+  WHERE doc_id % 7 = 0)
+SELECT CAST(folder_id AS BIGINT) AS folder_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       min(md5(text)) AS min_md5,
+       max(md5(text)) AS max_md5
+FROM sel GROUP BY folder_id
+""",
+    doc="ZIP source round trip under the value-checked gate (round 10, "
+        "VERDICT r9 task 8 — S8/S9 were pytest-only): a 1-in-7 "
+        "document sample packs into 8 zip archives (one applyInPandas "
+        "group per archive, entries foldered f<doc_id%%3>/doc<id>.txt, "
+        "deflate), the archives read back through the S8 zip_entries "
+        "scan with content, and per-folder aggregates check entry "
+        "COUNT, byte-exact SIZES (central-directory file_size vs "
+        "utf-8 octet length) and CONTENT (md5 over the decompressed "
+        "bytes vs md5 over the original text). Any entry lost by "
+        "routing, any folder misparse, or any decompression drift "
+        "breaks a column. Oracle computes the same stats from the "
+        "parquet directly. Reference: foldered zip routing is "
+        "csv-import.js:1040-1105 semantics.",
+)
+def zip_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.sources.zip_source import zip_entries
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("folder_id"),
+        (F.col("doc_id") % 8).alias("zip_id"),
+        "text",
+    )
+    d = tempfile.mkdtemp(prefix="zip_rt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    def pack(key, pdf):
+        import os as _os
+        import zipfile as _zf
+
+        import pandas as pd
+
+        zid = int(key[0])
+        tmp = _os.path.join(d, f"_tmp_part{zid}.zip")
+        final = _os.path.join(d, f"part{zid}.zip")
+        ordered = pdf.sort_values("doc_id")
+        with _zf.ZipFile(tmp, "w", _zf.ZIP_DEFLATED) as z:
+            for _, r in ordered.iterrows():
+                z.writestr(
+                    f"f{int(r['folder_id'])}/doc{int(r['doc_id'])}.txt",
+                    str(r["text"]).encode("utf-8"),
+                )
+        _os.replace(tmp, final)  # idempotent re-run safe
+        return pd.DataFrame({"zip_id": [zid], "n": [len(pdf)]})
+
+    written = docs.groupBy("zip_id").applyInPandas(
+        pack, "zip_id long, n long"
+    )
+    # bounded materialization: 8 rows, one per archive
+    assert sum(r["n"] for r in written.collect()) > 0
+    back = zip_entries(spark, os.path.join(d, "*.zip"),
+                       include_content=True)
+    return back.groupBy(
+        F.substring("folder", 2, 10).cast("long").alias("folder_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.min(F.md5("content")).alias("min_md5"),
+        F.max(F.md5("content")).alias("max_md5"),
     )
 
 
@@ -337,14 +495,19 @@ def orders_avro_logical_roundtrip(
     d = tempfile.mkdtemp(prefix="avro_lrt_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     out = os.path.join(d, "orders")
-    o.write.format("avro_py").option("path", out).mode("overwrite").save()
+    # 8-way write + 4 splits per file: same reasoning as
+    # orders_avro_roundtrip_agg (single-split scan would serialize the
+    # whole logical-type encode in one Python worker)
+    o.repartition(8).write.format("avro_py").option(
+        "path", out
+    ).mode("overwrite").save()
     size = sum(
         os.path.getsize(p) for p in globmod.glob(out + "/part-*.avro")
     )
     back = (
         spark.read.format("avro_py")
         .option("path", out + "/part-*.avro")
-        .option("target_partition_bytes", str(max(1, size // 8)))
+        .option("target_partition_bytes", str(max(1, size // 32)))
         .load()
     )
     return back.groupBy(F.col("o_orderpriority")).agg(

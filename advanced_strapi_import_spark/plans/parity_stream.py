@@ -1276,20 +1276,11 @@ def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(batch_df, batch_id) -> None:
         if not batch_df.head(1):
             return
-        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        (
-            batch_df.select(
-                "vec_id",
-                "embedding",
-                S.lsh_bucket_id(dbl, planes=_ANN_PLANES, dims=64).alias(
-                    "bucket"
-                ),
-            )
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(f"{idx}/vectors")
-        )
+        # partition-local append, then the generation-swap compaction
+        # check (round 10): on a long-running stream per-bucket file
+        # counts stay bounded instead of growing one file per batch
+        S.append_lsh_vectors(batch_df, idx)
+        S.compact_lsh_index(spark, idx, max_files_per_bucket=16)
 
     q = (
         arriving.writeStream.foreachBatch(update)

@@ -50,8 +50,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -199,7 +199,12 @@ def _is_valid_block_start(
             size = r.long()
         except (IndexError, ValueError):
             return False
-        if n_rec <= 0 or size < 0:
+        # n_rec == 0 is legal per the OCF spec (a writer may flush an
+        # empty block) — rejecting it here would make a TRUE block
+        # start fail resync and silently drop that block's successors
+        # from byte-range reads (round-10 ADVICE fix); only negative
+        # counts are forgeries
+        if n_rec < 0 or size < 0:
             return False
         nxt = p + r.pos + size
         if nxt + 16 > file_size:
@@ -317,8 +322,8 @@ class AvroReader(DataSourceReader):
     def read(self, partition: AvroFilePartition) -> Iterator[tuple]:
         from advanced_strapi_import_spark.sources.avro_ocf import (
             _Reader,
+            compile_block_decoder,
             compile_schema,
-            decode_block_rows,
         )
 
         schema, _, _, _ = _read_header_growing(partition.path)
@@ -348,6 +353,32 @@ class AvroReader(DataSourceReader):
                     f"avro_py: file {partition.path} field"
                     f" {pf.name!r} is nullable but planned non-null"
                 )
+        # compile ONCE per file — inlined decode loop with the planned
+        # projection fused in (tuples come out in planned-name order)
+        decoder = compile_block_decoder(fields, names=self.planned_names)
+        # round 10: hand rows back as Arrow RecordBatches (the Python
+        # DataSource API accepts either) — column-wise pa.array builds
+        # replace per-row tuple pickling on the executor boundary. The
+        # zero-column projection (bare count) keeps the tuple path:
+        # an arrays-built RecordBatch cannot carry row count alone.
+        arrow_schema = None
+        if self.planned_names:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self.planned_schema)
+        buf: list[tuple] = []
+
+        def flush():
+            arrays = [
+                pa.array(
+                    [row[j] for row in buf],
+                    type=arrow_schema.field(j).type,
+                )
+                for j in range(len(self.planned_names))
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
         with open(partition.path, "rb") as f:
             if partition.start <= partition.header_pos:
                 pos = partition.header_pos
@@ -357,12 +388,11 @@ class AvroReader(DataSourceReader):
                 )
                 if pos is None:
                     return  # no block starts inside this range
-            names = self.planned_names
             while pos < partition.end:
                 f.seek(pos)
                 hdr = f.read(20)  # two varints, <=10 bytes each
                 if not hdr:
-                    return  # clean EOF at a block boundary
+                    break  # clean EOF at a block boundary
                 r = _Reader(hdr)
                 try:
                     n_rec = r.long()
@@ -376,11 +406,17 @@ class AvroReader(DataSourceReader):
                 payload = f.read(size)
                 if f.read(16) != partition.sync:
                     raise ValueError("invalid avro: sync marker mismatch")
-                for row in decode_block_rows(
-                    payload, n_rec, partition.codec, fields
-                ):
-                    yield tuple(row[n] for n in names)
+                rows = decoder(payload, n_rec, partition.codec)
+                if arrow_schema is None:
+                    yield from rows
+                else:
+                    buf.extend(rows)
+                    if len(buf) >= 8192:
+                        yield flush()
+                        buf = []
                 pos = body + size + 16
+        if buf:
+            yield flush()
 
 
 class AvroDataSource(DataSource):
@@ -516,13 +552,58 @@ class _StagedAvro(WriterCommitMessage):
     n_rows: int
 
 
-class AvroAtomicWriter(DataSourceWriter):
+def _arrow_value_fixer(dt):
+    """Returns fn(value)->value converting Arrow ``to_pylist`` output to
+    what the OCF encoder expects, or None when values pass through
+    unchanged. The one mismatch is MapType: Arrow materializes map
+    values as ``[(k, v), ...]`` tuple lists while the encoder (like
+    Spark Rows) wants dicts — recurse so maps nested under
+    arrays/structs convert too."""
+    t = dt.typeName()
+    if t == "map":
+        vf = _arrow_value_fixer(dt.valueType)
+        if vf is not None:
+            return lambda v: (
+                None if v is None else {k: vf(x) for k, x in v}
+            )
+        return lambda v: None if v is None else dict(v)
+    if t == "array":
+        ef = _arrow_value_fixer(dt.elementType)
+        if ef is None:
+            return None
+        return lambda v: None if v is None else [ef(x) for x in v]
+    if t == "struct":
+        subs = {
+            f.name: _arrow_value_fixer(f.dataType) for f in dt.fields
+        }
+        if not any(subs.values()):
+            return None
+
+        def fix_struct(v, _subs=subs):
+            if v is None:
+                return None
+            return {
+                k: (_subs[k](x) if _subs[k] is not None else x)
+                for k, x in v.items()
+            }
+
+        return fix_struct
+    return None
+
+
+class AvroAtomicWriter(DataSourceArrowWriter):
     """Two-phase-commit OCF sink (the jsonl_atomic protocol with an
     Avro payload): tasks stage ``.staged-*.avro`` files, the driver
     publishes them as ``part-*.avro`` plus a ``_SUCCESS`` manifest and
     reaps orphans. Same SHARED-FILESYSTEM (single-node/NFS) contract
     as jsonl_atomic — on executor-local disks the staging target must
-    be the shared store itself."""
+    be the shared store itself.
+
+    Round 10: rows arrive as Arrow RecordBatches (DataSourceArrowWriter)
+    instead of pickled Spark Rows — ``to_pylist`` converts a whole
+    column C-side, which removed the dominant per-row Row-unpickle +
+    dict-build cost of the old iterator (the avro gate queries' hot
+    half)."""
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -542,9 +623,20 @@ class AvroAtomicWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         names = self.schema.fieldNames()
-        rows = [
-            {k: row[i] for i, k in enumerate(names)} for row in iterator
+        fixers = [
+            _arrow_value_fixer(f.dataType) for f in self.schema.fields
         ]
+        rows: list[dict] = []
+        for batch in iterator:
+            cols = []
+            for j, name in enumerate(names):
+                col = batch.column(batch.schema.get_field_index(name))
+                vals = col.to_pylist()
+                fx = fixers[j]
+                cols.append([fx(v) for v in vals] if fx else vals)
+            rows.extend(
+                dict(zip(names, vals)) for vals in zip(*cols)
+            )
         staged = f".staged-{uuid.uuid4().hex}.avro"
         write_ocf(
             os.path.join(self.path, staged),

@@ -52,12 +52,29 @@ def _live_gen(table_dir: str) -> tuple[int, str]:
     publishes a new generation and swaps the ``_gen`` marker with one
     atomic replace — the unit of atomicity for the whole store."""
     import os
+    import shutil
 
     mk = os.path.join(table_dir, "_gen")
     g = 0
     if os.path.exists(mk):
         with open(mk) as f:
             g = int(f.read())
+    # reap superseded generations BELOW the marker (round-10 ADVICE
+    # fix): a crash between the marker swap and the old generation's
+    # rmtree used to strand gen=<g-1> forever, accumulating stale
+    # parquet across restarts of a long-lived store. Generations ABOVE
+    # the marker are NOT touched here — a freshly-renamed gen=<g+1>
+    # exists legitimately in the instant before compaction's marker
+    # swap; its orphan case is reaped pre-rename in
+    # _compact_batch_state. Best-effort: a failure never blocks reads.
+    try:
+        for p in os.listdir(table_dir):
+            if p.startswith("gen=") and int(p[4:]) < g:
+                shutil.rmtree(
+                    os.path.join(table_dir, p), ignore_errors=True
+                )
+    except (OSError, ValueError):
+        pass
     d = os.path.join(table_dir, f"gen={g}")
     os.makedirs(d, exist_ok=True)
     return g, d

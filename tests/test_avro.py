@@ -653,6 +653,58 @@ def test_split_resync_rejects_false_sync_in_payload(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == list(range(2000))
 
 
+def test_split_resync_accepts_empty_block(spark, tmp_path):
+    """Round-10 ADVICE fix: an n_rec == 0 block is LEGAL per the OCF
+    spec (a writer may flush an empty block). The 2-hop chain validator
+    used to reject any candidate whose chain passes through one — so a
+    TRUE block start directly BEFORE an empty block failed resync and
+    its rows silently vanished from byte-range reads. Splice an empty
+    block (zero-count, zero-size, sync) between real blocks and assert
+    a multi-split read still returns every row."""
+    from advanced_strapi_import_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    sync = bytes(range(16, 32))
+    s = {"type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "pad", "type": "string"}]}
+    rows = [{"id": i, "pad": "x" * 120} for i in range(300)]
+    p = str(tmp_path / "empties.avro")
+    A.write_ocf(p, s, rows, codec="null", block_records=50, sync=sync)
+    data = open(p, "rb").read()
+    _, _, _, header_pos = A.read_ocf_header(data)
+    # walk to the end of the SECOND block's sync and splice the empty
+    # block there: candidates at block 2 now chain through it
+    r = A._Reader(data, header_pos)
+    for _ in range(2):
+        r.long()
+        size = r.long()
+        r.raw(size)
+        r.raw(16)
+    cut = r.pos
+    empty = b"\x00\x00" + sync  # n_rec=0, size=0, no payload, sync
+    spliced = data[:cut] + empty + data[cut:]
+    p2 = str(tmp_path / "spliced.avro")
+    with open(p2, "wb") as f:
+        f.write(spliced)
+    # sequential read sees all rows and no phantom
+    assert sum(1 for _ in A.iter_ocf(spliced)) == 300
+    # split read: ~10 splits put one split start INSIDE block 0 with
+    # block 1 (whose 2-hop chain passes through the spliced empty
+    # block) as its resync candidate — the exact geometry where the
+    # old n_rec<=0 rejection dropped block 1's 50 rows
+    df = (
+        spark.read.format("avro_py")
+        .option("path", p2)
+        .option("target_partition_bytes", str(len(spliced) // 10))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 4
+    assert sorted(x["id"] for x in df.collect()) == list(range(300))
+
+
 def test_datasource_errors_on_type_mismatched_field(spark, tmp_path):
     """Same-NAME is not enough: a file whose field has a different
     type than the planned schema must error loudly, not feed mistyped

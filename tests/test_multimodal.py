@@ -683,6 +683,61 @@ def test_system_codec_bridge_plumbing_with_fake_pil(monkeypatch):
     assert np.array_equal(got[3], g)
 
 
+def test_system_codec_bridge_auto_caps_mirror_pure_path(monkeypatch):
+    """Round-10 ADVICE fix: in auto mode the bridge applies EXACTLY the
+    pure path's decode-bomb guards — PNG keeps the MAX_DECODE_PIXELS
+    cap with NO RGB/4 tightening, BMP has no pixel cap at all. The old
+    bridge raised on an RGB PNG between MAX/4 and MAX pixels, making
+    query results depend on whether Pillow was installed."""
+    import numpy as np
+
+    class _Img:
+        def __init__(self, w, h, ch, arr):
+            self.size = (w, h)
+            self.mode = "RGB" if ch == 3 else "L"
+            self._a = (
+                arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w)
+            )
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._a
+
+    class _FakeImage:
+        @staticmethod
+        def open(fobj):
+            data = fobj.read()
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                return _Img(*MM.png_decode_pixels(data))
+            return _Img(*MM.bmp_decode_pixels(data))
+
+    monkeypatch.setattr(MM, "_PIL_CACHE", [_FakeImage])
+    monkeypatch.setattr(MM, "MAX_DECODE_PIXELS", 1 << 10)
+    # RGB PNG with MAX/4 < w*h <= MAX: pure path accepts, bridge must too
+    w, h = 32, 24  # 768 px: above 256 (=MAX/4), below 1024 (=MAX)
+    px = (np.arange(h * w * 3) % 256).astype(np.uint8).reshape(h, w * 3)
+    got = MM._system_decode_pixels(MM.png_encode_pixels(px, color=2), "PNG")
+    assert got is not None and got[:3] == (w, h, 3)
+    assert np.array_equal(got[3], px)
+    # RGB PNG ABOVE MAX still raises (the pure guard, mirrored)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        MM._system_decode_pixels(
+            MM.png_encode_pixels(
+                np.zeros((33, 33 * 3), dtype=np.uint8), color=2
+            ),
+            "PNG",
+        )
+    # BMP has NO pixel cap in the pure decoder: bridge must not add one
+    bpx = (np.arange(40 * 30 * 3) % 256).astype(np.uint8).reshape(30, 120)
+    got = MM._system_decode_pixels(MM.bmp_encode_pixels(bpx), "BMP")
+    assert got is not None and got[:3] == (40, 30, 3)
+    assert np.array_equal(got[3], bpx)
+
+
 def test_system_codec_bridge_pillow_equality():
     """Where real Pillow exists: PNG/BMP decode through PIL must be
     bit-identical to the pure decoders (lossless formats)."""

@@ -267,6 +267,83 @@ def test_lsh_index_build_and_serve(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def _max_files_per_bucket(vdir: str) -> int:
+    import os
+
+    worst = 0
+    for b in os.listdir(vdir):
+        if b.startswith("bucket="):
+            worst = max(
+                worst,
+                sum(
+                    1 for f in os.listdir(os.path.join(vdir, b))
+                    if f.endswith(".parquet")
+                ),
+            )
+    return worst
+
+
+def test_lsh_index_append_compaction_bounds_files(spark, tmp_path):
+    """50-batch drain (round 10, VERDICT r9 task 5): streamed appends
+    into the LSH index's bucket partitions stay BOUNDED in per-bucket
+    file count under the generation-swap compaction, and the served
+    results after compaction equal one fresh rebuild over the same
+    rows — compaction moves bytes, never answers."""
+    import os
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = corpus.filter("vec_id % 2 = 0")
+    idx = str(tmp_path / "lsh_c")
+    S.build_lsh_index(base, idx, planes=4)
+
+    # one shared embedding -> every batch lands in the SAME bucket, so
+    # the worst-bucket file count provably crosses the threshold
+    seed = corpus.filter("vec_id % 2 = 1").limit(1).collect()[0]
+    rows = [(100000 + i, seed["embedding"]) for i in range(50)]
+    compactions = 0
+    for vid, emb in rows:  # one row per micro-batch
+        batch = spark.createDataFrame(
+            [(vid, emb)], "vec_id long, embedding array<float>"
+        )
+        S.append_lsh_vectors(batch, idx)
+        if S.compact_lsh_index(spark, idx, max_files_per_bucket=8):
+            compactions += 1
+        # invariant at EVERY point in the drain, not just the end:
+        # one rewritten file per bucket + at most threshold appends
+        assert _max_files_per_bucket(S._live_vectors_dir(idx)) <= 9
+    assert compactions >= 5, "50 single-bucket batches barely compacted"
+
+    # served answers equal a fresh one-shot rebuild over the same rows
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    rebuilt = str(tmp_path / "lsh_r")
+    S.build_lsh_index(base.unionByName(planted), rebuilt, planes=4)
+    queries = base.limit(7)
+    got = sorted(map(tuple, S.lsh_query_index(
+        spark, idx, queries, k=5).select(
+        "query_id", "neighbor_id", "cos", "rnk").collect()))
+    want = sorted(map(tuple, S.lsh_query_index(
+        spark, rebuilt, queries, k=5).select(
+        "query_id", "neighbor_id", "cos", "rnk").collect()))
+    assert got == want and len(got) > 0
+
+    # crash-orphan reaping: a stray pre-swap generation and a stale
+    # superseded one both disappear on the next compaction call
+    os.makedirs(os.path.join(idx, "vectors_gen999", "bucket=0"),
+                exist_ok=True)
+    os.makedirs(os.path.join(idx, "vectors", "bucket=0"), exist_ok=True)
+    S.compact_lsh_index(spark, idx, max_files_per_bucket=8)
+    left = {p for p in os.listdir(idx)
+            if p == "vectors" or p.startswith("vectors_gen")}
+    live = os.path.basename(S._live_vectors_dir(idx))
+    assert left == {live}
+
+
 def test_lsh_query_index_empty_queries(spark, tmp_path):
     from advanced_strapi_import_spark.operators import similarity as S
 

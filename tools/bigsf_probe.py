@@ -44,7 +44,8 @@ BIG = os.environ.get("BIGSF_DIR", "/tmp/sfbig")
 BASE = "/root/testdata/sf0.1"
 
 
-def synthesize(out_dir: str = BIG, base: str = BASE) -> None:
+def synthesize(out_dir: str = BIG, base: str = BASE,
+               doc_copies: int = 3, emb_copies: int = 4) -> None:
     """Regenerate the expanded tables with DuckDB (no Spark session) —
     runs automatically when the directory is missing, so the probe is
     self-contained across environments/reboots."""
@@ -59,7 +60,7 @@ w AS (
   SELECT d.doc_id, k.k,
          string_split(d.text, ' ')[pos.pos] AS word, pos.pos AS pos
   FROM d
-  CROSS JOIN (SELECT unnest(range(3)) AS k) k
+  CROSS JOIN (SELECT unnest(range({doc_copies})) AS k) k
   CROSS JOIN LATERAL (
     SELECT unnest(range(1, len(string_split(d.text, ' ')) + 1)) AS pos
   ) pos
@@ -87,7 +88,7 @@ COPY (
 WITH e AS (SELECT * FROM read_parquet('{base}/embeddings.parquet')),
 x AS (
   SELECT e.vec_id, k.k, e.embedding, e.label
-  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+  FROM e CROSS JOIN (SELECT unnest(range({emb_copies})) AS k) k
 )
 SELECT vec_id + 1000000 * k AS vec_id,
        CASE WHEN k = 0 THEN embedding
@@ -129,7 +130,54 @@ PROBES = [
 ]
 
 
+GRAPH9_PROBES = [
+    # round 10 (VERDICT r9 task 6): one more order of magnitude for the
+    # iterative graph family — x3 -> x9 confirms per-round linearity
+    # holds two steps below the 100x target, not just one
+    ("dedup_weighted_pagerank", "documents x9"),
+    ("dedup_kcore", "documents x9"),
+    ("dedup_label_propagation", "documents x9"),
+]
+
+
+def main_graph9() -> None:
+    """`python tools/bigsf_probe.py --graph9`: documents x9 probe for
+    the graph family (same method as main, bigger step)."""
+    big9 = os.environ.get("BIGSF9_DIR", "/tmp/sfbig9")
+    if not os.path.exists(f"{big9}/documents.parquet"):
+        print(f"# synthesizing {big9} (documents x9) from {BASE}",
+              file=sys.stderr)
+        os.makedirs(big9, exist_ok=True)
+        synthesize(big9, BASE, doc_copies=9, emb_copies=1)
+    spark = get_spark("bigsf9-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| query | step | t(s) sf0.1 -> x9 | t ratio | shuffle B "
+          "sf0.1 -> x9 | sh ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, step in GRAPH9_PROBES:
+        spec = QUERIES[name]
+        vals = []
+        for sf in (BASE, big9):
+            force(spec.fn(spark, sf))  # warm
+            caching.release_all()
+            mark = _exec_count(spark)
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf))
+            dt = time.perf_counter() - t0
+            sb = _shuffle_bytes_since(spark, mark)
+            caching.release_all()
+            vals.append((dt, sb))
+        (t1, s1), (t2, s2) = vals
+        tr = f"{t2 / t1:.1f}" if t1 > 0 else "-"
+        sr = f"{s2 / s1:.1f}" if s1 and s1 > 0 and s2 >= 0 else "-"
+        print(f"| {name} | {step} | {t1:.2f} -> {t2:.2f} | {tr} "
+              f"| {s1} -> {s2} | {sr} |", flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--graph9" in sys.argv:
+        return main_graph9()
     if not (os.path.exists(f"{BIG}/documents.parquet")
             and os.path.exists(f"{BIG}/embeddings.parquet")):
         print(f"# synthesizing {BIG} from {BASE}", file=sys.stderr)
