@@ -37,6 +37,7 @@ _FIRST = [
     # --- round-10 additions + materially changed ---
     "export_csv_roundtrip_agg",
     "zip_roundtrip_agg",
+    "lineitem_quantile_sketch",
     # --- round-9 addition + materially changed ---
     "multimodal_jpeg_progressive_pixels",
     "stream_rollup_compacted",

@@ -397,3 +397,115 @@ def events_hll_precision_sweep(
             )
         arms = arm if arms is None else arms.unionByName(arm)
     return arms
+
+
+@query(
+    "lineitem_quantile_sketch",
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem),
+nn AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+       FROM cents GROUP BY l_returnflag),
+ranked AS (
+  SELECT l_returnflag, c,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rnk
+  FROM cents)
+SELECT r.l_returnflag, nn.n,
+       CAST(max(CASE WHEN rnk = CAST(ceil(0.50 * nn.n) AS BIGINT)
+                     THEN c END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rnk = CAST(ceil(0.95 * nn.n) AS BIGINT)
+                     THEN c END) AS BIGINT) AS p95_cents,
+       CAST(max(CASE WHEN rnk = CAST(ceil(0.99 * nn.n) AS BIGINT)
+                     THEN c END) AS BIGINT) AS p99_cents,
+       TRUE AS within_bound
+FROM ranked r JOIN nn ON nn.l_returnflag = r.l_returnflag
+GROUP BY r.l_returnflag, nn.n
+""",
+    doc="Mergeable QUANTILE sketch with a rank-error audit (round 10 — "
+        "the one sketch family the engine lacked): per-flag "
+        "approx_percentile (Spark's GK-style mergeable summary, "
+        "accuracy 2000, i.e. rank error <= n/2000) estimates "
+        "p50/p95/p99 of integer cents; the estimates join back onto "
+        "the fact ONCE (broadcast, 15 rows) to measure their TRUE "
+        "ranks, and within_bound asserts |rank(est) - p*n| <= "
+        "n/2000 + 1 for every (flag, p). The exact discrete quantiles "
+        "(smallest value with rank ceil(p*n) — no interpolation, so "
+        "both engines pick an actual data element) are value-checked "
+        "against the oracle. At 100 TB the sketch is the serving "
+        "object: per-partition summaries merge associatively (one "
+        "partial_agg Exchange, kilobytes per group), exactly like the "
+        "HLL weekly rollup; the exact side here exists only as the "
+        "audit. The boolean is algorithm-guaranteed regardless of "
+        "merge order, so AQE re-planning cannot flip the hash.",
+)
+def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ACC = 2000
+    PS = [0.50, 0.95, 0.99]
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    apx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("c", PS, ACC).alias("apx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # one (flag, p, est) row per percentile — 3 x |flags| rows
+    est = apx.select(
+        "l_returnflag",
+        "n",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in PS]),
+                F.col("apx"),
+            )
+        ).alias("p", "est"),
+    )
+    # true rank of each estimate: conditional counts over the fact,
+    # one broadcast join + one partial-aggregated Exchange
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "p", "est", "n")
+        .agg(
+            F.sum((F.col("c") <= F.col("est")).cast("long")).alias("le"),
+            F.sum((F.col("c") < F.col("est")).cast("long")).alias("lt"),
+        )
+    )
+    eps = 1.0 / ACC
+    ok = ranks.select(
+        "l_returnflag",
+        (
+            (F.col("le") >= (F.col("p") - eps) * F.col("n") - 1)
+            & (F.col("lt") <= (F.col("p") + eps) * F.col("n") + 1)
+        ).alias("ok"),
+    ).groupBy("l_returnflag").agg(
+        F.min("ok").alias("within_bound")
+    )
+    # exact discrete quantiles: value at rank ceil(p*n), same
+    # expression tree as the oracle (identical IEEE doubles both
+    # engines, so the ceil boundary cannot diverge)
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    nn = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = li.withColumn("rnk", F.row_number().over(w)).join(
+        F.broadcast(nn), "l_returnflag"
+    )
+    exact = ranked.groupBy("l_returnflag", "n").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                    F.col("c"),
+                )
+            ).cast("long").alias(f"p{int(p * 100)}_cents")
+            for p in PS
+        ]
+    )
+    return exact.join(ok, "l_returnflag").select(
+        "l_returnflag", "n", "p50_cents", "p95_cents", "p99_cents",
+        "within_bound",
+    )

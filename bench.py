@@ -56,20 +56,30 @@ def force(df) -> None:
 
 
 def _exec_count(spark) -> int:
-    """Number of SQL executions recorded so far (status-store cursor)."""
+    """Status-store cursor: the LAST-SEEN SQL executionId (monotonic).
+    Round-10 fix: the previous cursor was the executionsList index, but
+    the store evicts entries past spark.sql.ui.retainedExecutions
+    (default 1000) — a long suite (319 warm + 319 timed + reruns +
+    sub-executions) crosses that mid-run, the list compacts, and
+    index-based reads silently summed the WRONG executions (63
+    late-suite queries recorded shuffle_bytes=0 in the r9/r10 full
+    runs). executionIds never shift."""
     try:
-        return spark._jsparkSession.sharedState().statusStore() \
-            .executionsList().size()
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        n = execs.size()
+        return execs.apply(n - 1).executionId() if n > 0 else 0
     except Exception:
         return -1
 
 
 def _shuffle_bytes_since(spark, mark: int) -> int:
-    """Total 'shuffle bytes written' across SQL executions recorded
-    after ``mark`` — real runtime shuffle volume per query, deduped by
-    accumulator id (the same exchange metric appears in several plan
-    nodes under AQE). Returns -1 if the status store is unreadable;
-    never raises (bench must not die on a UI-store change)."""
+    """Total 'shuffle bytes written' across SQL executions with
+    executionId > ``mark`` — real runtime shuffle volume per query,
+    deduped by accumulator id (the same exchange metric appears in
+    several plan nodes under AQE). Returns -1 if the status store is
+    unreadable; never raises (bench must not die on a UI-store
+    change)."""
     if mark < 0:
         return -1
     try:
@@ -84,8 +94,10 @@ def _shuffle_bytes_since(spark, mark: int) -> int:
         execs = store.executionsList()
         total = 0
         seen: set[int] = set()
-        for idx in range(mark, execs.size()):
+        for idx in range(execs.size()):
             ex = execs.apply(idx)
+            if ex.executionId() <= mark:
+                continue
             mv = store.executionMetrics(ex.executionId())
             it = ex.metrics().iterator()
             while it.hasNext():
