@@ -38,6 +38,7 @@ _FIRST = [
     "export_csv_roundtrip_agg",
     "zip_roundtrip_agg",
     "lineitem_quantile_sketch",
+    "stream_hdr_quantiles",
     # --- round-9 addition + materially changed ---
     "multimodal_jpeg_progressive_pixels",
     "stream_rollup_compacted",

@@ -1766,6 +1766,57 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming HDR-histogram quantile serving (round 10)
+# ---------------------------------------------------------------------------
+@query(
+    "stream_hdr_quantiles",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_type,
+         (cents >> greatest(0, length(bin(cents)) - 7))
+           << greatest(0, length(bin(cents)) - 7) AS rep
+  FROM c),
+g AS (
+  SELECT event_type, rep, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type, rep),
+cum AS (
+  SELECT event_type, rep, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY rep) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM g)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(0.50 * total) THEN rep END)
+            AS BIGINT) AS p50_rep,
+       CAST(min(CASE WHEN cum >= ceil(0.95 * total) THEN rep END)
+            AS BIGINT) AS p95_rep,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN rep END)
+            AS BIGINT) AS p99_rep
+FROM cum GROUP BY event_type
+""",
+    doc="Streaming quantile serving from a MERGEABLE HDR-style "
+        "histogram (round 10 — the percentile-dashboard twin of the "
+        "HLL rollup): micro-batches commit partial (type, log2-ranged "
+        "7-significant-bit bucket) counts into the keyed parquet store "
+        "(bounded at ~64x64 rows per type at ANY volume), and the "
+        "serving read answers p50/p95/p99 from the merged cumulative "
+        "histogram. The bucket function is pure integer bin/shift "
+        "arithmetic — unlike a GK sketch there is no merge-order "
+        "nondeterminism — so the drained stream answer is HASH-EXACT "
+        "vs the batch oracle computing the same histogram; the "
+        "returned bucket lower bound is within 2^-6 relative error of "
+        "the true quantile by construction. Complements "
+        "lineitem_quantile_sketch (exact-rank audit of Spark's "
+        "built-in mergeable summary) with the streaming/serving "
+        "store shape.",
+)
+def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.hdr_quantile_stream(ST.read_events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # streaming PSI drift monitor (round 7)
 # ---------------------------------------------------------------------------
 @query(

@@ -1155,6 +1155,96 @@ def tws_user_type_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+# HDR-histogram bucketing shared by the stream sink and the serving
+# read: integer cents collapse to the value with all but the top 7
+# significant bits zeroed — log2-ranged buckets, relative width <=
+# 2^-6 (~1.6%), and the whole expression is integer ops (bin/shift),
+# so the DuckDB oracle reproduces it bit-exactly.
+_HDR_REP = (
+    "shiftleft(shiftright(cents, greatest(0, length(bin(cents)) - 7)),"
+    " greatest(0, length(bin(cents)) - 7))"
+)
+
+
+def hdr_quantile_stream(
+    events_stream: DataFrame, percentiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Streaming quantile serving via a MERGEABLE HDR-style histogram
+    (round 10): each micro-batch collapses its events to partial
+    (event_type, bucket) counts — buckets are log2-ranged with 7
+    significant bits, so the store is bounded at ~64*64 rows per type
+    regardless of data volume — committed to the batch_id-keyed
+    parquet store (idempotent two-phase commit, compacted every 16
+    batches). The serving read merges counts and answers any
+    percentile from the cumulative histogram: the returned value is a
+    bucket lower bound within 2^-6 relative error of the true
+    quantile, and — unlike a GK sketch — the bucketing is pure integer
+    arithmetic, so the drained stream answer is HASH-EXACT against a
+    batch oracle computing the same histogram. This is the
+    latency-percentile-dashboard shape at 100 TB/day: per-batch cost
+    is one tiny partial agg, serving reads kilobytes, and histograms
+    merge associatively across days/regions."""
+    store_dir = _state_dir("hdr_store_")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("rep", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def merge(store: DataFrame) -> DataFrame:
+        return store.groupBy("event_type", "rep").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        p = (
+            batch_df.select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .groupBy("event_type", F.expr(_HDR_REP).alias("rep"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        _commit_batch_state(p, store_dir, batch_id)
+        _compact_batch_state(batch_df.sparkSession, store_dir, schema, merge)
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    from pyspark.sql.window import Window
+
+    m = (
+        _read_batch_state(spark, store_dir, schema)
+        .groupBy("event_type", "rep")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("rep").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cum = m.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    aggs = [F.max("total").cast("long").alias("n")]
+    for p in percentiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+                    F.col("rep"),
+                )
+            ).cast("long").alias(f"p{int(p * 100)}_rep")
+        )
+    return cum.groupBy("event_type").agg(*aggs)
+
+
 def psi_drift_stream(
     events_stream: DataFrame, ref: DataFrame, mid_us: int
 ) -> DataFrame:

@@ -329,6 +329,57 @@ def test_transition_matrix_stream_cross_batch_carry(spark, tmp_path):
     }
 
 
+def test_hdr_quantile_stream_merges_across_batches(spark, tmp_path):
+    """Round-10 HDR quantile serving: per-batch histograms must MERGE
+    — a per-batch-only quantile would answer from the last slice. Two
+    slices with disjoint value ranges; the drained p50 must be the
+    merged median, and every answer must be an HDR bucket lower bound
+    within 2^-6 relative error of the true quantile."""
+    import shutil
+
+    # slice A: values 1.00..1.99 (cents 100..199); slice B: 100.00+
+    rows_a = [(i, f"2024-01-01 10:{i % 60:02d}:00", i, "t",
+               1.0 + i / 100.0) for i in range(60)]
+    rows_b = [(100 + i, f"2024-01-01 11:{i % 60:02d}:00", i, "t",
+               100.0 + i) for i in range(40)]
+    d = tmp_path / "slices"
+    d.mkdir()
+    for name, rows in [("events_000.parquet", rows_a),
+                       ("events_001.parquet", rows_b)]:
+        w = tmp_path / f"w_{name}"
+        spark.createDataFrame(
+            [(eid, ts, uid, typ, val, "{}") for eid, ts, uid, typ, val
+             in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.parquet(str(w))
+        shutil.copy(next(w.glob("part-*.parquet")), d / name)
+
+    stream = ST.read_events_stream(
+        spark, str(d), glob="events_*.parquet", max_files_per_trigger=1
+    )
+    out = ST.hdr_quantile_stream(stream).collect()
+    assert len(out) == 1 and out[0]["n"] == 100
+    # true merged quantiles over cents
+    cents = sorted([round(v * 100) for *_, v in rows_a]
+                   + [round(v * 100) for *_, v in rows_b])
+
+    def hdr_rep(c):
+        sh = max(0, c.bit_length() - 7)
+        return (c >> sh) << sh
+
+    import math
+    for p, col in ((0.5, "p50_rep"), (0.95, "p95_rep"),
+                   (0.99, "p99_rep")):
+        true_q = cents[math.ceil(p * len(cents)) - 1]
+        got = out[0][col]
+        assert got == hdr_rep(true_q), (p, got, true_q)
+        assert got <= true_q < got + max(1, got >> 6) + (got >> 6)
+
+
 def test_batch_state_compaction_mechanism(spark, tmp_path):
     """Round-9 keyed-state compaction (VERDICT r8 task 6): drive 60
     synthetic micro-batch commits through the batch_id-keyed store
