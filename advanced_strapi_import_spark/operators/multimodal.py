@@ -999,9 +999,14 @@ def _system_decode_pixels(b: bytes, fmt: str):
         # no pixel cap at all (24bpp payload length already bounds it —
         # no amplification). Applying the JPEG-only RGB/4 cap here made
         # a ~20MP RGB PNG decode fine without Pillow but raise WITH it,
-        # breaking auto mode's bit-identity invariant. The dims + RGB/4
-        # caps apply only to the "all" route (GIF/JPEG), where pure-path
-        # parity is not promised anyway.
+        # breaking auto mode's bit-identity invariant. GIF mirrors its
+        # pure decoder too: gif_decode_pixels caps at MAX_DECODE_PIXELS
+        # only (no RGB/4 cap, even though its output is RGB), so the
+        # bridge applies the same — a GIF both paths can decode must
+        # not raise only when Pillow happens to be installed. JPEG is
+        # the ONLY format with the extra RGB/4 color cap, matching the
+        # pure JPEG decoder's 3-component guard (ADVICE r11: comment
+        # previously claimed the RGB/4 cap covered GIF as well).
         if fmt == "PNG" or fmt == "GIF":
             _check_decode_dims(w, h, fmt)
         elif fmt == "JPEG":

@@ -936,9 +936,15 @@ def _write_index_meta(path: str, meta: dict) -> None:
     _os.rename(tmp, f"{path}/meta.json")
 
 
-def _read_index_meta(path: str) -> dict:
-    """meta.json contents, {} when absent/corrupt (an unreadable meta
-    must not brick an intact index — pre-meta default behavior)."""
+def _read_index_meta(path: str) -> dict | None:
+    """meta.json contents. Three outcomes, and callers MUST distinguish
+    the last two: a dict when readable, ``{}`` when ABSENT (a pre-meta
+    index — defaults apply safely), and ``None`` when PRESENT BUT
+    UNREADABLE (truncated/corrupt). Defaulting on a corrupt meta is the
+    failure mode ADVICE r10 flagged: ``vectors_dir`` would fall back to
+    ``vectors`` and compaction's generation reap would rmtree the REAL
+    live ``vectors_gen<k>`` corpus; appends would hash into the wrong
+    buckets. Corrupt therefore aborts at every call site."""
     import json as _json
     import os as _os
 
@@ -946,16 +952,32 @@ def _read_index_meta(path: str) -> dict:
         return {}
     try:
         with open(f"{path}/meta.json") as fh:
-            return _json.load(fh)
+            meta = _json.load(fh)
+        return meta if isinstance(meta, dict) else None
     except (OSError, ValueError):
-        return {}
+        return None
+
+
+def _require_index_meta(path: str) -> dict:
+    """_read_index_meta, raising on a present-but-unreadable meta.json
+    instead of letting a caller default its way into data loss."""
+    meta = _read_index_meta(path)
+    if meta is None:
+        raise OSError(
+            f"{path}/meta.json exists but is unreadable/corrupt; "
+            f"refusing to fall back to default index parameters — "
+            f"restore or delete meta.json (atomic-rename publish means "
+            f"this state only arises from external corruption)"
+        )
+    return meta
 
 
 def _live_vectors_dir(path: str) -> str:
     """Absolute path of the index's LIVE vectors directory. Compaction
     publishes rewritten generations under ``vectors_gen<k>`` and swaps
-    the meta.json ``vectors_dir`` pointer atomically."""
-    return f"{path}/{_read_index_meta(path).get('vectors_dir', 'vectors')}"
+    the meta.json ``vectors_dir`` pointer atomically. Raises when
+    meta.json is present but unreadable (never guess the live dir)."""
+    return f"{path}/{_require_index_meta(path).get('vectors_dir', 'vectors')}"
 
 
 def append_lsh_vectors(
@@ -970,8 +992,10 @@ def append_lsh_vectors(
     from meta.json) routes each arrival to its directory, so an append
     is a partition-local file add — zero index rebuild, zero reshuffle
     of the existing corpus. Pair with :func:`compact_lsh_index` on a
-    long-running stream so per-bucket file counts stay bounded."""
-    meta = _read_index_meta(path)
+    long-running stream so per-bucket file counts stay bounded. Raises
+    when meta.json is present but unreadable — defaulting planes/dims
+    there would silently route every append to the wrong buckets."""
+    meta = _require_index_meta(path)
     planes = meta.get("planes", 6)
     dims = meta.get("dims", 64)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -1014,8 +1038,18 @@ def compact_lsh_index(
     import shutil as _shutil
 
     meta = _read_index_meta(path)
+    if meta is None:
+        # present-but-unreadable meta: the live pointer is unknown, so
+        # ANY reap could destroy the real corpus (ADVICE r10 medium).
+        # Do nothing; the caller's stream keeps appending to whatever
+        # dir it resolved before the corruption.
+        return False
     live = meta.get("vectors_dir", "vectors")
     live_dir = f"{path}/{live}"
+    if not _os.path.isdir(live_dir):
+        # a meta that points at a missing live dir is equally suspect —
+        # never reap siblings when the pointer can't be validated
+        return False
     # reap every non-live vectors generation, orphan or superseded
     try:
         for p in _os.listdir(path):
@@ -1076,7 +1110,7 @@ def lsh_query_index(
     meta raises instead of silently probing the wrong buckets."""
     from pyspark.sql import types as _T
 
-    meta = _read_index_meta(path)
+    meta = _require_index_meta(path)
     for name, given in (("planes", planes), ("dims", dims)):
         if given is not None and name in meta and meta[name] != given:
             raise ValueError(

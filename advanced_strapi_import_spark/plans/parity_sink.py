@@ -403,12 +403,19 @@ def zip_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(key, pdf):
         import os as _os
+        import uuid as _uuid
         import zipfile as _zf
 
         import pandas as pd
 
         zid = int(key[0])
-        tmp = _os.path.join(d, f"_tmp_part{zid}.zip")
+        # staging name must NOT match the later '*.zip' read glob (a
+        # tmp stranded by a failed attempt would double-count entries)
+        # and must be attempt-unique so concurrent speculative attempts
+        # never interleave writes into one file (ADVICE r10).
+        tmp = _os.path.join(
+            d, f"part{zid}.zip.{_uuid.uuid4().hex}.tmp"
+        )
         final = _os.path.join(d, f"part{zid}.zip")
         ordered = pdf.sort_values("doc_id")
         with _zf.ZipFile(tmp, "w", _zf.ZIP_DEFLATED) as z:

@@ -55,8 +55,12 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _exec_count(spark) -> int:
+def _exec_count(spark) -> int | None:
     """Status-store cursor: the LAST-SEEN SQL executionId (monotonic).
+    An EMPTY-but-readable store returns -1 ("before everything") so
+    executionId 0 — the first SQL execution of a fresh session — is
+    still counted by _shuffle_bytes_since; an unreadable store returns
+    None (error sentinel, distinct from empty — ADVICE r10).
     Round-10 fix: the previous cursor was the executionsList index, but
     the store evicts entries past spark.sql.ui.retainedExecutions
     (default 1000) — a long suite (319 warm + 319 timed + reruns +
@@ -68,19 +72,20 @@ def _exec_count(spark) -> int:
         store = spark._jsparkSession.sharedState().statusStore()
         execs = store.executionsList()
         n = execs.size()
-        return execs.apply(n - 1).executionId() if n > 0 else 0
+        return execs.apply(n - 1).executionId() if n > 0 else -1
     except Exception:
-        return -1
+        return None
 
 
-def _shuffle_bytes_since(spark, mark: int) -> int:
+def _shuffle_bytes_since(spark, mark: int | None) -> int:
     """Total 'shuffle bytes written' across SQL executions with
     executionId > ``mark`` — real runtime shuffle volume per query,
     deduped by accumulator id (the same exchange metric appears in
-    several plan nodes under AQE). Returns -1 if the status store is
-    unreadable; never raises (bench must not die on a UI-store
-    change)."""
-    if mark < 0:
+    several plan nodes under AQE). ``mark=-1`` counts everything
+    (store was empty at mark time); ``mark=None`` means the mark
+    itself failed → -1. Returns -1 if the status store is unreadable;
+    never raises (bench must not die on a UI-store change)."""
+    if mark is None:
         return -1
     try:
         # metrics land via the async listener bus; a fast query can

@@ -344,6 +344,77 @@ def test_lsh_index_append_compaction_bounds_files(spark, tmp_path):
     assert left == {live}
 
 
+def test_lsh_index_corrupt_meta_aborts_not_defaults(spark, tmp_path):
+    """ADVICE r10 medium: a PRESENT-but-unreadable meta.json must abort
+    every index operation rather than fall back to defaults — the
+    default 'vectors_dir' would make compaction's generation reap
+    rmtree the REAL live corpus, and default planes/dims would route
+    appends into the wrong buckets."""
+    import json
+    import os
+
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    idx = str(tmp_path / "lsh_corrupt")
+    S.build_lsh_index(corpus.filter("vec_id % 2 = 0"), idx, planes=4)
+    # move the live generation off the default name, as compaction does
+    os.rename(os.path.join(idx, "vectors"),
+              os.path.join(idx, "vectors_gen1"))
+    S._write_index_meta(
+        idx, {"planes": 4, "dims": 64, "vectors_dir": "vectors_gen1"}
+    )
+    n_live = sum(len(fs) for _, _, fs in
+                 os.walk(os.path.join(idx, "vectors_gen1")))
+    assert n_live > 0
+
+    # corrupt the meta IN PLACE (truncated json — external damage; the
+    # atomic-rename publish can't produce this itself)
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        fh.write('{"planes": 4, "dims": 64, "vectors_dir"')
+
+    assert S._read_index_meta(idx) is None  # distinct from absent=={}
+
+    # compaction: no-op, and — the data-loss case — NO reap of the
+    # real live generation it can no longer identify
+    assert S.compact_lsh_index(spark, idx, max_files_per_bucket=1) is False
+    assert sum(len(fs) for _, _, fs in
+               os.walk(os.path.join(idx, "vectors_gen1"))) == n_live
+
+    # append + serve: refuse rather than hash into wrong buckets
+    batch = corpus.filter("vec_id % 2 = 1").limit(1)
+    with pytest.raises(OSError, match="unreadable"):
+        S.append_lsh_vectors(batch, idx)
+    with pytest.raises(OSError, match="unreadable"):
+        S.lsh_query_index(spark, idx, corpus.limit(1), k=3)
+
+    # restoring the meta restores full service
+    S._write_index_meta(
+        idx, {"planes": 4, "dims": 64, "vectors_dir": "vectors_gen1"}
+    )
+    assert S.lsh_query_index(spark, idx, corpus.limit(3), k=3).count() > 0
+
+    # absent meta (pre-meta index) still gets default behavior
+    legacy = str(tmp_path / "lsh_legacy")
+    S.build_lsh_index(corpus.filter("vec_id % 2 = 0"), legacy, planes=6)
+    os.remove(os.path.join(legacy, "meta.json"))
+    assert S._read_index_meta(legacy) == {}
+    assert S._live_vectors_dir(legacy).endswith("/vectors")
+
+    # meta pointing at a MISSING live dir: compaction must not reap
+    broken = str(tmp_path / "lsh_dangling")
+    os.makedirs(os.path.join(broken, "vectors_gen7", "bucket=0"))
+    S._write_index_meta(
+        broken, {"planes": 4, "dims": 64, "vectors_dir": "vectors_gen9"}
+    )
+    assert S.compact_lsh_index(spark, broken) is False
+    assert os.path.isdir(os.path.join(broken, "vectors_gen7"))
+
+
 def test_lsh_query_index_empty_queries(spark, tmp_path):
     from advanced_strapi_import_spark.operators import similarity as S
 
