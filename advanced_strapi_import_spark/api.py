@@ -141,9 +141,21 @@ class Engine:
         out["attributes"] = list(self.registry.get(ct_name).attributes)
         return out
 
-    def validate_csv(self, path: str, ct_name: str) -> dict:
+    def validate_csv(
+        self, path: str, ct_name: str, *, error_cap: int = 10_000
+    ) -> dict:
         """POST /upload/:ct — validation report + 5-row preview
-        (controllers/csv-import.js:25-84)."""
+        (controllers/csv-import.js:25-84).
+
+        The per-row error report is DRIVER-BOUNDED (VERDICT r10 item 2):
+        the reference returns every row error in the HTTP response,
+        which is fine under its 10 MB upload cap, but a pathological
+        batch that is mostly invalid must not drive an unbounded
+        ``collect()`` — only the first ``error_cap`` invalid ROWS ship
+        their error strings; ``invalidRows`` stays the exact full count
+        and ``errorsTruncated`` flags the capped case (the complete
+        invalid-row frame remains available distributed via
+        :func:`validate.validate_df` for side-table writes)."""
         check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
@@ -151,15 +163,21 @@ class Engine:
         # otherwise each re-run the CSV scan + validation projection
         cached = res.all.persist()
         try:
-            invalid = res.invalid.select(V.ROW_COL, V.ERRORS_COL).collect()
+            invalid = (
+                res.invalid.select(V.ROW_COL, V.ERRORS_COL)
+                .limit(error_cap).collect()
+            )
+            total = cached.count()
+            valid_rows = res.valid.count()
             return {
                 "errors": res.schema_errors
                 + [e for r in invalid for e in r[V.ERRORS_COL]],
                 "warnings": res.warnings,
                 "preview": [r.asDict() for r in res.valid.limit(5).collect()],
-                "totalRows": cached.count(),
-                "validRows": res.valid.count(),
-                "invalidRows": len(invalid),
+                "totalRows": total,
+                "validRows": valid_rows,
+                "invalidRows": total - valid_rows,
+                "errorsTruncated": total - valid_rows > len(invalid),
             }
         finally:
             cached.unpersist()
@@ -201,8 +219,12 @@ class Engine:
         media_match_field: str | None = None,
         strict: bool = False,
         batch_size: int | None = None,
+        error_cap: int = 10_000,
     ) -> dict[str, Any]:
-        """POST /import/:ct — the §3.1 flagship pipeline."""
+        """POST /import/:ct — the §3.1 flagship pipeline.
+
+        ``error_cap`` bounds the strict-mode error collect the same way
+        as :meth:`validate_csv` — see there."""
         check_csv_file(path)
         ct = self.registry.get(ct_name)
         res = V.validate_df(csv_scan(self.spark, path), ct, self.registry)
@@ -214,7 +236,7 @@ class Engine:
                 res, ct, ct_name,
                 upsert=upsert, upsert_field=upsert_field,
                 media_match_field=media_match_field, strict=strict,
-                batch_size=batch_size,
+                batch_size=batch_size, error_cap=error_cap,
             )
         finally:
             res.all.unpersist()
@@ -230,14 +252,18 @@ class Engine:
         media_match_field: str | None,
         strict: bool,
         batch_size: int | None,
+        error_cap: int = 10_000,
     ) -> dict[str, Any]:
         n_invalid = res.invalid.count()
         if res.schema_errors or (strict and n_invalid):
+            capped = (
+                res.invalid.select(V.ERRORS_COL).limit(error_cap).collect()
+            )
             return {
                 "created": 0, "updated": 0,
                 "errors": res.schema_errors
-                + [e for r in res.invalid.select(V.ERRORS_COL).collect()
-                   for e in r[V.ERRORS_COL]],
+                + [e for r in capped for e in r[V.ERRORS_COL]],
+                "errorsTruncated": n_invalid > len(capped),
             }
 
         df = res.valid

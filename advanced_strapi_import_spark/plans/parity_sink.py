@@ -445,6 +445,158 @@ def zip_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zip_media_routing",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 AS BIGINT) AS zip_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'Reports' WHEN 1 THEN 'lab_docs'
+           WHEN 2 THEN 'misc' ELSE 'stuff' END AS folder,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN 1 THEN 'x' || CAST(doc_id AS VARCHAR) || '.png'
+           WHEN 2 THEN 'invoice_' || CAST(doc_id AS VARCHAR) || '.pdf'
+           ELSE CASE WHEN doc_id % 8 = 3
+                     THEN 'lab_report_' || CAST(doc_id AS VARCHAR) || '.txt'
+                     ELSE 'notes_' || CAST(doc_id AS VARCHAR) || '.txt' END
+         END AS name,
+         CAST(octet_length(encode(text)) AS BIGINT) AS size
+  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+entries AS (
+  SELECT *, folder || '/' || name AS entry_path FROM base),
+ids AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY zip_id, entry_path)
+                 AS BIGINT) AS id
+  FROM entries),
+routed AS (
+  SELECT *, CASE WHEN lower(folder) IN
+    ('reports','lab_docs','referee_result','payment_docs','challan_docs')
+    THEN lower(folder) END AS folder_field
+  FROM ids),
+assigned AS (
+  SELECT folder_field AS field, id, size, name
+  FROM routed WHERE folder_field IS NOT NULL
+  UNION ALL
+  SELECT k.field, r.id, r.size, r.name
+  FROM routed r
+  JOIN (VALUES
+    ('reports', 'report|rpt|analysis|summary|result'),
+    ('lab_docs', 'lab|test|analysis|sample'),
+    ('referee_result', 'referee|ref|audit|verification|check'),
+    ('payment_docs', 'payment|pay|invoice|bill|receipt|financial'),
+    ('challan_docs', 'challan|delivery|transport|dispatch|shipping')
+  ) k(field, pat) ON regexp_matches(lower(r.name), k.pat)
+  WHERE r.folder_field IS NULL)
+SELECT field,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(size) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN name LIKE '%.pdf' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pdf,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS id_list
+FROM assigned GROUP BY field
+""",
+    doc="S9/A5 hash gate (VERDICT r10 task 2 — the last §2 source "
+        "without one): documents are packed into 6 REAL foldered zip "
+        "archives (folders 'Reports'/'lab_docs'/'misc'/'stuff', plus "
+        "planted __MACOSX/AppleDouble/.DS_Store junk and a same-zip "
+        "duplicate entry), then read back through media_files — "
+        "hygiene filter (P9), entry dedup (A4), dense upload ids, "
+        "case-insensitive folder routing with keyword-classification "
+        "fallback (J8), MIME typing (F15) — and aggregated per media "
+        "field with the sorted id list (A5 per-field grouping). Any "
+        "routing, hygiene, dedup, id-assignment or MIME drift breaks "
+        "a value. The oracle rebuilds the same entries relationally "
+        "from the parquet. Reference: extractAndProcessMediaZip "
+        "csv-import.js:931-1137 (folder routing :1040-1105, keyword "
+        "table :1143-1149).",
+)
+def zip_media_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from advanced_strapi_import_spark.sources.zip_source import media_files
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 6).alias("zip_id"),
+            F.element_at(
+                F.array(F.lit("Reports"), F.lit("lab_docs"),
+                        F.lit("misc"), F.lit("stuff")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ).alias("folder"),
+            "text",
+        )
+        .withColumn(
+            "name",
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("doc"), F.col("doc_id"), F.lit(".pdf")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("x"), F.col("doc_id"), F.lit(".png")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("invoice_"), F.col("doc_id"),
+                           F.lit(".pdf")))
+            .when(F.col("doc_id") % 8 == 3,
+                  F.concat(F.lit("lab_report_"), F.col("doc_id"),
+                           F.lit(".txt")))
+            .otherwise(F.concat(F.lit("notes_"), F.col("doc_id"),
+                                F.lit(".txt"))),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="zip_route_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    def pack(key, pdf):
+        import os as _os
+        import uuid as _uuid
+        import zipfile as _zf
+
+        import pandas as pd
+
+        zid = int(key[0])
+        tmp = _os.path.join(d, f"part{zid}.zip.{_uuid.uuid4().hex}.tmp")
+        final = _os.path.join(d, f"part{zid}.zip")
+        ordered = pdf.sort_values("doc_id")
+        with _zf.ZipFile(tmp, "w", _zf.ZIP_DEFLATED) as z:
+            for _, r in ordered.iterrows():
+                path = f"{r['folder']}/{r['name']}"
+                payload = str(r["text"]).encode("utf-8")
+                z.writestr(path, payload)
+                if int(r["doc_id"]) % 40 == 0:
+                    # same-zip duplicate entry: A4's dropDuplicates
+                    # must collapse it (identical in every column)
+                    z.writestr(path, payload)
+            if zid == 0:
+                # hygiene-filtered junk (P9): macOS resource forks,
+                # AppleDouble siblings, Finder droppings — counted as
+                # real media if the filter ever regresses
+                z.writestr("__MACOSX/Reports/._junk1.pdf", b"x")
+                z.writestr("Reports/._junk2.pdf", b"xx")
+                z.writestr("Reports/.DS_Store", b"xxx")
+        _os.replace(tmp, final)
+        return pd.DataFrame({"zip_id": [zid], "n": [len(pdf)]})
+
+    written = docs.groupBy("zip_id").applyInPandas(
+        pack, "zip_id long, n long"
+    )
+    assert sum(r["n"] for r in written.collect()) > 0  # 6 rows
+    routed = media_files(spark, os.path.join(d, "*.zip"))
+    return routed.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.sum((F.col("mime") == "application/pdf").cast("long"))
+        .cast("long").alias("n_pdf"),
+        F.array_join(F.sort_array(F.collect_list("id")), ",")
+        .alias("id_list"),
+    )
+
+
+@query(
     "orders_avro_logical_roundtrip",
     oracle="""
 SELECT o_orderpriority,

@@ -483,27 +483,55 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("l_returnflag").agg(
         F.min("ok").alias("within_bound")
     )
-    # exact discrete quantiles: value at rank ceil(p*n), same
-    # expression tree as the oracle (identical IEEE doubles both
-    # engines, so the ceil boundary cannot diverge)
-    w = Window.partitionBy("l_returnflag").orderBy("c")
-    nn = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # exact discrete quantiles: smallest value whose INCLUSIVE per-flag
+    # rank reaches ceil(p*n) — same element the old row_number form
+    # picked, but skew-safe (VERDICT r10 task 6): instead of sorting
+    # each flag's full row set inside 3 window partitions, collapse to
+    # per-(flag, value) counts (one partial-agg Exchange over a frame
+    # bounded by |distinct cents|, not |rows|), run the distributed
+    # rank machinery's exact cumsum over the (flag, value) total order,
+    # and rebase each flag with its broadcast offset (|flags| rows).
+    # ceil(p*n) keeps the identical IEEE expression tree as the oracle.
+    from advanced_strapi_import_spark.operators.skew import (
+        distributed_cumsum,
     )
-    ranked = li.withColumn("rnk", F.row_number().over(w)).join(
-        F.broadcast(nn), "l_returnflag"
+
+    cnts = li.groupBy("l_returnflag", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    exact = ranked.groupBy("l_returnflag", "n").agg(
-        *[
-            F.max(
-                F.when(
-                    F.col("rnk")
-                    == F.ceil(F.lit(p) * F.col("n")).cast("long"),
-                    F.col("c"),
-                )
-            ).cast("long").alias(f"p{int(p * 100)}_cents")
-            for p in PS
-        ]
+    cum = distributed_cumsum(
+        cnts, ["l_returnflag", "c"], "cnt", out_col="cum_all"
+    )
+    nn = cnts.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    # per-flag global offset = rows of all preceding flags; the window
+    # runs over |flags| rows (3), not the fact — bounded by group count
+    woff = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = nn.withColumn(
+        "off", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
+    )
+    exact = (
+        cum.join(F.broadcast(offs), "l_returnflag")
+        .select(
+            "l_returnflag", "n", "c",
+            (F.col("cum_all") - F.col("off")).alias("rl"),
+        )
+        .groupBy("l_returnflag", "n")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("rl")
+                        >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                        F.col("c"),
+                    )
+                ).cast("long").alias(f"p{int(p * 100)}_cents")
+                for p in PS
+            ]
+        )
     )
     return exact.join(ok, "l_returnflag").select(
         "l_returnflag", "n", "p50_cents", "p95_cents", "p99_cents",

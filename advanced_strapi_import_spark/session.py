@@ -30,12 +30,17 @@ EXCLUDED_OPTIMIZER_RULES = (
 
 
 def get_spark(app_name: str = "advanced-strapi-import-spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     Scale notes: on a real cluster, leave ``shuffle_partitions`` to AQE
     coalescing (initialPartitionNum high, AQE shrinks); locally we pin it
     to the core count so tests don't pay 200-partition scheduling tax.
+
+    ``extra_conf`` lets a harness layer context-start-only knobs on top
+    (bench.py pins spark.cleaner.periodicGC.interval); it has no effect
+    when an existing session is fetched.
     """
     n = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +73,8 @@ def get_spark(app_name: str = "advanced-strapi-import-spark",
         .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

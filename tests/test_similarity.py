@@ -511,3 +511,99 @@ def test_near_dup_auto_equals_explicit_stride_params(spark):
     c = {(r["id"], r["__table"], r["__bucket"]) for r in b_cap.collect()}
     assert a == c  # adaptive bucket IS the prefix of the cap bucket
     assert auto.count() >= 0  # the public auto path plans and runs
+
+
+def test_lsh_compaction_kill_points(spark, tmp_path):
+    """VERDICT r10 task 8 — TRUE kill-point fuzz for the LSH index's
+    generation swap (the bucket-partition twin of the keyed store's):
+    (B) crash between staging the rewritten generation and the
+        meta.json pointer swap — the index must keep serving the OLD
+        generation and the next compaction must reap the orphan;
+    (A) crash between the pointer swap and the superseded directory's
+        rmtree — the index must serve the NEW generation and the next
+        compaction call must reap the stray."""
+    import os
+    import shutil
+
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = corpus.filter("vec_id % 2 = 0")
+    queries = base.limit(5)
+
+    def served(idx):
+        return sorted(map(tuple, S.lsh_query_index(
+            spark, idx, queries, k=3).select(
+            "query_id", "neighbor_id", "cos", "rnk").collect()))
+
+    def force_fragmentation(idx):
+        seed = corpus.filter("vec_id % 2 = 1").limit(1).collect()[0]
+        for i in range(3):
+            S.append_lsh_vectors(
+                spark.createDataFrame(
+                    [(900000 + i, seed["embedding"])],
+                    "vec_id long, embedding array<float>",
+                ),
+                idx,
+            )
+
+    # -- window B: crash before the meta pointer swap -----------------
+    idx_b = str(tmp_path / "lsh_kb")
+    S.build_lsh_index(base, idx_b, planes=4)
+    force_fragmentation(idx_b)
+    want = served(idx_b)
+    real_write = S._write_index_meta
+
+    def killed_write(path, meta):
+        raise RuntimeError("killed between staging and pointer swap")
+
+    S._write_index_meta = killed_write
+    try:
+        with pytest.raises(RuntimeError, match="killed"):
+            S.compact_lsh_index(spark, idx_b, max_files_per_bucket=2)
+    finally:
+        S._write_index_meta = real_write
+    # old generation still live and serving; orphan gen staged
+    assert S._live_vectors_dir(idx_b).endswith("/vectors")
+    assert os.path.isdir(os.path.join(idx_b, "vectors_gen1"))
+    assert served(idx_b) == want
+    # recovery: next compaction reaps the orphan, then publishes
+    assert S.compact_lsh_index(spark, idx_b, max_files_per_bucket=2)
+    live = os.path.basename(S._live_vectors_dir(idx_b))
+    gens = {p for p in os.listdir(idx_b)
+            if p == "vectors" or p.startswith("vectors_gen")}
+    assert gens == {live}
+    assert served(idx_b) == want
+
+    # -- window A: crash between pointer swap and old-dir rmtree ------
+    idx_a = str(tmp_path / "lsh_ka")
+    S.build_lsh_index(base, idx_a, planes=4)
+    force_fragmentation(idx_a)
+    want_a = served(idx_a)
+    old_dir = os.path.join(idx_a, "vectors")
+    real_rmtree = shutil.rmtree
+
+    def killed_rmtree(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(old_dir):
+            raise RuntimeError("killed between pointer swap and reap")
+        return real_rmtree(path, *a, **kw)
+
+    shutil.rmtree = killed_rmtree
+    try:
+        with pytest.raises(RuntimeError, match="killed"):
+            S.compact_lsh_index(spark, idx_a, max_files_per_bucket=2)
+    finally:
+        shutil.rmtree = real_rmtree
+    # pointer already swapped: new generation serves, stray old left
+    assert os.path.isdir(old_dir)
+    assert S._live_vectors_dir(idx_a).endswith("/vectors_gen1")
+    assert served(idx_a) == want_a
+    # next compaction call reaps the stray even when below threshold
+    assert S.compact_lsh_index(
+        spark, idx_a, max_files_per_bucket=999) is False
+    assert not os.path.isdir(old_dir)
+    assert served(idx_a) == want_a

@@ -504,3 +504,105 @@ def test_compaction_recovers_from_orphaned_next_generation(spark, tmp_path):
     assert ST._compacted_upto(gd) == 3  # hwm of the four real batches
     got = merge(ST._read_batch_state(spark, store, schema)).collect()
     assert [(r["k"], r["n"]) for r in got] == [(0, 4)]  # no 99-garbage
+
+
+def test_compaction_kill_points_keyed_store(spark, tmp_path):
+    """VERDICT r10 task 8 — TRUE kill-point fuzz for the keyed store's
+    generation swap, interrupting execution (not just planting
+    artifacts) at both crash windows:
+    (B) between staging (gen=<g+1> fully renamed into place) and the
+        _gen marker swap — the store must keep serving the OLD
+        generation, and the next compaction must reap the orphan and
+        succeed;
+    (A) between the marker swap and the superseded generation's rmtree
+        — the store must serve the NEW generation, and the next
+        serving read must reap the stray below-marker generation."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def merge(df):
+        return df.groupBy("k").agg(F.sum("n").cast("long").alias("n"))
+
+    def totals(store):
+        return {
+            r["k"]: r["n"]
+            for r in merge(
+                ST._read_batch_state(spark, store, schema)
+            ).collect()
+        }
+
+    # -- window B: crash ON the marker swap (after staging) ----------
+    store_b = str(tmp_path / "store_b")
+    os.makedirs(store_b)
+    for bid in range(4):
+        ST._commit_batch_state(
+            spark.createDataFrame([(bid % 2, 1)], schema), store_b, bid
+        )
+    real_replace = os.replace
+
+    def killed_replace(src, dst):
+        if str(dst).endswith("_gen"):
+            raise RuntimeError("killed between staging and marker swap")
+        return real_replace(src, dst)
+
+    os.replace = killed_replace
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="killed"):
+            ST._compact_batch_state(
+                spark, store_b, schema, merge, threshold=4
+            )
+    finally:
+        os.replace = real_replace
+    # old generation still live, answers intact, orphan gen=1 stranded
+    g, _ = ST._live_gen(store_b)
+    assert g == 0
+    assert os.path.isdir(os.path.join(store_b, "gen=1"))
+    assert totals(store_b) == {0: 2, 1: 2}
+    # recovery: next compaction reaps the orphan and publishes cleanly
+    assert ST._compact_batch_state(
+        spark, store_b, schema, merge, threshold=4
+    )
+    g, gd = ST._live_gen(store_b)
+    assert g == 1 and ST._compacted_upto(gd) == 3
+    assert totals(store_b) == {0: 2, 1: 2}
+
+    # -- window A: crash between marker swap and old-gen rmtree ------
+    store_a = str(tmp_path / "store_a")
+    os.makedirs(store_a)
+    for bid in range(4):
+        ST._commit_batch_state(
+            spark.createDataFrame([(bid % 2, 1)], schema), store_a, bid
+        )
+    old_gd = os.path.join(store_a, "gen=0")
+    real_rmtree = shutil.rmtree
+
+    def killed_rmtree(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(old_gd):
+            raise RuntimeError("killed between marker swap and reap")
+        return real_rmtree(path, *a, **kw)
+
+    shutil.rmtree = killed_rmtree
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="killed"):
+            ST._compact_batch_state(
+                spark, store_a, schema, merge, threshold=4
+            )
+    finally:
+        shutil.rmtree = real_rmtree
+    # marker already swapped: new generation is live, stray gen=0 left
+    assert os.path.isdir(old_gd)
+    g, gd = ST._live_gen(store_a)  # serving read reaps below-marker
+    assert g == 1 and ST._compacted_upto(gd) == 3
+    assert not os.path.isdir(old_gd)  # stray reaped by the read path
+    assert totals(store_a) == {0: 2, 1: 2}

@@ -130,6 +130,104 @@ PROBES = [
 ]
 
 
+WIDE9_PROBES = [
+    # round 11 (VERDICT r10 task 1): extend the x9 evidence beyond the
+    # graph family — the most expensive non-graph pipelines, each with
+    # a documented 100-TB shape claim that was previously measured at
+    # x3/x4 only
+    ("dedup_family_recall", "documents x9"),
+    ("dedup_prefix_filter", "documents x9"),
+    ("minhash_band_sweep", "documents x9"),
+    ("embedding_mmr_ivf", "embeddings x9"),
+    ("embedding_pq_topk", "embeddings x9"),
+    ("stream_ann_index_update", "embeddings x9"),
+]
+
+
+def synthesize_embeddings9(out_dir: str, base: str = BASE,
+                           copies: int = 9) -> None:
+    """embeddings x9 for the wide9 probe. Same fixed-permutation idea
+    as synthesize() (norms and within-copy cosines exactly preserved,
+    so pair structure replicates linearly), but with stride 2k+3: the
+    x4 probe's 2k^2+3 stride collides mod 64 at k in {2,6} (both 11),
+    which would make copies 2 and 6 EXACT duplicates and fabricate a
+    dup family the real corpus doesn't have. 2k+3 for k<=8 gives nine
+    distinct odd strides (3,5,...,19), all bijections on 64 dims and
+    none the identity."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    duckdb.sql(f"""
+COPY (
+WITH e AS (SELECT * FROM read_parquet('{base}/embeddings.parquet')),
+x AS (
+  SELECT e.vec_id, k.k, e.embedding, e.label
+  FROM e CROSS JOIN (SELECT unnest(range({copies})) AS k) k
+)
+SELECT vec_id + 1000000 * k AS vec_id,
+       CASE WHEN k = 0 THEN embedding
+            ELSE list_transform(range(0, len(embedding)),
+                 i -> embedding[((i * (2 * k + 3)) % 64) + 1])
+       END AS embedding,
+       label
+FROM x ORDER BY 1
+) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
+def main_wide9() -> None:
+    """`python tools/bigsf_probe.py --wide9`: x9 probe for the top
+    expensive NON-graph families (VERDICT r10 task 1). Reuses the
+    graph9 documents x9 corpus; adds embeddings x9 (distinct-stride
+    permutations) the first time."""
+    import duckdb
+
+    big9 = os.environ.get("BIGSF9_DIR", "/tmp/sfbig9")
+    if not os.path.exists(f"{big9}/documents.parquet"):
+        print(f"# synthesizing {big9} (documents x9) from {BASE}",
+              file=sys.stderr)
+        os.makedirs(big9, exist_ok=True)
+        synthesize(big9, BASE, doc_copies=9, emb_copies=1)
+    # the graph9 synth wrote embeddings x1 into the same dir; upgrade
+    # to x9 if the row count is not already 9x the base
+    n_base = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    n_big = 0
+    if os.path.exists(f"{big9}/embeddings.parquet"):
+        n_big = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{big9}/embeddings.parquet')"
+        ).fetchone()[0]
+    if n_big != 9 * n_base:
+        print(f"# synthesizing {big9}/embeddings.parquet (x9, "
+              f"was {n_big} rows)", file=sys.stderr)
+        synthesize_embeddings9(big9, BASE, copies=9)
+    spark = get_spark("bigsf9-wide-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| query | step | t(s) sf0.1 -> x9 | t ratio | shuffle B "
+          "sf0.1 -> x9 | sh ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, step in WIDE9_PROBES:
+        spec = QUERIES[name]
+        vals = []
+        for sf in (BASE, big9):
+            force(spec.fn(spark, sf))  # warm
+            caching.release_all()
+            mark = _exec_count(spark)
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf))
+            dt = time.perf_counter() - t0
+            sb = _shuffle_bytes_since(spark, mark)
+            caching.release_all()
+            vals.append((dt, sb))
+        (t1, s1), (t2, s2) = vals
+        tr = f"{t2 / t1:.1f}" if t1 > 0 else "-"
+        sr = f"{s2 / s1:.1f}" if s1 and s1 > 0 and s2 >= 0 else "-"
+        print(f"| {name} | {step} | {t1:.2f} -> {t2:.2f} | {tr} "
+              f"| {s1} -> {s2} | {sr} |", flush=True)
+    spark.stop()
+
+
 GRAPH9_PROBES = [
     # round 10 (VERDICT r9 task 6): one more order of magnitude for the
     # iterative graph family — x3 -> x9 confirms per-round linearity
@@ -178,6 +276,8 @@ def main_graph9() -> None:
 def main() -> None:
     if "--graph9" in sys.argv:
         return main_graph9()
+    if "--wide9" in sys.argv:
+        return main_wide9()
     if not (os.path.exists(f"{BIG}/documents.parquet")
             and os.path.exists(f"{BIG}/embeddings.parquet")):
         print(f"# synthesizing {BIG} from {BASE}", file=sys.stderr)
