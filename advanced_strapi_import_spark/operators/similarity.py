@@ -276,6 +276,22 @@ def cosine_topk_lsh(
     )
 
 
+def auto_cells(n: int, *, target: int = 128, lo: int = 16,
+               hi: int = 4096) -> int:
+    """Corpus-adaptive IVF cell count: ``max(lo, min(hi, n // target))``
+    keeps the EXPECTED CELL SIZE ~constant (~``target`` vectors) as the
+    corpus grows, so a query's candidate volume — nprobe x cell size —
+    stays bounded and the total probe shuffle scales with the QUERY
+    count, not queries x corpus. With fixed cells the x9 wide probe
+    (round 11) measured embedding_mmr_ivf shuffle x59 on a x9 corpus
+    (cell size and query count both x9 -> ~x81 candidate volume); with
+    size-constant cells the same pipeline is linear. At the oracle-gate
+    SFs (n <= 2048) the clamp returns exactly the historical 16, so
+    gate hashes are unchanged. ``hi`` bounds the driver-side centroid
+    matrix (4096 x 64 doubles = 2 MB)."""
+    return max(lo, min(hi, n // target))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

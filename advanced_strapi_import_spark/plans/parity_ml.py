@@ -501,7 +501,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force recall baseline both scan it row-heavy, and the
     # 1-split test file would serialize them; queries stay tiny
     corpus = fan_out(emb)
-    ivf = S.ivf_topk(queries, corpus, k=5, cells=16, nprobe=4).select(
+    # corpus-adaptive cell count (round 11): constant EXPECTED CELL
+    # SIZE keeps per-query candidate volume bounded as the corpus
+    # grows; returns the historical 16 at every oracle-gate SF
+    cells = S.auto_cells(emb.count())
+    ivf = S.ivf_topk(queries, corpus, k=5, cells=cells, nprobe=4).select(
         "query_id", "neighbor_id"
     )
     brute = S.cosine_topk(queries, corpus, k=5).select("query_id", "neighbor_id")
@@ -3556,8 +3560,16 @@ def embedding_mmr_ivf(
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     corpus = fan_out(emb)
+    # corpus-adaptive cells (round 11): the x9 wide probe measured
+    # shuffle x59 on a x9 corpus with FIXED cells=16 — query count and
+    # cell size both grow, so candidate volume goes ~quadratic. Cell
+    # size pinned ~128 keeps nprobe x cell_size constant per query ->
+    # probe shuffle scales with the query count alone. Identical plan
+    # (cells=16) at every oracle-gate SF.
+    cells = S.auto_cells(emb.count())
     cand = persist_tracked(
-        S.ivf_topk(queries, corpus, k=10, cells=16, nprobe=4, keep_vec=True)
+        S.ivf_topk(queries, corpus, k=10, cells=cells, nprobe=4,
+                   keep_vec=True)
     )
     # persisted: picks feeds BOTH audit aggregations (pick count and
     # exact-top-10 hits) — unpersisted, the query_id shuffle and the
