@@ -718,6 +718,260 @@ class _DecGen:
             e(f"_r.pos = pos; {v} = {fb}(_r); pos = _r.pos", ind)
 
 
+class _EncGen:
+    """Emits the body of a block ENCODER for one compiled schema —
+    the write-side twin of :class:`_DecGen` (round 11, VERDICT r10
+    task 7): per-row dict builds, dict.get per field, and a closure
+    call per value are the encode hot loop's CPython tax; compiling
+    the top-level record into ONE generated function that reads
+    column LISTS positionally removes all three. Semantics are
+    byte-identical to :func:`compile_encoder` (the closure compiler
+    stays the reference; a property test asserts byte-equal output)."""
+
+    def __init__(self) -> None:
+        self.lines: list[str] = []
+        self.consts: list = []
+        self.n = 0
+
+    def tmp(self, stem: str = "t") -> str:
+        self.n += 1
+        return f"_{stem}{self.n}"
+
+    def const(self, value) -> str:
+        self.consts.append(value)
+        return f"_c{len(self.consts) - 1}"
+
+    def emit(self, line: str, ind: int) -> None:
+        self.lines.append("    " * ind + line)
+
+    def varint(self, expr: str, ind: int) -> None:
+        """write_long(buf, expr) inlined (zigzag + 7-bit chunks)."""
+        e = self.emit
+        u = self.tmp("u")
+        e(f"{u} = (({expr} << 1) ^ ({expr} >> 63)) "
+          f"& 0xFFFFFFFFFFFFFFFF", ind)
+        e(f"while {u} > 127:", ind)
+        e(f"    _ap(({u} & 127) | 128); {u} >>= 7", ind)
+        e(f"_ap({u})", ind)
+
+    def node(self, nd, v: str, ind: int) -> None:
+        kind = nd[0]
+        e = self.emit
+        if kind == "prim":
+            t = nd[1]
+            if t in ("int", "long"):
+                iv = self.tmp("n")
+                e(f"{iv} = int({v})", ind)
+                self.varint(iv, ind)
+            elif t == "string":
+                b = self.tmp("b")
+                e(f"{b} = str({v}).encode('utf-8')", ind)
+                n = self.tmp("n")
+                e(f"{n} = len({b})", ind)
+                self.varint(n, ind)
+                e(f"buf += {b}", ind)
+            elif t == "double":
+                e(f"buf += _pd(float({v}))", ind)
+            elif t == "float":
+                e(f"buf += _pf(float({v}))", ind)
+            elif t == "boolean":
+                e(f"_ap(1 if {v} else 0)", ind)
+            elif t == "bytes":
+                b = self.tmp("b")
+                e(f"{b} = bytes({v})", ind)
+                n = self.tmp("n")
+                e(f"{n} = len({b})", ind)
+                self.varint(n, ind)
+                e(f"buf += {b}", ind)
+            else:  # null: delegate (validates v is None)
+                fb = self.const(compile_encoder(nd))
+                e(f"{fb}(buf, {v})", ind)
+        elif kind == "null_union":
+            _, null_idx, inner = nd
+            # zigzag of the small non-negative union index is 2*idx,
+            # always one byte
+            e(f"if {v} is None:", ind)
+            e(f"    _ap({2 * null_idx})", ind)
+            e("else:", ind)
+            e(f"    _ap({2 * (1 - null_idx)})", ind)
+            self.node(inner, v, ind + 1)
+        elif kind == "array":
+            e(f"if {v} is None:", ind)
+            e(f"    raise TypeError('avro_ocf: None for a"
+              f" non-nullable array field')", ind)
+            it = self.tmp("a")
+            e(f"{it} = list({v})", ind)
+            e(f"if {it}:", ind)
+            n = self.tmp("n")
+            e(f"    {n} = len({it})", ind)
+            self.varint(n, ind + 1)
+            x = self.tmp("x")
+            e(f"    for {x} in {it}:", ind)
+            self.node(nd[1], x, ind + 2)
+            e("_ap(0)", ind)
+        elif kind == "map":
+            e(f"if {v} is None:", ind)
+            e(f"    raise TypeError('avro_ocf: None for a"
+              f" non-nullable map field')", ind)
+            it = self.tmp("m")
+            # accept dicts (reference form) AND (key, value) pair
+            # sequences — the Arrow writer's map fast path hands pairs
+            # straight from the flattened MapArray, skipping the
+            # per-row dict build entirely
+            e(f"{it} = list({v}.items()) if isinstance({v}, dict)"
+              f" else {v}", ind)
+            e(f"if {it}:", ind)
+            n = self.tmp("n")
+            e(f"    {n} = len({it})", ind)
+            self.varint(n, ind + 1)
+            k = self.tmp("k")
+            x = self.tmp("x")
+            e(f"    for {k}, {x} in {it}:", ind)
+            b = self.tmp("b")
+            e(f"        {b} = str({k}).encode('utf-8')", ind)
+            kn = self.tmp("n")
+            e(f"        {kn} = len({b})", ind)
+            self.varint(kn, ind + 2)
+            e(f"        buf += {b}", ind)
+            self.node(nd[1], x, ind + 2)
+            e("_ap(0)", ind)
+        elif kind == "date":
+            d = self.tmp("d")
+            e(f"{d} = {v} if isinstance({v}, int) "
+              f"else ({v} - _epd).days", ind)
+            self.varint(d, ind)
+        elif kind == "decimal" and nd[3] is None:
+            # bytes-backed decimal fast path: int(scaleb(scale)) is ~7x
+            # cheaper than the reference's as_tuple + digit join, and
+            # the equality guard preserves its exactness contract (a
+            # value that needs rounding falls through with the same
+            # error). Fixed-size decimals and non-Decimal inputs keep
+            # the reference closure.
+            _, _prec, scale, _ = nd
+            fb = self.const(compile_encoder(nd))
+            s = self.tmp("s")
+            u = self.tmp("q")
+            b = self.tmp("b")
+            n = self.tmp("n")
+            e(f"if type({v}) is _Dec and {v}.is_finite():", ind)
+            e(f"    {s} = {v}.scaleb({scale})", ind)
+            e(f"    {u} = int({s})", ind)
+            e(f"    if {s} != {u}:", ind)
+            e(f"        raise _VE('avro_ocf: %s does not fit decimal"
+              f" scale {scale} without rounding' % {v})", ind)
+            e(f"    {b} = {u}.to_bytes({u}.bit_length() // 8 + 1,"
+              f" 'big', signed=True)", ind)
+            e(f"    {n} = len({b})", ind)
+            self.varint(n, ind + 1)
+            e(f"    buf += {b}", ind)
+            e("else:", ind)
+            e(f"    {fb}(buf, {v})", ind)
+        else:
+            # timestamp / enum / fixed / record / union / fixed-size
+            # decimal: correctness-critical arithmetic, modest row
+            # share — delegate to the compiled closure (same fallback
+            # split as compile_encoder itself)
+            fb = self.const(compile_encoder(nd))
+            e(f"{fb}(buf, {v})", ind)
+
+
+def compile_block_encoder(fields):
+    """Compile a top-level record schema ONCE into
+    ``fn(buf, cols, lo, hi)`` appending the Avro binary encoding of
+    rows ``lo..hi`` (columns as equal-length Python lists in field
+    order) to ``buf``. Byte-identical to calling the
+    :func:`compile_encoder` closures row-by-row on dict rows — the
+    property suite asserts equality — but with no per-row dict, no
+    dict.get per field, and no closure dispatch per value."""
+    g = _EncGen()
+    for j, (fname, fnode) in enumerate(fields):
+        v = g.tmp("v")
+        g.emit(f"{v} = _col{j}[_i]", 2)
+        g.node(fnode, v, 2)
+    cols_unpack = ", ".join(f"_col{j}" for j in range(len(fields)))
+    const_args = "".join(f", _c{i}" for i in range(len(g.consts)))
+    src = "\n".join(
+        [
+            f"def _enc_body(buf, cols, lo, hi{const_args}):",
+            "    _ap = buf.append",
+            (f"    ({cols_unpack},) = cols" if fields else "    pass"),
+            "    for _i in range(lo, hi):",
+            *(g.lines or ["        pass"]),
+        ]
+    )
+    from decimal import Decimal as _Dec
+
+    epoch_d, _, _ = _epochs()
+    ns = {
+        "_pd": struct.Struct("<d").pack,
+        "_pf": struct.Struct("<f").pack,
+        "_epd": epoch_d,
+        "_Dec": _Dec,
+        "_VE": ValueError,
+    }
+    exec(src, ns)  # noqa: S102 — schema-derived source, no user input
+    body = ns["_enc_body"]
+    consts = tuple(g.consts)
+
+    def encode(buf: bytearray, cols: list, lo: int, hi: int) -> None:
+        body(buf, cols, lo, hi, *consts)
+
+    return encode
+
+
+def write_ocf_columns(
+    path: str,
+    schema: dict,
+    cols: list,
+    n_rows: int,
+    *,
+    codec: str = "deflate",
+    block_records: int = 1000,
+    sync: bytes | None = None,
+) -> None:
+    """:func:`write_ocf` over COLUMN lists (field order) — the
+    datasource sink's fast path: the Arrow writer already has columns
+    from ``to_pylist``, so encoding them positionally skips the
+    per-row dict build entirely. Emits byte-identical blocks to
+    write_ocf given the same values and sync marker."""
+    fields = compile_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_ocf: unsupported codec {codec}")
+    if sync is None:
+        sync = os.urandom(16)
+    out = bytearray()
+    out += MAGIC
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kk = k.encode()
+        write_long(out, len(kk))
+        out += kk
+        write_long(out, len(v))
+        out += v
+    write_long(out, 0)  # end of metadata map
+    out += sync
+    enc = compile_block_encoder(fields)
+    for i in range(0, n_rows, block_records):
+        hi = min(i + block_records, n_rows)
+        body = bytearray()
+        enc(body, cols, i, hi)
+        payload = bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw RFC1951 frame
+        write_long(out, hi - i)
+        write_long(out, len(payload))
+        out += payload
+        out += sync
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, path)
+
+
 def compile_block_decoder(fields, names=None):
     """Compile a schema ONCE per file into ``fn(payload, n_rec, codec)
     -> list[row]``. ``names=None`` yields dict rows keyed by field name
