@@ -260,3 +260,40 @@ def test_staged_tokenize_survives_optimizer(spark):
         .toString()
     )
     assert plan.count("split(") == 1, plan
+
+
+def test_quantile_sketch_audit_has_no_per_flag_row_number(spark):
+    """Round-11 (VERDICT r10 task 6): the exact-quantile audit branch
+    must ride the distributed rank machinery — per-(flag,value) counts
+    + range-partitioned cumsum — NOT a row_number window sorting each
+    flag's full row set inside |flags| partitions. The only windows
+    left run over the tiny (flag) and (__pid) domains."""
+    plan = (
+        QUERIES["lineitem_quantile_sketch"]
+        .fn(spark, SF_TEST)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan, (
+        "per-flag row_number window is back:\n" + plan[:4000]
+    )
+    assert "rangepartitioning" in plan, (
+        "distributed_cumsum's range repartition missing:\n" + plan[:4000]
+    )
+
+
+def test_auto_cells_rule():
+    """Corpus-adaptive IVF cell count: constant expected cell size,
+    clamped, and — load-bearing for oracle stability — EXACTLY the
+    historical 16 at every oracle-gate SF corpus size."""
+    from advanced_strapi_import_spark.operators.similarity import auto_cells
+
+    assert auto_cells(0) == 16
+    assert auto_cells(20) == 16        # sf0.001
+    assert auto_cells(200) == 16       # sf0.01
+    assert auto_cells(2000) == 16      # sf0.1 (2000 // 128 = 15 -> lo)
+    assert auto_cells(2048) == 16
+    assert auto_cells(18000) == 140    # the x9 probe corpus
+    assert auto_cells(10**9) == 4096   # hi clamp bounds the centroids
+    assert auto_cells(4096, target=128, lo=16, hi=4096) == 32
