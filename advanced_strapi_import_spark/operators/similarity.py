@@ -1096,6 +1096,12 @@ def compact_lsh_index(
         # a meta that points at a missing live dir is equally suspect —
         # never reap siblings when the pointer can't be validated
         return False
+    # a crash between _write_index_meta's tmp write and its rename
+    # strands meta.json.tmp forever (the live meta is intact); reap it
+    try:
+        _os.remove(f"{path}/meta.json.tmp")
+    except OSError:
+        pass
     # reap every non-live vectors generation, orphan or superseded
     try:
         for p in _os.listdir(path):

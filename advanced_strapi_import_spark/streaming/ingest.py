@@ -192,6 +192,12 @@ def _compact_batch_state(
     import shutil
 
     g, gd = _live_gen(table_dir)
+    # reap a marker-swap tmp stranded by a crash between its write and
+    # the os.replace (the live _gen is intact; the strand is garbage)
+    try:
+        os.remove(os.path.join(table_dir, "_gen.tmp"))
+    except OSError:
+        pass
     parts = [p for p in os.listdir(gd) if p.startswith("batch_id=")]
     if len(parts) < threshold:
         return False

@@ -571,8 +571,13 @@ def test_lsh_compaction_kill_points(spark, tmp_path):
     assert S._live_vectors_dir(idx_b).endswith("/vectors")
     assert os.path.isdir(os.path.join(idx_b, "vectors_gen1"))
     assert served(idx_b) == want
+    # a stranded meta tmp (crash inside the publish itself) is also
+    # reaped by the recovery call
+    with open(os.path.join(idx_b, "meta.json.tmp"), "w") as fh:
+        fh.write("{garbage")
     # recovery: next compaction reaps the orphan, then publishes
     assert S.compact_lsh_index(spark, idx_b, max_files_per_bucket=2)
+    assert not os.path.exists(os.path.join(idx_b, "meta.json.tmp"))
     live = os.path.basename(S._live_vectors_dir(idx_b))
     gens = {p for p in os.listdir(idx_b)
             if p == "vectors" or p.startswith("vectors_gen")}

@@ -567,10 +567,14 @@ def test_compaction_kill_points_keyed_store(spark, tmp_path):
     assert g == 0
     assert os.path.isdir(os.path.join(store_b, "gen=1"))
     assert totals(store_b) == {0: 2, 1: 2}
-    # recovery: next compaction reaps the orphan and publishes cleanly
+    # recovery: next compaction reaps the orphan (and any stranded
+    # marker tmp) and publishes cleanly
+    with open(os.path.join(store_b, "_gen.tmp"), "w") as f:
+        f.write("99")
     assert ST._compact_batch_state(
         spark, store_b, schema, merge, threshold=4
     )
+    assert not os.path.exists(os.path.join(store_b, "_gen.tmp"))
     g, gd = ST._live_gen(store_b)
     assert g == 1 and ST._compacted_upto(gd) == 3
     assert totals(store_b) == {0: 2, 1: 2}
