@@ -751,6 +751,206 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 16,
+    codebook: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dims: int | None = 64,
+    max_query_rows: int = 4096,
+) -> DataFrame:
+    """IVF+PQ ANN — the canonical billion-scale serving shape the two
+    standalone operators compose into: IVF gates WHICH rows get scored
+    (each query touches only its ``nprobe`` nearest cells), PQ makes
+    each score CHEAP (rows are ``m`` byte-codes; scoring is m table
+    lookups, no vector traffic). ``pq_topk`` alone scans the whole
+    codes table per query (exhaustive ADC); ``ivf_topk`` alone reads
+    full vectors for every candidate. Composed, a 1e9-row corpus at
+    the defaults costs ~nprobe/cells of an exhaustive scan over an
+    ~16-bytes/row table.
+
+    Everything runs on L2-NORMALIZED vectors (so approximate L2 ranks
+    like cosine, same contract as pq_topk): one seeded trainer builds
+    the IVF centroids AND the per-subspace codebooks from the same
+    bounded driver sample (deterministic: sample ordered by id); ONE
+    Arrow pass over the corpus assigns (cell, codes); candidates come
+    from a broadcast equi-join of the query probe lists on cell —
+    identical join shape to ivf_topk/LSH serving, with ``cells``
+    defaulting to :func:`auto_cells` (constant expected cell size, so
+    per-query candidate volume is corpus-size-invariant). The query
+    side is a serving batch by contract (``max_query_rows``, as in
+    pq_topk/ivf_query_index).
+
+    Output: (query_id, neighbor_id, approx_d2, rank) — rank 1..k by
+    ascending approximate distance, neighbor_id tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    if dims is not None and dims % m != 0:
+        raise ValueError(f"ivfpq_topk: m={m} must divide dims={dims}")
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if cells is None:
+        cells = auto_cells(corpus.count())
+
+    def _unit(mat):
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    sample = _unit(np.array(
+        [
+            r["v"]
+            for r in _width_ok(corpus, vec_col, dims)
+            .select(F.col(id_col).alias("i"), dbl.alias("v"))
+            .orderBy("i")
+            .limit(8192)
+            .collect()
+        ],
+        dtype=np.float64,
+    ))
+    full_d = sample.shape[1]
+    sub_d = full_d // m
+    rng = np.random.RandomState(seed)
+    # IVF centroids: k-means++ seeding with incremental running min +
+    # Lloyd via the matmul expansion (same recipe as _kmeans_centers,
+    # on the normalized sample)
+    centers = sample[[rng.randint(len(sample))]]
+    d2min = ((sample - centers[0]) ** 2).sum(axis=1)
+    for _ in range(cells - 1):
+        new = sample[rng.choice(len(sample), p=d2min / d2min.sum())]
+        centers = np.vstack([new, *centers])
+        d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
+    s2 = (sample ** 2).sum(axis=1)[:, None]
+    for _ in range(20):
+        d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
+        assign = d2.argmin(axis=1)
+        for c_i in range(cells):
+            members = sample[assign == c_i]
+            if len(members):
+                centers[c_i] = members.mean(axis=0)
+    c2 = (centers ** 2).sum(axis=1)
+    # PQ codebooks per subspace (same trainer as pq_topk, rng continues)
+    books = np.empty((m, codebook, sub_d))
+    for j in range(m):
+        sub = sample[:, j * sub_d:(j + 1) * sub_d]
+        cb = np.empty((codebook, sub_d))
+        cb[0] = sub[rng.randint(len(sub))]
+        cd2 = ((sub - cb[0]) ** 2).sum(1)
+        for c_i in range(1, codebook):
+            cb[c_i] = sub[rng.choice(len(sub), p=cd2 / cd2.sum())]
+            cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
+        x2 = (sub * sub).sum(1)[:, None]
+        for _ in range(15):
+            sd2 = x2 - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None]
+            sa = sd2.argmin(1)
+            for c_i in range(codebook):
+                members = sub[sa == c_i]
+                if len(members):
+                    cb[c_i] = members.mean(0)
+        books[j] = cb
+    b2 = (books * books).sum(2)  # (m, codebook)
+
+    # query side: serving batch — probes + ADC tables on the driver
+    q_rows = (
+        _width_ok(queries, vec_col, dims)
+        .select(F.col(id_col).alias("q"), dbl.alias("v"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_topk queries frame exceeds max_query_rows="
+            f"{max_query_rows}; the query side is driver-collected by "
+            f"design (serving batches) — split the batch"
+        )
+    q_ids = [r["q"] for r in q_rows]
+    if not q_ids:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_d2 double, "
+                "rank int"
+        )
+    q_mat = _unit(np.array([r["v"] for r in q_rows], dtype=np.float64))
+    qd2 = (q_mat ** 2).sum(1)[:, None] - 2.0 * (q_mat @ centers.T) + c2[None]
+    probes = []
+    for qi, qid in enumerate(q_ids):
+        for c in np.argsort(qd2[qi], kind="stable")[:nprobe]:
+            probes.append((int(qid), int(qi), int(c)))
+    probe_df = queries.sparkSession.createDataFrame(
+        probes, "query_id long, __qi int, cell int"
+    )
+    tables_flat = np.stack([
+        ((q.reshape(m, 1, sub_d) - books) ** 2).sum(2).ravel()
+        for q in q_mat
+    ])  # (nq, m*codebook)
+    flat_base = (np.arange(m) * codebook).astype(np.int64)
+
+    def _enc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"neighbor_id": [], "cell": [], "codes": []}
+                )
+                continue
+            mat = _unit(np.stack(pdf["v"].to_numpy()))
+            d2c = (mat ** 2).sum(1, keepdims=True) \
+                - 2.0 * (mat @ centers.T) + c2[None]
+            cell = d2c.argmin(1).astype("int32")
+            sub = mat.reshape(len(mat), m, sub_d)
+            cross = np.einsum("bjd,jkd->bjk", sub, books)
+            codes = (b2[None] - 2.0 * cross).argmin(2).astype("int32")
+            yield pd.DataFrame({
+                "neighbor_id": pdf["n"].to_numpy(),
+                "cell": cell,
+                "codes": list(codes),
+            })
+
+    enc_corpus = (
+        _width_ok(corpus, vec_col, dims)
+        .select(F.col(id_col).alias("n"), dbl.alias("v"))
+        .mapInPandas(
+            _enc, "neighbor_id long, cell int, codes array<int>"
+        )
+    )
+
+    def _adc(qi, codes):
+        if len(qi) == 0:
+            return pd.Series([], dtype="float64")
+        flat = flat_base[None, :] + np.stack(codes.to_numpy())
+        d = tables_flat[qi.to_numpy()[:, None], flat].sum(1)
+        return pd.Series(np.round(d, 9))
+
+    _adc.__annotations__ = {
+        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+    }
+    adc = F.pandas_udf(_adc, "double")
+
+    scored = (
+        F.broadcast(probe_df)
+        .join(enc_corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("__qi"), F.col("codes")).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2"), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)
+
+
 def _kmeans_centers(corpus: DataFrame, vec_col: str, cells: int, seed: int):
     """Seeded k-means++ / Lloyd centers on a bounded driver sample
     (same trainer as ivf_topk; at 1e9 rows you sample ~1e6 vectors —

@@ -1517,6 +1517,59 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_ivfpq_topk",
+    oracle="""
+SELECT vec_id AS query_id, TRUE AS recall_floor_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+    doc="IVF+PQ composed ANN (round 11) — the canonical billion-scale "
+        "serving shape neither standalone operator covers: IVF gates "
+        "WHICH rows get scored (each query touches only its nprobe=8 "
+        "nearest of auto_cells(n) k-means cells — constant expected "
+        "cell size, so candidate volume is corpus-size-invariant), PQ "
+        "makes each score CHEAP (rows are 32 byte-codes; scoring is "
+        "32 table lookups per candidate, no vector traffic — at 1e9 "
+        "rows the scan side is ~nprobe/cells of a ~16 B/row table "
+        "where pq_topk alone scans ALL codes and ivf_topk alone reads "
+        "full vectors). One seeded trainer, one Arrow corpus pass for "
+        "(cell, codes), broadcast probe-list equi-join on cell. "
+        "Value-checked like the parents: recall vs brute-force cosine "
+        "top-5 — every query recovers >= 1 true neighbor and mean "
+        "recall >= 0.5, both pinned TRUE by the oracle (measured "
+        "min/mean: 0.60/0.73 @ sf0.001, 0.60/0.80 @ sf0.01, 0.40/0.68 "
+        "@ sf0.1 — seeded, deterministic across runs).",
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = fan_out(emb)
+    got = S.ivfpq_topk(
+        queries, corpus, k=5, nprobe=8, m=32, codebook=64
+    ).select("query_id", "neighbor_id")
+    brute = S.cosine_topk(queries, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        got.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    mean_recall = F.avg(F.col("hits") / 5.0).over(Window.partitionBy())
+    return per_q.select(
+        "query_id",
+        (F.col("hits") >= 1).alias("recall_floor_ok"),
+        (mean_recall >= 0.5).alias("mean_recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style keep/drop verdicts over embeddings)
 # ---------------------------------------------------------------------------

@@ -612,3 +612,40 @@ def test_lsh_compaction_kill_points(spark, tmp_path):
         spark, idx_a, max_files_per_bucket=999) is False
     assert not os.path.isdir(old_dir)
     assert served(idx_a) == want_a
+
+
+def test_ivfpq_recall_determinism_and_serving_bounds(spark):
+    """IVF+PQ composed ANN (round 11): recall floor vs brute force,
+    run-to-run determinism (seeded trainer), and the serving-batch
+    contract (oversized query frames raise instead of ballooning the
+    driver)."""
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    got = S.ivfpq_topk(qs, emb, k=5, nprobe=8, m=32, codebook=64)
+    assert got.columns == ["query_id", "neighbor_id", "approx_d2", "rank"]
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(qs, emb, k=5).collect()
+    }
+    per_q: dict = {}
+    for q, n in pairs & exact:
+        per_q[q] = per_q.get(q, 0) + 1
+    qids = {r["vec_id"] for r in qs.select("vec_id").collect()}
+    assert all(per_q.get(q, 0) >= 1 for q in qids)  # pinned floor
+    assert sum(per_q.get(q, 0) for q in qids) / (5 * len(qids)) >= 0.5
+
+    again = sorted(map(tuple, S.ivfpq_topk(
+        qs, emb, k=5, nprobe=8, m=32, codebook=64).collect()))
+    assert again == sorted(map(tuple, got.collect()))
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.ivfpq_topk(emb, emb, k=5, max_query_rows=3)
+    with pytest.raises(ValueError, match="must divide"):
+        S.ivfpq_topk(qs, emb, m=7)
+    # empty query batch: empty typed frame, no crash
+    assert S.ivfpq_topk(qs.filter("vec_id < 0"), emb, k=5).count() == 0

@@ -141,6 +141,7 @@ WIDE9_PROBES = [
     ("embedding_mmr_ivf", "embeddings x9"),
     ("embedding_pq_topk", "embeddings x9"),
     ("stream_ann_index_update", "embeddings x9"),
+    ("embedding_ivfpq_topk", "embeddings x9"),  # r11 composed IVF+PQ
 ]
 
 
