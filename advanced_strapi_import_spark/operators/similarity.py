@@ -751,6 +751,53 @@ def pq_topk(
     )
 
 
+def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
+    """Seeded joint trainer for the composed IVF+PQ paths: IVF
+    centroids (k-means++ with incremental running min + 20 Lloyd
+    passes via the matmul expansion, same recipe as _kmeans_centers)
+    followed by per-subspace PQ codebooks (same trainer as pq_topk),
+    all from ONE rng stream so results are deterministic and shared
+    between the inline operator and the stored index. Returns
+    (centers (cells x d), books (m x codebook x d/m))."""
+    import numpy as np
+
+    sub_d = sample.shape[1] // m
+    rng = np.random.RandomState(seed)
+    centers = sample[[rng.randint(len(sample))]]
+    d2min = ((sample - centers[0]) ** 2).sum(axis=1)
+    for _ in range(cells - 1):
+        new = sample[rng.choice(len(sample), p=d2min / d2min.sum())]
+        centers = np.vstack([new, *centers])
+        d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
+    s2 = (sample ** 2).sum(axis=1)[:, None]
+    for _ in range(20):
+        d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
+        assign = d2.argmin(axis=1)
+        for c_i in range(cells):
+            members = sample[assign == c_i]
+            if len(members):
+                centers[c_i] = members.mean(axis=0)
+    books = np.empty((m, codebook, sub_d))
+    for j in range(m):
+        sub = sample[:, j * sub_d:(j + 1) * sub_d]
+        cb = np.empty((codebook, sub_d))
+        cb[0] = sub[rng.randint(len(sub))]
+        cd2 = ((sub - cb[0]) ** 2).sum(1)
+        for c_i in range(1, codebook):
+            cb[c_i] = sub[rng.choice(len(sub), p=cd2 / cd2.sum())]
+            cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
+        x2 = (sub * sub).sum(1)[:, None]
+        for _ in range(15):
+            sd2 = x2 - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None]
+            sa = sd2.argmin(1)
+            for c_i in range(codebook):
+                members = sub[sa == c_i]
+                if len(members):
+                    cb[c_i] = members.mean(0)
+        books[j] = cb
+    return centers, books
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -817,46 +864,9 @@ def ivfpq_topk(
         ],
         dtype=np.float64,
     ))
-    full_d = sample.shape[1]
-    sub_d = full_d // m
-    rng = np.random.RandomState(seed)
-    # IVF centroids: k-means++ seeding with incremental running min +
-    # Lloyd via the matmul expansion (same recipe as _kmeans_centers,
-    # on the normalized sample)
-    centers = sample[[rng.randint(len(sample))]]
-    d2min = ((sample - centers[0]) ** 2).sum(axis=1)
-    for _ in range(cells - 1):
-        new = sample[rng.choice(len(sample), p=d2min / d2min.sum())]
-        centers = np.vstack([new, *centers])
-        d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
-    s2 = (sample ** 2).sum(axis=1)[:, None]
-    for _ in range(20):
-        d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
-        assign = d2.argmin(axis=1)
-        for c_i in range(cells):
-            members = sample[assign == c_i]
-            if len(members):
-                centers[c_i] = members.mean(axis=0)
+    centers, books = _train_ivfpq(sample, cells, m, codebook, seed)
+    sub_d = sample.shape[1] // m
     c2 = (centers ** 2).sum(axis=1)
-    # PQ codebooks per subspace (same trainer as pq_topk, rng continues)
-    books = np.empty((m, codebook, sub_d))
-    for j in range(m):
-        sub = sample[:, j * sub_d:(j + 1) * sub_d]
-        cb = np.empty((codebook, sub_d))
-        cb[0] = sub[rng.randint(len(sub))]
-        cd2 = ((sub - cb[0]) ** 2).sum(1)
-        for c_i in range(1, codebook):
-            cb[c_i] = sub[rng.choice(len(sub), p=cd2 / cd2.sum())]
-            cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
-        x2 = (sub * sub).sum(1)[:, None]
-        for _ in range(15):
-            sd2 = x2 - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None]
-            sa = sd2.argmin(1)
-            for c_i in range(codebook):
-                members = sub[sa == c_i]
-                if len(members):
-                    cb[c_i] = members.mean(0)
-        books[j] = cb
     b2 = (books * books).sum(2)  # (m, codebook)
 
     # query side: serving batch — probes + ADC tables on the driver
@@ -940,6 +950,222 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
+            adc(F.col("__qi"), F.col("codes")).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2"), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    cells: int | None = None,
+    m: int = 32,
+    codebook: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dims: int | None = 64,
+) -> None:
+    """Build a STORED IVF+PQ index: the serve-many-times form of
+    :func:`ivfpq_topk` (train + encode once, every query batch pays
+    only probed-partition code reads). Layout under ``path``:
+
+    - ``centroids``  (cell int, center array<double>) — KBs
+    - ``books``      (sub int, code int, center array<double>) — KBs
+    - ``codes``      (id, codes array<int>) parquet PARTITIONED BY
+      cell, clustered before write (one file per cell, not tasks x
+      cells small files — same lesson as build_lsh_index)
+    - ``meta.json``  {cells, m, codebook, dims} via the atomic publish
+
+    At 1e9 rows the codes table is ~m bytes/row vs 4*dims for the raw
+    vectors — the stored footprint drops ~8x AND serving reads only
+    nprobe/cells of it (partition pruning on the cell directories)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pandas as pd
+
+    if dims is not None and dims % m != 0:
+        raise ValueError(f"build_ivfpq_index: m={m} must divide dims={dims}")
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if cells is None:
+        cells = auto_cells(corpus.count())
+
+    def _unit(mat):
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    sample = _unit(np.array(
+        [
+            r["v"]
+            for r in _width_ok(corpus, vec_col, dims)
+            .select(F.col(id_col).alias("i"), dbl.alias("v"))
+            .orderBy("i")
+            .limit(8192)
+            .collect()
+        ],
+        dtype=np.float64,
+    ))
+    centers, books = _train_ivfpq(sample, cells, m, codebook, seed)
+    sub_d = sample.shape[1] // m
+    c2 = (centers ** 2).sum(axis=1)
+    b2 = (books * books).sum(2)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(codebook)
+        ],
+        "sub int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+    def _enc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cell": [], "codes": []})
+                continue
+            mat = _unit(np.stack(pdf["v"].to_numpy()))
+            d2c = (mat ** 2).sum(1, keepdims=True) \
+                - 2.0 * (mat @ centers.T) + c2[None]
+            cell = d2c.argmin(1).astype("int32")
+            sub = mat.reshape(len(mat), m, sub_d)
+            cross = np.einsum("bjd,jkd->bjk", sub, books)
+            codes = (b2[None] - 2.0 * cross).argmin(2).astype("int32")
+            yield pd.DataFrame({
+                "id": pdf["i"].to_numpy(),
+                "cell": cell,
+                "codes": list(codes),
+            })
+
+    (
+        _width_ok(corpus, vec_col, dims)
+        .select(F.col(id_col).alias("i"), dbl.alias("v"))
+        .mapInPandas(_enc, "id long, cell int, codes array<int>")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    _os.makedirs(path, exist_ok=True)
+    _write_index_meta(
+        path,
+        {"cells": cells, "m": m, "codebook": codebook,
+         "dims": dims if dims is not None else sample.shape[1]},
+    )
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_query_rows: int = 4096,
+) -> DataFrame:
+    """Serve ANN top-k from a stored IVF+PQ index: centroids + books
+    load to the driver (KBs), each query's nprobe cells and its ADC
+    distance tables are computed there, and the codes scan carries an
+    explicit ``cell IN (...)`` predicate so parquet PARTITION PRUNING
+    skips every unprobed cell directory — candidates are byte-codes,
+    never vectors. Queries are a serving batch by contract
+    (``max_query_rows``); raises on a present-but-unreadable meta.json
+    (same rule as the LSH index — never guess index parameters).
+    Output: (query_id, neighbor_id, approx_d2, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    meta = _require_index_meta(path)
+    m = meta["m"]
+    codebook = meta["codebook"]
+    dims = meta.get("dims")
+    sub_d = dims // m
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centers = np.array([r.center for r in cent], dtype=np.float64)
+    c2 = (centers ** 2).sum(axis=1)
+    brows = spark.read.parquet(f"{path}/books").orderBy("sub", "code").collect()
+    books = np.array([r.center for r in brows], dtype=np.float64).reshape(
+        m, codebook, sub_d
+    )
+
+    def _unit(mat):
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q_rows = (
+        _width_ok(queries, vec_col, dims)
+        .select(F.col(id_col).alias("q"), dbl.alias("v"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_query_index queries frame exceeds max_query_rows="
+            f"{max_query_rows}; split the serving batch"
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_d2 double, "
+                "rank int"
+        )
+    q_ids = [r["q"] for r in q_rows]
+    q_mat = _unit(np.array([r["v"] for r in q_rows], dtype=np.float64))
+    qd2 = (q_mat ** 2).sum(1)[:, None] - 2.0 * (q_mat @ centers.T) + c2[None]
+    probes = []
+    for qi, qid in enumerate(q_ids):
+        for c in np.argsort(qd2[qi], kind="stable")[:nprobe]:
+            probes.append((int(qid), int(qi), int(c)))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, __qi int, cell int"
+    )
+    wanted = sorted({p[2] for p in probes})
+    tables_flat = np.stack([
+        ((q.reshape(m, 1, sub_d) - books) ** 2).sum(2).ravel()
+        for q in q_mat
+    ])
+    flat_base = (np.arange(m) * codebook).astype(np.int64)
+
+    def _adc(qi, codes):
+        if len(qi) == 0:
+            return pd.Series([], dtype="float64")
+        flat = flat_base[None, :] + np.stack(codes.to_numpy())
+        d = tables_flat[qi.to_numpy()[:, None], flat].sum(1)
+        return pd.Series(np.round(d, 9))
+
+    _adc.__annotations__ = {
+        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+    }
+    adc = F.pandas_udf(_adc, "double")
+    cand = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(wanted)
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
             adc(F.col("__qi"), F.col("codes")).alias("approx_d2"),
         )
     )

@@ -1570,6 +1570,73 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_ivfpq_index_serve",
+    oracle="""
+SELECT vec_id AS query_id, TRUE AS matches_inline, TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+    doc="STORED IVF+PQ index serve (round 11 — the serve-many-times "
+        "lifecycle form of embedding_ivfpq_topk): build_ivfpq_index "
+        "trains once and writes centroids/books (KBs) plus the "
+        "byte-code table partitioned by cell; ivfpq_query_index loads "
+        "the KB-sized trainer output to the driver and scans ONLY the "
+        "probed cell partitions (cell IN (...) -> parquet partition "
+        "pruning, plan-asserted in pytest). The gate pins two "
+        "booleans TRUE per query: the served top-5 EQUALS the inline "
+        "operator's top-5 bit-for-bit (one shared seeded trainer — "
+        "storage round-trip and pruning change nothing), and the "
+        "served pool recovers >= 1 exact top-5 neighbor (inherits the "
+        "inline query's measured floors).",
+)
+def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from advanced_strapi_import_spark.plans.parity_stream import (
+        _ann_index_dir,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    idx = _ann_index_dir(
+        spark, sf_dir, "ivfpq",
+        lambda p: S.build_ivfpq_index(emb, p, m=32, codebook=64),
+    )
+    served = S.ivfpq_query_index(spark, idx, queries, k=5, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    inline = S.ivfpq_topk(
+        queries, fan_out(emb), k=5, nprobe=8, m=32, codebook=64
+    ).select("query_id", "neighbor_id")
+    diff = (
+        served.withColumn("__a", F.lit(1))
+        .join(
+            inline.withColumn("__b", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .filter(F.col("__a").isNull() | F.col("__b").isNull())
+    )
+    mism = diff.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bad"))
+    brute = S.cosine_topk(queries, fan_out(emb), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        served.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(mism, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_bad", F.lit(0)).eqNullSafe(0)
+            .alias("matches_inline"),
+            (F.coalesce("hits", F.lit(0)) >= 1).alias("recall_floor_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style keep/drop verdicts over embeddings)
 # ---------------------------------------------------------------------------

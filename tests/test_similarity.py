@@ -649,3 +649,39 @@ def test_ivfpq_recall_determinism_and_serving_bounds(spark):
         S.ivfpq_topk(qs, emb, m=7)
     # empty query batch: empty typed frame, no crash
     assert S.ivfpq_topk(qs.filter("vec_id < 0"), emb, k=5).count() == 0
+
+
+def test_ivfpq_index_build_serve_matches_inline(spark, tmp_path):
+    """Stored IVF+PQ index (round 11): one seeded trainer is shared
+    with the inline operator, so serving from the stored index must
+    EQUAL ivfpq_topk run inline with the same parameters; the serve
+    plan must read only probed cell partitions; a corrupt meta.json
+    must abort rather than guess index parameters."""
+    import os
+
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    idx = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, idx, cells=16, m=32, codebook=64)
+    served = S.ivfpq_query_index(spark, idx, qs, k=5, nprobe=8)
+    inline = S.ivfpq_topk(qs, emb, k=5, cells=16, nprobe=8, m=32,
+                          codebook=64)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b and len(a) > 0
+
+    # partition pruning: only probed cell directories are read
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # serving caps + corrupt meta abort (same contract as the LSH index)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.ivfpq_query_index(spark, idx, emb, k=5, max_query_rows=3)
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        fh.write('{"m": 32, "codebook"')
+    with pytest.raises(OSError, match="unreadable"):
+        S.ivfpq_query_index(spark, idx, qs, k=5)
