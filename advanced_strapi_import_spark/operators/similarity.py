@@ -672,7 +672,16 @@ def pq_topk(
         centers[0] = sub[rng.randint(len(sub))]
         d2min = ((sub - centers[0]) ** 2).sum(1)
         for c_i in range(1, codebook):
-            centers[c_i] = sub[rng.choice(len(sub), p=d2min / d2min.sum())]
+            tot = d2min.sum()
+            if tot <= 0.0:
+                # fewer distinct subvectors than codebook entries
+                # (duplicate-heavy corpora): rng.choice would raise on
+                # NaN probabilities. Pad with the first seed — exact
+                # duplicates are never argmin-selected (ties resolve
+                # to the lowest index), so codes are unaffected.
+                centers[c_i:] = centers[0]
+                break
+            centers[c_i] = sub[rng.choice(len(sub), p=d2min / tot)]
             d2min = np.minimum(d2min, ((sub - centers[c_i]) ** 2).sum(1))
         # Lloyd iterations via the ||x||^2 - 2x.c + ||c||^2 expansion:
         # one matmul per pass, no (n, k, d) broadcast temp.
@@ -766,9 +775,17 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
     centers = sample[[rng.randint(len(sample))]]
     d2min = ((sample - centers[0]) ** 2).sum(axis=1)
     for _ in range(cells - 1):
-        new = sample[rng.choice(len(sample), p=d2min / d2min.sum())]
+        tot = d2min.sum()
+        if tot <= 0.0:
+            # fewer distinct sample vectors than requested cells
+            # (auto_cells can ask for up to 4096 against the fixed
+            # 8192-row sample): stop seeding and clamp, FAISS-style,
+            # instead of crashing on NaN probabilities.
+            break
+        new = sample[rng.choice(len(sample), p=d2min / tot)]
         centers = np.vstack([new, *centers])
         d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
+    cells = len(centers)
     s2 = (sample ** 2).sum(axis=1)[:, None]
     for _ in range(20):
         d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
@@ -784,7 +801,15 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
         cb[0] = sub[rng.randint(len(sub))]
         cd2 = ((sub - cb[0]) ** 2).sum(1)
         for c_i in range(1, codebook):
-            cb[c_i] = sub[rng.choice(len(sub), p=cd2 / cd2.sum())]
+            ctot = cd2.sum()
+            if ctot <= 0.0:
+                # distinct subvectors exhausted: pad with the first
+                # seed (duplicates lose every argmin tie), keeping the
+                # (m, codebook, sub_d) shape the flat-index ADC math
+                # requires.
+                cb[c_i:] = cb[0]
+                break
+            cb[c_i] = sub[rng.choice(len(sub), p=cd2 / ctot)]
             cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
         x2 = (sub * sub).sum(1)[:, None]
         for _ in range(15):
@@ -1196,10 +1221,16 @@ def _kmeans_centers(corpus: DataFrame, vec_col: str, cells: int, seed: int):
     # whole IVF/PQ query time at bench scale)
     d2min = ((sample - centers[0]) ** 2).sum(axis=1)
     for _ in range(cells - 1):
-        probs = d2min / d2min.sum()
+        tot = d2min.sum()
+        if tot <= 0.0:
+            # fewer distinct sample vectors than requested cells:
+            # clamp instead of crashing on NaN probabilities
+            break
+        probs = d2min / tot
         new = sample[rng.choice(len(sample), p=probs)]
         centers = np.vstack([new, *centers])
         d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
+    cells = len(centers)
     # NOTE the vstack PREPENDS, so center order matches the original
     # implementation; Lloyd below is order-insensitive but the seeded
     # cell ids stay stable.
@@ -1401,11 +1432,43 @@ def _write_index_meta(path: str, meta: dict) -> None:
     generation swap (the ``vectors_dir`` key)."""
     import json as _json
     import os as _os
+    import uuid as _uuid
 
-    tmp = f"{path}/meta.json.tmp"
+    # UNIQUE tmp name (round-12 ADVICE): with a fixed name, a
+    # concurrent compaction's strand-reap could delete another
+    # publisher's in-flight tmp between its write and rename, failing
+    # that publish with FileNotFoundError. Strands of these unique
+    # names are reaped by compaction once aged (_reap_stale_tmps).
+    tmp = f"{path}/meta.json.tmp.{_os.getpid()}.{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         _json.dump(meta, fh)
     _os.rename(tmp, f"{path}/meta.json")
+
+
+def _reap_stale_tmps(
+    dirpath: str, prefix: str, max_age_s: float = 3600.0
+) -> None:
+    """Remove stranded publish tmps (``<prefix>*``) old enough that no
+    live publisher can still be between its write and rename. Age
+    gating is what makes the reap safe against concurrent publishers —
+    an in-flight tmp is seconds old, a crash strand is forever."""
+    import os as _os
+    import time as _time
+
+    try:
+        names = _os.listdir(dirpath)
+    except OSError:
+        return
+    now = _time.time()
+    for p in names:
+        if not p.startswith(prefix):
+            continue
+        try:
+            fp = f"{dirpath}/{p}"
+            if now - _os.path.getmtime(fp) > max_age_s:
+                _os.remove(fp)
+        except OSError:
+            pass
 
 
 def _read_index_meta(path: str) -> dict | None:
@@ -1523,11 +1586,10 @@ def compact_lsh_index(
         # never reap siblings when the pointer can't be validated
         return False
     # a crash between _write_index_meta's tmp write and its rename
-    # strands meta.json.tmp forever (the live meta is intact); reap it
-    try:
-        _os.remove(f"{path}/meta.json.tmp")
-    except OSError:
-        pass
+    # strands its uniquely-named tmp forever (the live meta is
+    # intact); reap only AGED strands so a concurrent publisher's
+    # in-flight tmp is never deleted (round-12 ADVICE)
+    _reap_stale_tmps(path, "meta.json.tmp")
     # reap every non-live vectors generation, orphan or superseded
     try:
         for p in _os.listdir(path):

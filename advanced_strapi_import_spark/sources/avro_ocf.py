@@ -845,8 +845,12 @@ class _EncGen:
             # cheaper than the reference's as_tuple + digit join, and
             # the equality guard preserves its exactness contract (a
             # value that needs rounding falls through with the same
-            # error). Fixed-size decimals and non-Decimal inputs keep
-            # the reference closure.
+            # error). scaleb MUST run under _DXC (prec=MAX_PREC): under
+            # the ambient 28-digit context it silently rounds >28-digit
+            # coefficients (Spark allows precision 38) and the rounded
+            # result still passes the integrality guard. Fixed-size
+            # decimals and non-Decimal inputs keep the reference
+            # closure.
             _, _prec, scale, _ = nd
             fb = self.const(compile_encoder(nd))
             s = self.tmp("s")
@@ -854,7 +858,7 @@ class _EncGen:
             b = self.tmp("b")
             n = self.tmp("n")
             e(f"if type({v}) is _Dec and {v}.is_finite():", ind)
-            e(f"    {s} = {v}.scaleb({scale})", ind)
+            e(f"    {s} = {v}.scaleb({scale}, _DXC)", ind)
             e(f"    {u} = int({s})", ind)
             e(f"    if {s} != {u}:", ind)
             e(f"        raise _VE('avro_ocf: %s does not fit decimal"
@@ -899,14 +903,24 @@ def compile_block_encoder(fields):
             *(g.lines or ["        pass"]),
         ]
     )
+    import decimal as _decimal
     from decimal import Decimal as _Dec
 
     epoch_d, _, _ = _epochs()
+    # Exact context for scaleb: prec=MAX_PREC means the exponent shift
+    # never rounds the coefficient, for any finite Decimal (the default
+    # 28-digit context silently rounds wider coefficients).
+    _exact_ctx = _decimal.Context(
+        prec=_decimal.MAX_PREC,
+        Emax=_decimal.MAX_EMAX,
+        Emin=_decimal.MIN_EMIN,
+    )
     ns = {
         "_pd": struct.Struct("<d").pack,
         "_pf": struct.Struct("<f").pack,
         "_epd": epoch_d,
         "_Dec": _Dec,
+        "_DXC": _exact_ctx,
         "_VE": ValueError,
     }
     exec(src, ns)  # noqa: S102 — schema-derived source, no user input

@@ -192,12 +192,16 @@ def _compact_batch_state(
     import shutil
 
     g, gd = _live_gen(table_dir)
-    # reap a marker-swap tmp stranded by a crash between its write and
-    # the os.replace (the live _gen is intact; the strand is garbage)
-    try:
-        os.remove(os.path.join(table_dir, "_gen.tmp"))
-    except OSError:
-        pass
+    # reap marker-swap tmps stranded by a crash between their write and
+    # the os.replace (the live _gen is intact; the strands are garbage).
+    # Names are unique per publish and the reap is age-gated so a
+    # CONCURRENT compactor's in-flight tmp is never deleted (round-12
+    # ADVICE, same hazard as the LSH index meta publish).
+    from advanced_strapi_import_spark.operators.similarity import (
+        _reap_stale_tmps,
+    )
+
+    _reap_stale_tmps(table_dir, "_gen.tmp")
     parts = [p for p in os.listdir(gd) if p.startswith("batch_id=")]
     if len(parts) < threshold:
         return False
@@ -220,7 +224,11 @@ def _compact_batch_state(
     nxt = os.path.join(table_dir, f"gen={g + 1}")
     shutil.rmtree(nxt, ignore_errors=True)
     os.rename(tmp, nxt)
-    mk_tmp = os.path.join(table_dir, "_gen.tmp")
+    import uuid as _uuid
+
+    mk_tmp = os.path.join(
+        table_dir, f"_gen.tmp.{os.getpid()}.{_uuid.uuid4().hex}"
+    )
     with open(mk_tmp, "w") as f:
         f.write(str(g + 1))
     os.replace(mk_tmp, os.path.join(table_dir, "_gen"))  # the swap

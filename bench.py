@@ -241,11 +241,14 @@ def main() -> None:
             "notes": {
                 "r11_gc_protocol": (
                     "since r11 a full GC (python + JVM) runs before "
-                    "EVERY timed query, outside the timing window, and "
-                    "spark.cleaner.periodicGC.interval is pinned to "
-                    "1min — the round-10 triage attributed this "
-                    "family's 2-3x in-suite swing to neighbors' GC "
-                    "debt landing inside unlucky timing windows; this "
+                    "EVERY timed query, outside the timing window; "
+                    "spark.cleaner.periodicGC.interval stays at its "
+                    "30min default (the 1min variant was measured at "
+                    "+13% suite — the cleaner's System.gc lands inside "
+                    "timed queries in local mode — and reverted). The "
+                    "round-10 triage attributed this family's 2-3x "
+                    "in-suite swing to neighbors' GC debt landing "
+                    "inside unlucky timing windows; pre-query GC "
                     "levels heap state per query at suite-wall-clock "
                     "cost only."
                 ),

@@ -952,3 +952,43 @@ def test_columnar_block_encoder_byte_identical_to_row_encoder(tmp_path):
     # empty frame: header-only file, still readable
     A.write_ocf_columns(p_col, schema, [[] for _ in names], 0, sync=sync)
     assert list(A.iter_ocf(open(p_col, "rb").read())) == []
+
+
+def test_block_encoder_high_precision_decimal_exact():
+    """Regression (round-12 ADVICE): the block encoder's bytes-backed
+    decimal fast path ran scaleb under the ambient 28-digit context, so
+    a 38-digit Decimal (Spark's max precision) was silently ROUNDED
+    before encoding — and still passed the integrality guard. The fast
+    path must be byte-identical to the reference closure at full
+    precision, and still reject genuine scale mismatches."""
+    from decimal import Context, Decimal
+
+    node = ("decimal", 38, 2, None)
+    enc_row = A.compile_encoder(node)
+    blk = A.compile_block_encoder([("d", node)])
+
+    cases = [
+        Decimal("123456789012345678901234567890123456.78"),
+        Decimal("-99999999999999999999999999999999999999").scaleb(
+            -2, Context(prec=100)
+        ),
+        Decimal("0.01"),
+        Decimal("1E+2"),  # positive-exponent coefficient shift
+    ]
+    for v in cases:
+        b_row = bytearray()
+        enc_row(b_row, v)
+        b_blk = bytearray()
+        blk(b_blk, [[v]], 0, 1)
+        assert bytes(b_row) == bytes(b_blk), f"byte drift for {v}"
+
+    with pytest.raises(ValueError, match="does not fit decimal scale"):
+        blk(bytearray(), [[Decimal("1.234")]], 0, 1)
+    # >28-digit value that does NOT fit the scale must raise, not round
+    with pytest.raises(ValueError, match="does not fit decimal scale"):
+        blk(
+            bytearray(),
+            [[Decimal("123456789012345678901234567890123456.789")]],
+            0,
+            1,
+        )

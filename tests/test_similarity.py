@@ -685,3 +685,106 @@ def test_ivfpq_index_build_serve_matches_inline(spark, tmp_path):
         fh.write('{"m": 32, "codebook"')
     with pytest.raises(OSError, match="unreadable"):
         S.ivfpq_query_index(spark, idx, qs, k=5)
+
+
+def test_trainer_degenerate_duplicate_heavy_sample():
+    """Round-12 ADVICE: k-means++ seeding must not crash when the
+    driver sample has fewer distinct vectors than requested
+    cells/codebook entries (duplicate-heavy corpora; auto_cells can
+    request up to 4096 cells against the fixed 8192-row sample).
+    Cells clamp to the distinct count; PQ codebooks pad (shape
+    contract for the flat-index ADC math) with never-selected
+    duplicates."""
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators.similarity import (
+        _train_ivfpq,
+    )
+
+    base = np.random.RandomState(0).rand(3, 64)
+    sample = base[np.arange(8192) % 3]
+    centers, books = _train_ivfpq(sample, cells=16, m=16, codebook=32,
+                                  seed=42)
+    assert centers.shape == (3, 64)  # clamped to distinct count
+    assert books.shape == (16, 32, 4)  # shape contract preserved
+    assert np.isfinite(centers).all() and np.isfinite(books).all()
+
+    # single distinct vector: the most degenerate corpus
+    one = np.tile(np.arange(64.0), (8192, 1))
+    c1, b1 = _train_ivfpq(one, cells=16, m=16, codebook=32, seed=42)
+    assert c1.shape == (1, 64) and b1.shape == (16, 32, 4)
+
+    # non-degenerate path: rng call sequence unchanged by the guard
+    s2 = np.random.RandomState(1).rand(256, 64)
+    ca, ba = _train_ivfpq(s2, 16, 16, 32, 42)
+    cb_, bb = _train_ivfpq(s2, 16, 16, 32, 42)
+    assert (ca == cb_).all() and (ba == bb).all()
+    assert ca.shape == (16, 64)
+
+
+def test_pq_and_kmeans_degenerate_duplicate_heavy(spark):
+    """pq_topk and _kmeans_centers (ivf_topk trainer) share the same
+    seeding pattern — duplicate-heavy corpora must degrade gracefully,
+    not raise on NaN probabilities."""
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators.similarity import (
+        _kmeans_centers, pq_topk,
+    )
+
+    rows = [
+        (i, [float(x) for x in np.arange(64.0) * ((i % 2) + 1)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = _kmeans_centers(df, "embedding", 16, 42)
+    assert 1 <= len(centers) <= 16
+    out = pq_topk(df.limit(2), df, k=3, m=16, codebook=32, dims=64)
+    assert out.count() > 0
+
+
+def test_meta_publish_unique_tmp_and_aged_reap(tmp_path):
+    """Round-12 ADVICE: _write_index_meta must use a UNIQUE tmp name
+    (a fixed name let compaction's strand-reap delete a concurrent
+    publisher's in-flight tmp mid-rename) and _reap_stale_tmps must
+    only remove AGED strands."""
+    import json
+    import os
+    import time
+
+    from advanced_strapi_import_spark.operators.similarity import (
+        _reap_stale_tmps, _write_index_meta,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+
+    seen = []
+    real_rename = os.rename
+
+    def spy_rename(src, dst):
+        seen.append(os.path.basename(src))
+        return real_rename(src, dst)
+
+    os.rename = spy_rename
+    try:
+        _write_index_meta(d, {"a": 1})
+        _write_index_meta(d, {"a": 2})
+    finally:
+        os.rename = real_rename
+    assert len(seen) == 2 and seen[0] != seen[1], "tmp names must differ"
+    assert all(s.startswith("meta.json.tmp.") for s in seen)
+    assert json.load(open(f"{d}/meta.json")) == {"a": 2}
+
+    # aged strand reaped; fresh strand (possible in-flight publish)
+    # and the live meta.json survive
+    aged = f"{d}/meta.json.tmp.1.aaaa"
+    open(aged, "w").write("{}")
+    past = time.time() - 7200
+    os.utime(aged, (past, past))
+    fresh = f"{d}/meta.json.tmp.2.bbbb"
+    open(fresh, "w").write("{}")
+    _reap_stale_tmps(d, "meta.json.tmp")
+    assert not os.path.exists(aged)
+    assert os.path.exists(fresh)
+    assert os.path.exists(f"{d}/meta.json")

@@ -567,14 +567,25 @@ def test_compaction_kill_points_keyed_store(spark, tmp_path):
     assert g == 0
     assert os.path.isdir(os.path.join(store_b, "gen=1"))
     assert totals(store_b) == {0: 2, 1: 2}
-    # recovery: next compaction reaps the orphan (and any stranded
-    # marker tmp) and publishes cleanly
-    with open(os.path.join(store_b, "_gen.tmp"), "w") as f:
+    # recovery: next compaction reaps the orphan (and any AGED stranded
+    # marker tmp — a fresh one may be another publisher's in-flight
+    # write and must survive, round-12 ADVICE) and publishes cleanly
+    import time as _time
+
+    aged = os.path.join(store_b, "_gen.tmp.12345.deadbeef")
+    with open(aged, "w") as f:
+        f.write("99")
+    past = _time.time() - 7200
+    os.utime(aged, (past, past))
+    fresh = os.path.join(store_b, "_gen.tmp.12345.cafebabe")
+    with open(fresh, "w") as f:
         f.write("99")
     assert ST._compact_batch_state(
         spark, store_b, schema, merge, threshold=4
     )
-    assert not os.path.exists(os.path.join(store_b, "_gen.tmp"))
+    assert not os.path.exists(aged), "aged strand must be reaped"
+    assert os.path.exists(fresh), "fresh (in-flight) tmp must survive"
+    os.remove(fresh)
     g, gd = ST._live_gen(store_b)
     assert g == 1 and ST._compacted_upto(gd) == 3
     assert totals(store_b) == {0: 2, 1: 2}
