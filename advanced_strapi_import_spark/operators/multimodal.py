@@ -678,33 +678,55 @@ def png_decode_pixels(data: bytes):
     bpp = ch
     for y in range(h):
         f = int(rows[y, 0])
-        row = rows[y, 1:].astype(np.int32)
         if f == 0:
-            rec = row
+            rec = rows[y, 1:].astype(np.int32)
         elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
-            rec = (np.cumsum(row.reshape(w, bpp), axis=0) & 255).reshape(
-                stride
-            )
+            rec = (
+                np.cumsum(rows[y, 1:].astype(np.int32).reshape(w, bpp),
+                          axis=0) & 255
+            ).reshape(stride)
         elif f == 2:  # Up
-            rec = (row + prev) & 255
-        elif f == 3:  # Average: sequential along x
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (row[x] + (left + prev[x]) // 2) & 255
-        elif f == 4:  # Paeth: sequential along x
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (row[x] + pred) & 255
+            rec = (rows[y, 1:] + prev) & 255
+        elif f == 3:
+            # Average: sequential along x (recon[x] needs recon[x-bpp])
+            # — a pure-Python LIST loop: numpy scalar indexing cost
+            # ~5x a list index, and these rows were the whole PNG
+            # decode floor (round-12 profile)
+            row_l = rows[y, 1:].tolist()
+            prev_l = prev.tolist()
+            rec_l = row_l[:bpp]
+            for x in range(bpp):
+                rec_l[x] = (row_l[x] + prev_l[x] // 2) & 255
+            ap = rec_l.append
+            for x in range(bpp, stride):
+                ap((row_l[x] + (rec_l[x - bpp] + prev_l[x]) // 2) & 255)
+            rec = np.array(rec_l, np.int32)
+        elif f == 4:  # Paeth: sequential along x, same list form
+            row_l = rows[y, 1:].tolist()
+            prev_l = prev.tolist()
+            rec_l = []
+            ap = rec_l.append
+            for x in range(bpp):
+                # a = c = 0: predictor reduces to b = prev[x]
+                ap((row_l[x] + prev_l[x]) & 255)
+            for x in range(bpp, stride):
+                a = rec_l[x - bpp]
+                b = prev_l[x]
+                c = prev_l[x - bpp]
+                sa = b - c  # p - a
+                sb = a - c  # p - b
+                sc = sa + sb  # p - c
+                pa = -sa if sa < 0 else sa
+                pb = -sb if sb < 0 else sb
+                pc = -sc if sc < 0 else sc
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                ap((row_l[x] + pred) & 255)
+            rec = np.array(rec_l, np.int32)
         else:
             raise ValueError("bad PNG filter type")
-        out[y] = rec.astype(np.uint8)
+        out[y] = rec
         prev = rec
     return w, h, ch, out
 
@@ -1605,6 +1627,38 @@ def _huff_canonical(bits, vals):
     return out
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_decode_lut(bits, vals):
+    """Flat 16-bit lookahead table for Huffman DECODE (round 12): 65536
+    slots, ``lut[next16bits] = (symbol << 5) | code_length`` (0 =
+    invalid prefix). One list index replaces the former bit-by-bit walk
+    (up to 16 ``bits(1)`` calls + dict probes per symbol) — the entropy
+    decoder was ~85% of JPEG decode time in the round-12 profile.
+    Prefix-freeness makes the 16-bit peek exact: whatever code the
+    bit-walk would have matched first is the unique code prefixing the
+    window, and only its length is consumed.
+
+    Build cost is ~1 ms/table (C-level slice fills), amortized by a
+    module cache keyed on the DHT (bits, vals) bytes — virtually all
+    real JPEGs ship the Annex K tables, so the cache hits across
+    images (and across Arrow batches in the decode stages)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    canon = _huff_canonical(bits, vals)
+    lut = [0] * 65536
+    for sym, (code, ln) in canon.items():
+        lo = code << (16 - ln)
+        lut[lo:lo + (1 << (16 - ln))] = [(sym << 5) | ln] * (1 << (16 - ln))
+    if len(_HUFF_LUT_CACHE) >= 64:  # bound: 64 tables ~ 35 MB
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
 def _dct_basis():
     import numpy as np
 
@@ -2213,20 +2267,29 @@ class _BitReader:
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
-        self._fill()
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
+        if self.nbits < n:  # top up only when short (round 12: the
+            self._fill()    # unconditional refill was ~45% of the
+        nb = self.nbits - n  # progressive decode profile)
+        self.nbits = nb
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.acc &= (1 << nb) - 1
         return v
 
-    def huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG: huffman code overrun")
+    def huff(self, lut: list) -> int:
+        """Decode one symbol via a :func:`_huff_decode_lut` table: peek
+        16 bits, one list index, consume only the code's length.
+        Equivalent to the former bit-by-bit canonical walk (prefix
+        codes are unique per window; the synthetic 1-pad at stream end
+        feeds the peek exactly as it fed ``bits(1)``)."""
+        if self.nbits < 16:
+            self._fill()
+        e = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid JPEG: huffman code overrun")
+        n = self.nbits - (e & 31)
+        self.nbits = n
+        self.acc &= (1 << n) - 1
+        return e >> 5
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -2308,8 +2371,7 @@ def jpeg_decode_pixels(data: bytes):
                 bits = body[i + 1:i + 17]
                 nsym = sum(bits)
                 vals = body[i + 17:i + 17 + nsym]
-                canon = _huff_canonical(bits, vals)
-                lut = {(ln, code): sym for sym, (code, ln) in canon.items()}
+                lut = _huff_decode_lut(bits, vals)
                 (dc_tables if cls == 0 else ac_tables)[tid] = lut
                 i += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline
@@ -2372,55 +2434,198 @@ def jpeg_decode_pixels(data: bytes):
     else:
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.uint8)
-        for c in comps
-    ]
     preds = [0] * len(comps)
-    br = _BitReader(data, pos)
 
-    def decode_block(dct, act, q, pred):
-        zz = np.zeros(64, dtype=np.int64)
-        s = br.huff(dct)
-        pred += _jpeg_extend(br.bits(s), s)
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            rs = br.huff(act)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            if k > 63:
-                raise ValueError("invalid JPEG: AC index overrun")
-            zz[k] = _jpeg_extend(br.bits(rs & 15), rs & 15)
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[list(_JPEG_ZIGZAG)] = zz * q
-        blk = m.T @ coef.reshape(8, 8) @ m
-        return np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8), pred
+    # Round-12 split: the SEQUENTIAL entropy pass fills per-component
+    # zigzag coefficient lists (plain Python ints — no per-block numpy
+    # allocation; the old per-block zeros/scatter/matmul/clip was
+    # ~15-30 us of numpy call overhead per 64-coefficient block), then
+    # dequant + de-zigzag + 2D IDCT + level shift run ONCE per
+    # component, vectorized across all of its blocks — the same
+    # batched form the progressive decoder has used since round 9.
+    # The bit-reader state (acc/nbits/p) lives in LOCALS with the
+    # fill/huff/receive/extend steps inlined: at ~3 method calls per
+    # coefficient the _BitReader object form was half the remaining
+    # decode time (round-12 profile). Semantics are _BitReader's
+    # exactly — same synthetic 1-pad at stream end, same
+    # marker-never-consumed fill, same restart handling.
+    zz_lists: list[list] = [[] for _ in comps]  # per comp: flat zigzag
+    # per-MCU emission schedule: (comp_index, n_blocks, zz_list)
+    sched = []
+    for ci, td, ta in scan:
+        _, hs, vs, tq = comps[ci]
+        if len(comps) == 1:
+            hs = vs = 1  # non-interleaved: MCU is one block
+        sched.append((ci, vs * hs, zz_lists[ci],
+                      dc_tables[td], ac_tables[ta]))
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            n = my * mcux + mx
-            if ri and n and n % ri == 0:
-                br.align_restart()
-                preds = [0] * len(comps)
-            for ci, td, ta in scan:
-                _, hs, vs, tq = comps[ci]
-                if len(comps) == 1:
-                    hs = vs = 1  # non-interleaved: MCU is one block
-                for byy in range(vs):
-                    for bxx in range(hs):
-                        px, preds[ci] = decode_block(
-                            dc_tables[td], ac_tables[ta],
-                            qtables[tq], preds[ci],
+    d = data
+    dlen = len(d)
+    acc = 0
+    nbits = 0
+    p = pos
+    for n in range(mcuy * mcux):
+        if ri and n and n % ri == 0:
+            # align_restart: drop pad/synthetic bits, skip fill 0xFFs,
+            # consume the expected RSTn, reset DC predictors
+            acc = 0
+            nbits = 0
+            while p + 1 < dlen and d[p] == 0xFF and d[p + 1] == 0xFF:
+                p += 1
+            if p + 1 < dlen and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+            else:
+                raise ValueError("invalid JPEG: expected restart marker")
+            preds = [0] * len(comps)
+        for ci, nb, out, dct_t, ac_t in sched:
+            pred = preds[ci]
+            for _ in range(nb):
+                zz = [0] * 64
+                # -- DC: huff symbol + receive/extend ----------------
+                if nbits < 16:
+                    while nbits <= 24:
+                        if p >= dlen:
+                            acc = (acc << 8) | 0xFF
+                            nbits += 8
+                            continue
+                        bch = d[p]
+                        if bch == 0xFF:
+                            nxt = d[p + 1] if p + 1 < dlen else 0xD9
+                            if nxt == 0x00:
+                                p += 2
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                nbits += 8
+                                continue
+                        else:
+                            p += 1
+                        acc = (acc << 8) | bch
+                        nbits += 8
+                e = dct_t[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid JPEG: huffman code overrun")
+                nbits -= e & 31
+                acc &= (1 << nbits) - 1
+                s = e >> 5
+                if s:
+                    if nbits < s:
+                        while nbits <= 24:
+                            if p >= dlen:
+                                acc = (acc << 8) | 0xFF
+                                nbits += 8
+                                continue
+                            bch = d[p]
+                            if bch == 0xFF:
+                                nxt = d[p + 1] if p + 1 < dlen else 0xD9
+                                if nxt == 0x00:
+                                    p += 2
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    nbits += 8
+                                    continue
+                            else:
+                                p += 1
+                            acc = (acc << 8) | bch
+                            nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    acc &= (1 << nbits) - 1
+                    if v < 1 << (s - 1):
+                        v += 1 - (1 << s)
+                    pred += v
+                zz[0] = pred
+                # -- AC run-length loop ------------------------------
+                k = 1
+                while k < 64:
+                    if nbits < 16:
+                        while nbits <= 24:
+                            if p >= dlen:
+                                acc = (acc << 8) | 0xFF
+                                nbits += 8
+                                continue
+                            bch = d[p]
+                            if bch == 0xFF:
+                                nxt = d[p + 1] if p + 1 < dlen else 0xD9
+                                if nxt == 0x00:
+                                    p += 2
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    nbits += 8
+                                    continue
+                            else:
+                                p += 1
+                            acc = (acc << 8) | bch
+                            nbits += 8
+                    e = ac_t[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError(
+                            "invalid JPEG: huffman code overrun"
                         )
-                        r0 = (my * vs + byy) * 8
-                        c0 = (mx * hs + bxx) * 8
-                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
+                    nbits -= e & 31
+                    acc &= (1 << nbits) - 1
+                    rs = e >> 5
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("invalid JPEG: AC index overrun")
+                    s = rs & 15
+                    if nbits < s:
+                        while nbits <= 24:
+                            if p >= dlen:
+                                acc = (acc << 8) | 0xFF
+                                nbits += 8
+                                continue
+                            bch = d[p]
+                            if bch == 0xFF:
+                                nxt = d[p + 1] if p + 1 < dlen else 0xD9
+                                if nxt == 0x00:
+                                    p += 2
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    nbits += 8
+                                    continue
+                            else:
+                                p += 1
+                            acc = (acc << 8) | bch
+                            nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    acc &= (1 << nbits) - 1
+                    if v < 1 << (s - 1):
+                        v += 1 - (1 << s)
+                    zz[k] = v
+                    k += 1
+                out.extend(zz)
+            preds[ci] = pred
+
+    planes = []
+    zz_nat = list(_JPEG_ZIGZAG)
+    for ci, (c, out) in enumerate(zip(comps, zz_lists)):
+        _, hs, vs, tq = c
+        if len(comps) == 1:
+            hs = vs = 1
+        bw_, bh_ = mcux * hs, mcuy * vs
+        nblk = bh_ * bw_
+        dq = np.array(out, dtype=np.int64).reshape(nblk, 64) * qtables[tq]
+        coef = np.zeros((nblk, 64), dtype=np.float64)
+        coef[:, zz_nat] = dq
+        blocks = coef.reshape(nblk, 8, 8)
+        # same per-slice BLAS matmuls as the old per-block m.T @ b @ m,
+        # so float results are bit-identical — just batched
+        spat = np.matmul(np.matmul(m.T, blocks), m)
+        px = np.clip(np.round(spat) + 128, 0, 255).astype(np.uint8)
+        # blocks were emitted MCU-major: (my, mx, byy, bxx) with the
+        # byy/bxx sub-grid innermost — reorder to a raster plane
+        plane = (
+            px.reshape(mcuy, mcux, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+        planes.append(plane)
     return _jpeg_reconstruct(w, h, comps, planes, hmax, vmax)
 
 
@@ -2503,7 +2708,7 @@ def _jpeg_decode_progressive(data: bytes):
                 block[0] = preds[ci] << al
             else:  # refinement: one bit per block
                 if br.bits(1):
-                    block[0] = int(block[0]) | p1
+                    block[0] = block[0] | p1
 
         def ac_first(block, ta):
             nonlocal eobrun
@@ -2553,7 +2758,7 @@ def _jpeg_decode_progressive(data: bytes):
                             break
                         sval = 0  # ZRL in refine: skip 16 zero-history
                     while k <= se:
-                        c = int(block[k])
+                        c = block[k]
                         if c:
                             if br.bits(1) and (c & p1) == 0:
                                 block[k] = c + (p1 if c >= 0 else m1)
@@ -2571,7 +2776,7 @@ def _jpeg_decode_progressive(data: bytes):
                     k += 1
             if eobrun:
                 while k <= se:
-                    c = int(block[k])
+                    c = block[k]
                     if c and br.bits(1) and (c & p1) == 0:
                         block[k] = c + (p1 if c >= 0 else m1)
                     k += 1
@@ -2592,10 +2797,14 @@ def _jpeg_decode_progressive(data: bytes):
                             preds[key] = 0
                     for ci, td, ta in scomps:
                         _, hs, vs, _ = comps[ci]
+                        bw_ci = coef_dims[ci][1]
                         for byy in range(vs):
                             for bxx in range(hs):
                                 dc_block(
-                                    coefs[ci][my * vs + byy, mx * hs + bxx],
+                                    coefs[ci][
+                                        (my * vs + byy) * bw_ci
+                                        + (mx * hs + bxx)
+                                    ],
                                     ci, td,
                                 )
                     n += 1
@@ -2603,18 +2812,19 @@ def _jpeg_decode_progressive(data: bytes):
             ci, td, ta = scomps[0]
             _, hs, vs, _ = comps[ci]
             if len(comps) == 1:
-                nbh, nbw = coefs[ci].shape[:2]
+                nbh, nbw = coef_dims[ci]
             else:  # the component's OWN block grid, not the MCU pad
                 nbw = (-(-(w * hs) // hmax) + 7) // 8
                 nbh = (-(-(h * vs) // vmax) + 7) // 8
             n = 0
+            bw_ci = coef_dims[ci][1]
             for by in range(nbh):
                 for bx in range(nbw):
                     if ri and n and n % ri == 0:
                         br.align_restart()
                         preds[ci] = 0
                         eobrun = 0
-                    block = coefs[ci][by, bx]
+                    block = coefs[ci][by * bw_ci + bx]
                     if ss == 0:
                         dc_block(block, ci, td)
                     else:
@@ -2654,8 +2864,7 @@ def _jpeg_decode_progressive(data: bytes):
                 bits = body[i + 1:i + 17]
                 nsym = sum(bits)
                 vals = body[i + 17:i + 17 + nsym]
-                canon = _huff_canonical(bits, vals)
-                lut = {(ln, code): sym for sym, (code, ln) in canon.items()}
+                lut = _huff_decode_lut(bits, vals)
                 (dc_tables if cls == 0 else ac_tables)[tid] = lut
                 i += 17 + nsym
         elif marker == 0xC2:
@@ -2684,16 +2893,22 @@ def _jpeg_decode_progressive(data: bytes):
                     raise ValueError(
                         "unsupported JPEG: non-dividing sampling"
                     )
+            # per-component coefficient store: PYTHON lists of 64-int
+            # blocks (round 12 — the refinement scans read/write one
+            # coefficient at a time, and numpy scalar access cost ~5x
+            # a list index); converted to one ndarray per component
+            # for the batched IDCT after the last scan
             if ncomp == 1:
                 mcux, mcuy = (w + 7) // 8, (h + 7) // 8
-                coefs = [np.zeros((mcuy, mcux, 64), dtype=np.int32)]
+                coef_dims = [(mcuy, mcux)]
             else:
                 mcux = (w + 8 * hmax - 1) // (8 * hmax)
                 mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-                coefs = [
-                    np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
-                    for c in comps
-                ]
+                coef_dims = [(mcuy * c[2], mcux * c[1]) for c in comps]
+            coefs = [
+                [[0] * 64 for _ in range(bh_ * bw_)]
+                for bh_, bw_ in coef_dims
+            ]
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("invalid JPEG: mixed SOF segments")
@@ -2720,11 +2935,13 @@ def _jpeg_decode_progressive(data: bytes):
     m = _dct_basis()
     zz_nat = list(_JPEG_ZIGZAG)
     planes = []
-    for (cid, hs, vs, tq), cf in zip(comps, coefs):
+    for (cid, hs, vs, tq), cf, (bh, bw) in zip(comps, coefs, coef_dims):
         if tq not in qtables:
             raise ValueError("invalid JPEG: missing quantization table")
-        bh, bw = cf.shape[:2]
-        dq = cf.astype(np.int64) * qtables[tq]          # (bh, bw, 64) zigzag
+        dq = (
+            np.array(cf, dtype=np.int64).reshape(bh, bw, 64)
+            * qtables[tq]
+        )  # (bh, bw, 64) zigzag
         nat = np.zeros((bh, bw, 64), dtype=np.float64)
         nat[:, :, zz_nat] = dq
         blocks = nat.reshape(bh, bw, 8, 8)
