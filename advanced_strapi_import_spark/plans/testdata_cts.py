@@ -52,7 +52,41 @@ TESTDATA_REGISTRY = Registry.from_dict(
                     },
                 },
             },
+            # §3.1 composed-endpoint CT (round 12): every operator class
+            # of the import pipeline on one content type — casts +
+            # required/enum/email checks, an FK cascade relation, a
+            # single component from dot columns, and a media field
+            # filled by filename matching
+            "customer_pipeline_import": {
+                "uid": "api::custpipe.custpipe",
+                "attributes": {
+                    "custkey": {"type": "integer"},
+                    "name": {"type": "string", "required": True},
+                    "acctbal": {"type": "float"},
+                    "active": {"type": "boolean"},
+                    "email": {"type": "email"},
+                    "segment": {"type": "enumeration", "enum": SEGMENT_ENUM},
+                    "nation": {
+                        "type": "relation",
+                        "relation": "manyToOne",
+                        "target": "nation_dim",
+                    },
+                    "address": {
+                        "type": "component",
+                        "component": "common.address",
+                    },
+                    "docs": {"type": "media"},
+                },
+            },
         },
-        "components": {},
+        "components": {
+            "common.address": {
+                "uid": "common.address",
+                "attributes": {
+                    "city": {"type": "string"},
+                    "zip": {"type": "integer"},
+                },
+            },
+        },
     }
 )
