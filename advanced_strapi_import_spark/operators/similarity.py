@@ -764,9 +764,12 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
     """Seeded joint trainer for the composed IVF+PQ paths: IVF
     centroids (k-means++ with incremental running min + 20 Lloyd
     passes via the matmul expansion, same recipe as _kmeans_centers)
-    followed by per-subspace PQ codebooks (same trainer as pq_topk),
-    all from ONE rng stream so results are deterministic and shared
-    between the inline operator and the stored index. Returns
+    followed by per-subspace PQ codebooks trained on RESIDUALS
+    (v - assigned cell centroid — classical IVFADC; the residual
+    distribution is tighter than the raw vectors, so the same byte
+    budget quantizes finer and recall rises), all from ONE rng stream
+    so results are deterministic and shared between the inline
+    operator and the stored index. Returns
     (centers (cells x d), books (m x codebook x d/m))."""
     import numpy as np
 
@@ -794,9 +797,13 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
             members = sample[assign == c_i]
             if len(members):
                 centers[c_i] = members.mean(axis=0)
+    # residuals under the FINAL centroids (one more assignment pass so
+    # the encode-side residual definition matches exactly)
+    d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
+    resid = sample - centers[d2.argmin(axis=1)]
     books = np.empty((m, codebook, sub_d))
     for j in range(m):
-        sub = sample[:, j * sub_d:(j + 1) * sub_d]
+        sub = resid[:, j * sub_d:(j + 1) * sub_d]
         cb = np.empty((codebook, sub_d))
         cb[0] = sub[rng.randint(len(sub))]
         cd2 = ((sub - cb[0]) ** 2).sum(1)
@@ -823,6 +830,65 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
     return centers, books
 
 
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """IVFADC+R refinement arm (round 12, Jegou et al.'s re-ranked
+    product quantization): the ADC shortlist's (query_id, neighbor_id)
+    pairs fetch their TRUE vectors by id and re-rank with exact L2 on
+    the normalized vectors (== cosine order). The shortlist is
+    nq x R rows — at 1e9 corpus rows this is a broadcast semi-join
+    point-fetch, not a scan; only the winners' ids ever left the
+    byte-code table. Shared verbatim by ivfpq_topk and
+    ivfpq_query_index so served results stay bit-equal to inline."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), dbl.alias("__nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), dbl.alias("__qv")
+    )
+    joined = (
+        short.select("query_id", "neighbor_id")
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+    )
+
+    def _norm(col):
+        n = F.sqrt(F.aggregate(
+            F.transform(col, lambda a: a * a),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)  # _unit's rule
+
+    dot = F.aggregate(
+        F.zip_with("__qv", "__nv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    exact = joined.withColumn(
+        "approx_d2",
+        F.round(
+            F.lit(2.0)
+            - F.lit(2.0) * dot / (_norm(F.col("__qv")) * _norm(F.col("__nv"))),
+            9,
+        ),
+    ).drop("__qv", "__nv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -837,6 +903,7 @@ def ivfpq_topk(
     seed: int = 42,
     dims: int | None = 64,
     max_query_rows: int = 4096,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF+PQ ANN — the canonical billion-scale serving shape the two
     standalone operators compose into: IVF gates WHICH rows get scored
@@ -847,6 +914,15 @@ def ivfpq_topk(
     full vectors for every candidate. Composed, a 1e9-row corpus at
     the defaults costs ~nprobe/cells of an exhaustive scan over an
     ~16-bytes/row table.
+
+    Round 12: codes quantize the RESIDUAL v - c_cell (classical
+    IVFADC — tighter distribution, finer quantization at the same
+    byte budget), with the per-(query,cell) ADC table decomposed into
+    per-query + per-cell tables + the probe-time scalar so memory
+    stays nq*m*codebook + cells*m*codebook. ``rerank=R`` adds the
+    IVFADC+R refinement arm: the R ADC winners fetch their true
+    vectors by id for an exact L2 re-rank (measured at sf0.1:
+    mean recall 0.68 raw -> 0.70 residual -> 0.83 with rerank=20).
 
     Everything runs on L2-NORMALIZED vectors (so approximate L2 ranks
     like cosine, same contract as pq_topk): one seeded trainer builds
@@ -922,10 +998,22 @@ def ivfpq_topk(
     probe_df = queries.sparkSession.createDataFrame(
         probes, "query_id long, __qi int, cell int"
     )
+    # RESIDUAL ADC (round 12 — classical IVFADC): candidates are coded
+    # as q(v - c_cell), so the true table is per (query, cell):
+    #   ||(q-c)_j - b_jk||^2
+    #     = ||q_j - b_jk||^2 + 2 c_j.b_jk + (||c||^2 - 2 q.c)
+    # The first term is the old per-QUERY table (nq x m*codebook), the
+    # second a per-CELL table (cells x m*codebook) shared by all
+    # queries, the third a (q, cell) SCALAR already computed for
+    # probing: qd2 - ||q||^2. No per-(query,cell) table blowup.
     tables_flat = np.stack([
         ((q.reshape(m, 1, sub_d) - books) ** 2).sum(2).ravel()
         for q in q_mat
     ])  # (nq, m*codebook)
+    cb_flat = np.einsum(
+        "cjd,jkd->cjk", centers.reshape(len(centers), m, sub_d), books
+    ).reshape(len(centers), m * codebook)  # (cells, m*codebook)
+    corr = qd2 - (q_mat ** 2).sum(1)[:, None]  # (nq, cells)
     flat_base = (np.arange(m) * codebook).astype(np.int64)
 
     def _enc(it):
@@ -939,7 +1027,7 @@ def ivfpq_topk(
             d2c = (mat ** 2).sum(1, keepdims=True) \
                 - 2.0 * (mat @ centers.T) + c2[None]
             cell = d2c.argmin(1).astype("int32")
-            sub = mat.reshape(len(mat), m, sub_d)
+            sub = (mat - centers[cell]).reshape(len(mat), m, sub_d)
             cross = np.einsum("bjd,jkd->bjk", sub, books)
             codes = (b2[None] - 2.0 * cross).argmin(2).astype("int32")
             yield pd.DataFrame({
@@ -956,15 +1044,22 @@ def ivfpq_topk(
         )
     )
 
-    def _adc(qi, codes):
+    def _adc(qi, cell, codes):
         if len(qi) == 0:
             return pd.Series([], dtype="float64")
+        qi_np = qi.to_numpy()
+        cell_np = cell.to_numpy()
         flat = flat_base[None, :] + np.stack(codes.to_numpy())
-        d = tables_flat[qi.to_numpy()[:, None], flat].sum(1)
+        d = (
+            tables_flat[qi_np[:, None], flat].sum(1)
+            + 2.0 * cb_flat[cell_np[:, None], flat].sum(1)
+            + corr[qi_np, cell_np]
+        )
         return pd.Series(np.round(d, 9))
 
     _adc.__annotations__ = {
-        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+        "qi": pd.Series, "cell": pd.Series, "codes": pd.Series,
+        "return": pd.Series,
     }
     adc = F.pandas_udf(_adc, "double")
 
@@ -975,15 +1070,23 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            adc(F.col("__qi"), F.col("codes")).alias("approx_d2"),
+            adc(F.col("__qi"), F.col("cell"), F.col("codes"))
+            .alias("approx_d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2"), F.col("neighbor_id")
     )
-    return scored.withColumn(
-        "rank", F.row_number().over(w)
-    ).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (rerank if rerank else k)
+    )
+    if rerank:
+        # IVFADC+R: ADC picks the R-deep shortlist, exact L2 on the
+        # fetched true vectors settles the final top-k
+        return _exact_rerank(
+            out, queries, corpus, k=k, vec_col=vec_col, id_col=id_col
+        )
+    return out
 
 
 def build_ivfpq_index(
@@ -1067,7 +1170,8 @@ def build_ivfpq_index(
             d2c = (mat ** 2).sum(1, keepdims=True) \
                 - 2.0 * (mat @ centers.T) + c2[None]
             cell = d2c.argmin(1).astype("int32")
-            sub = mat.reshape(len(mat), m, sub_d)
+            # residual encode (round 12): codes quantize v - c_cell
+            sub = (mat - centers[cell]).reshape(len(mat), m, sub_d)
             cross = np.einsum("bjd,jkd->bjk", sub, books)
             codes = (b2[None] - 2.0 * cross).argmin(2).astype("int32")
             yield pd.DataFrame({
@@ -1089,7 +1193,8 @@ def build_ivfpq_index(
     _write_index_meta(
         path,
         {"cells": cells, "m": m, "codebook": codebook,
-         "dims": dims if dims is not None else sample.shape[1]},
+         "dims": dims if dims is not None else sample.shape[1],
+         "encoding": "residual"},
     )
 
 
@@ -1103,6 +1208,8 @@ def ivfpq_query_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_query_rows: int = 4096,
+    rerank: int = 0,
+    rerank_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a stored IVF+PQ index: centroids + books
     load to the driver (KBs), each query's nprobe cells and its ADC
@@ -1119,6 +1226,13 @@ def ivfpq_query_index(
     from pyspark.sql.window import Window
 
     meta = _require_index_meta(path)
+    if meta.get("encoding") != "residual":
+        raise ValueError(
+            "ivfpq_query_index: index at %r uses pre-residual raw PQ "
+            "codes (meta lacks encoding=residual) — rebuild with "
+            "build_ivfpq_index; serving it with residual ADC tables "
+            "would silently mis-rank" % path
+        )
     m = meta["m"]
     codebook = meta["codebook"]
     dims = meta.get("dims")
@@ -1164,21 +1278,34 @@ def ivfpq_query_index(
         probes, "query_id long, __qi int, cell int"
     )
     wanted = sorted({p[2] for p in probes})
+    # residual ADC decomposition — same three terms as ivfpq_topk:
+    # per-query table + per-cell table + the (q, cell) scalar qd2-q2
     tables_flat = np.stack([
         ((q.reshape(m, 1, sub_d) - books) ** 2).sum(2).ravel()
         for q in q_mat
     ])
+    cb_flat = np.einsum(
+        "cjd,jkd->cjk", centers.reshape(len(centers), m, sub_d), books
+    ).reshape(len(centers), m * codebook)
+    corr = qd2 - (q_mat ** 2).sum(1)[:, None]
     flat_base = (np.arange(m) * codebook).astype(np.int64)
 
-    def _adc(qi, codes):
+    def _adc(qi, cell, codes):
         if len(qi) == 0:
             return pd.Series([], dtype="float64")
+        qi_np = qi.to_numpy()
+        cell_np = cell.to_numpy()
         flat = flat_base[None, :] + np.stack(codes.to_numpy())
-        d = tables_flat[qi.to_numpy()[:, None], flat].sum(1)
+        d = (
+            tables_flat[qi_np[:, None], flat].sum(1)
+            + 2.0 * cb_flat[cell_np[:, None], flat].sum(1)
+            + corr[qi_np, cell_np]
+        )
         return pd.Series(np.round(d, 9))
 
     _adc.__annotations__ = {
-        "qi": pd.Series, "codes": pd.Series, "return": pd.Series,
+        "qi": pd.Series, "cell": pd.Series, "codes": pd.Series,
+        "return": pd.Series,
     }
     adc = F.pandas_udf(_adc, "double")
     cand = spark.read.parquet(f"{path}/codes").filter(
@@ -1191,15 +1318,29 @@ def ivfpq_query_index(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            adc(F.col("__qi"), F.col("codes")).alias("approx_d2"),
+            adc(F.col("__qi"), F.col("cell"), F.col("codes"))
+            .alias("approx_d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2"), F.col("neighbor_id")
     )
-    return scored.withColumn(
-        "rank", F.row_number().over(w)
-    ).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (rerank if rerank else k)
+    )
+    if rerank:
+        if rerank_corpus is None:
+            raise ValueError(
+                "ivfpq_query_index: rerank > 0 needs rerank_corpus — "
+                "the stored index holds byte-codes only; the exact "
+                "refinement arm fetches true vectors by id from the "
+                "caller-provided corpus frame"
+            )
+        return _exact_rerank(
+            out, queries, rerank_corpus, k=k,
+            vec_col=vec_col, id_col=id_col,
+        )
+    return out
 
 
 def _kmeans_centers(corpus: DataFrame, vec_col: str, cells: int, seed: int):

@@ -1523,22 +1523,26 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id AS query_id, TRUE AS recall_floor_ok, TRUE AS mean_recall_ok
 FROM embeddings WHERE vec_id % 97 = 0
 """,
-    doc="IVF+PQ composed ANN (round 11) — the canonical billion-scale "
-        "serving shape neither standalone operator covers: IVF gates "
-        "WHICH rows get scored (each query touches only its nprobe=8 "
-        "nearest of auto_cells(n) k-means cells — constant expected "
-        "cell size, so candidate volume is corpus-size-invariant), PQ "
-        "makes each score CHEAP (rows are 32 byte-codes; scoring is "
-        "32 table lookups per candidate, no vector traffic — at 1e9 "
-        "rows the scan side is ~nprobe/cells of a ~16 B/row table "
-        "where pq_topk alone scans ALL codes and ivf_topk alone reads "
-        "full vectors). One seeded trainer, one Arrow corpus pass for "
-        "(cell, codes), broadcast probe-list equi-join on cell. "
-        "Value-checked like the parents: recall vs brute-force cosine "
-        "top-5 — every query recovers >= 1 true neighbor and mean "
-        "recall >= 0.5, both pinned TRUE by the oracle (measured "
-        "min/mean: 0.60/0.73 @ sf0.001, 0.60/0.80 @ sf0.01, 0.40/0.68 "
-        "@ sf0.1 — seeded, deterministic across runs).",
+    doc="IVF+PQ composed ANN (round 11; round 12 adds RESIDUAL "
+        "encoding + IVFADC+R re-ranking) — the canonical "
+        "billion-scale serving shape: IVF gates WHICH rows get scored "
+        "(each query touches only its nprobe=8 nearest of "
+        "auto_cells(n) k-means cells — constant expected cell size, "
+        "so candidate volume is corpus-size-invariant), PQ makes each "
+        "score CHEAP (rows are 32 byte-codes quantizing the RESIDUAL "
+        "v - c_cell, classical IVFADC; the per-(query,cell) distance "
+        "table decomposes into a per-query table + a per-cell table + "
+        "the already-computed probe scalar, so no table blowup), and "
+        "the rerank=20 refinement arm fetches the 20 ADC winners' "
+        "true vectors BY ID (point lookups, not a scan) for an exact "
+        "L2 re-rank — Jegou et al.'s IVFADC+R, the standard "
+        "production shape. Value-checked: recall vs brute-force "
+        "cosine top-5 — every query recovers >= 1 true neighbor and "
+        "mean recall >= 0.7 (raised from 0.5 this round), both "
+        "pinned TRUE (measured min/mean: 0.60/0.83 @ sf0.001, "
+        "0.80/0.93 @ sf0.01, 0.60/0.83 @ sf0.1 — seeded, "
+        "deterministic; pre-rerank ADC alone reads 0.40/0.70 @ "
+        "sf0.1 vs the nprobe=8 exact-scan ceiling 0.60/0.80).",
 )
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1547,7 +1551,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     corpus = fan_out(emb)
     got = S.ivfpq_topk(
-        queries, corpus, k=5, nprobe=8, m=32, codebook=64
+        queries, corpus, k=5, nprobe=8, m=32, codebook=64, rerank=20
     ).select("query_id", "neighbor_id")
     brute = S.cosine_topk(queries, corpus, k=5).select(
         "query_id", "neighbor_id"
@@ -1566,7 +1570,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.select(
         "query_id",
         (F.col("hits") >= 1).alias("recall_floor_ok"),
-        (mean_recall >= 0.5).alias("mean_recall_ok"),
+        (mean_recall >= 0.7).alias("mean_recall_ok"),
     )
 
 
@@ -1576,18 +1580,23 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id AS query_id, TRUE AS matches_inline, TRUE AS recall_floor_ok
 FROM embeddings WHERE vec_id % 97 = 0
 """,
-    doc="STORED IVF+PQ index serve (round 11 — the serve-many-times "
-        "lifecycle form of embedding_ivfpq_topk): build_ivfpq_index "
-        "trains once and writes centroids/books (KBs) plus the "
-        "byte-code table partitioned by cell; ivfpq_query_index loads "
-        "the KB-sized trainer output to the driver and scans ONLY the "
-        "probed cell partitions (cell IN (...) -> parquet partition "
-        "pruning, plan-asserted in pytest). The gate pins two "
-        "booleans TRUE per query: the served top-5 EQUALS the inline "
-        "operator's top-5 bit-for-bit (one shared seeded trainer — "
-        "storage round-trip and pruning change nothing), and the "
-        "served pool recovers >= 1 exact top-5 neighbor (inherits the "
-        "inline query's measured floors).",
+    doc="STORED IVF+PQ index serve (round 11; round 12: residual "
+        "codes + IVFADC+R — the serve-many-times lifecycle form of "
+        "embedding_ivfpq_topk): build_ivfpq_index trains once and "
+        "writes centroids/books (KBs) plus the residual byte-code "
+        "table partitioned by cell (meta records encoding=residual; "
+        "serving a pre-residual index RAISES instead of silently "
+        "mis-ranking); ivfpq_query_index loads the KB-sized trainer "
+        "output to the driver and scans ONLY the probed cell "
+        "partitions (cell IN (...) -> parquet partition pruning, "
+        "plan-asserted in pytest), then the rerank=20 arm fetches the "
+        "ADC winners' true vectors by id for the exact re-rank (the "
+        "stored index holds no vectors — the caller provides the "
+        "corpus frame). The gate pins two booleans TRUE per query: "
+        "the served top-5 EQUALS the inline operator's top-5 "
+        "bit-for-bit (one shared seeded trainer + the SAME "
+        "_exact_rerank helper), and the served pool recovers >= 1 "
+        "exact top-5 neighbor.",
 )
 def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from advanced_strapi_import_spark.plans.parity_stream import (
@@ -1600,11 +1609,12 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivfpq",
         lambda p: S.build_ivfpq_index(emb, p, m=32, codebook=64),
     )
-    served = S.ivfpq_query_index(spark, idx, queries, k=5, nprobe=8).select(
-        "query_id", "neighbor_id"
-    )
+    served = S.ivfpq_query_index(
+        spark, idx, queries, k=5, nprobe=8,
+        rerank=20, rerank_corpus=fan_out(emb),
+    ).select("query_id", "neighbor_id")
     inline = S.ivfpq_topk(
-        queries, fan_out(emb), k=5, nprobe=8, m=32, codebook=64
+        queries, fan_out(emb), k=5, nprobe=8, m=32, codebook=64, rerank=20
     ).select("query_id", "neighbor_id")
     diff = (
         served.withColumn("__a", F.lit(1))

@@ -571,13 +571,25 @@ def test_lsh_compaction_kill_points(spark, tmp_path):
     assert S._live_vectors_dir(idx_b).endswith("/vectors")
     assert os.path.isdir(os.path.join(idx_b, "vectors_gen1"))
     assert served(idx_b) == want
-    # a stranded meta tmp (crash inside the publish itself) is also
-    # reaped by the recovery call
-    with open(os.path.join(idx_b, "meta.json.tmp"), "w") as fh:
+    # a stranded meta tmp (crash inside the publish itself) is reaped
+    # by the recovery call ONLY once aged — a fresh tmp may be another
+    # publisher's in-flight write and must survive (round-12 ADVICE:
+    # unique tmp names + age-gated reap)
+    import time as _time
+
+    aged_tmp = os.path.join(idx_b, "meta.json.tmp.111.aaaa")
+    with open(aged_tmp, "w") as fh:
         fh.write("{garbage")
+    past = _time.time() - 7200
+    os.utime(aged_tmp, (past, past))
+    fresh_tmp = os.path.join(idx_b, "meta.json.tmp.111.bbbb")
+    with open(fresh_tmp, "w") as fh:
+        fh.write("{}")
     # recovery: next compaction reaps the orphan, then publishes
     assert S.compact_lsh_index(spark, idx_b, max_files_per_bucket=2)
-    assert not os.path.exists(os.path.join(idx_b, "meta.json.tmp"))
+    assert not os.path.exists(aged_tmp), "aged strand must be reaped"
+    assert os.path.exists(fresh_tmp), "fresh in-flight tmp must survive"
+    os.remove(fresh_tmp)
     live = os.path.basename(S._live_vectors_dir(idx_b))
     gens = {p for p in os.listdir(idx_b)
             if p == "vectors" or p.startswith("vectors_gen")}
@@ -788,3 +800,39 @@ def test_meta_publish_unique_tmp_and_aged_reap(tmp_path):
     assert not os.path.exists(aged)
     assert os.path.exists(fresh)
     assert os.path.exists(f"{d}/meta.json")
+
+
+def test_ivfpq_residual_rerank_contracts(spark, tmp_path):
+    """Round-12 IVFADC+R: (a) reranked serve is bit-equal to reranked
+    inline (shared _exact_rerank helper), (b) rerank>0 without a
+    corpus frame raises (the stored index holds byte-codes only),
+    (c) serving a pre-residual index raises instead of silently
+    mis-ranking with residual ADC tables."""
+    import json
+    import os
+
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id % 7 = 0")
+    idx = str(tmp_path / "ivfpq_r")
+    S.build_ivfpq_index(emb, idx, cells=16, m=32, codebook=64)
+    served = sorted(map(tuple, S.ivfpq_query_index(
+        spark, idx, qs, k=5, nprobe=8, rerank=10, rerank_corpus=emb,
+    ).collect()))
+    inline = sorted(map(tuple, S.ivfpq_topk(
+        qs, emb, k=5, cells=16, nprobe=8, m=32, codebook=64, rerank=10,
+    ).collect()))
+    assert served == inline and len(served) > 0
+
+    with pytest.raises(ValueError, match="rerank_corpus"):
+        S.ivfpq_query_index(spark, idx, qs, k=5, rerank=10)
+
+    # legacy (pre-residual) index must be refused
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    meta.pop("encoding")
+    json.dump(meta, open(os.path.join(idx, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="pre-residual"):
+        S.ivfpq_query_index(spark, idx, qs, k=5)
