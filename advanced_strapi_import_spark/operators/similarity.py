@@ -1194,7 +1194,135 @@ def build_ivfpq_index(
         path,
         {"cells": cells, "m": m, "codebook": codebook,
          "dims": dims if dims is not None else sample.shape[1],
-         "encoding": "residual"},
+         "encoding": "residual", "codes_dir": "codes"},
+    )
+
+
+_IVFPQ_TRAINER_CACHE: dict = {}
+
+
+def _load_ivfpq_trainer(spark: SparkSession, path: str):
+    """(meta, centers, books) of a stored IVF+PQ index — the FROZEN
+    trainer every append/serve call reuses (KBs; retraining happens
+    only on an explicit rebuild). meta.json is read FRESH each call
+    (the codes_dir pointer moves on compaction); the trainer arrays
+    are cached per (path, centroids mtime) — they only change on a
+    rebuild, and a maintenance stream calls this per micro-batch.
+    Raises on corrupt meta or a pre-residual index."""
+    import os as _os
+
+    import numpy as np
+
+    meta = _require_index_meta(path)
+    if meta.get("encoding") != "residual":
+        raise ValueError(
+            "ivfpq index at %r uses pre-residual raw PQ codes (meta "
+            "lacks encoding=residual) — rebuild with build_ivfpq_index"
+            % path
+        )
+    m = meta["m"]
+    codebook = meta["codebook"]
+    sub_d = meta["dims"] // m
+    key = (_os.path.realpath(path),
+           _os.path.getmtime(f"{path}/centroids"))
+    hit = _IVFPQ_TRAINER_CACHE.get(key)
+    if hit is None:
+        cent = spark.read.parquet(f"{path}/centroids").orderBy(
+            "cell"
+        ).collect()
+        centers = np.array([r.center for r in cent], dtype=np.float64)
+        brows = spark.read.parquet(f"{path}/books").orderBy(
+            "sub", "code"
+        ).collect()
+        books = np.array(
+            [r.center for r in brows], dtype=np.float64
+        ).reshape(m, codebook, sub_d)
+        if len(_IVFPQ_TRAINER_CACHE) >= 16:
+            _IVFPQ_TRAINER_CACHE.clear()
+        hit = _IVFPQ_TRAINER_CACHE[key] = (centers, books)
+    centers, books = hit
+    return meta, centers, books
+
+
+def append_ivfpq_vectors(
+    batch: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append new vectors INTO a stored IVF+PQ index's cell
+    partitions (round 12, VERDICT r11 task 4): arrivals are encoded
+    with the index's FROZEN trainer (centroids + residual codebooks
+    from disk — KBs on the driver; nothing retrains), so an append is
+    a partition-local byte-code file add — zero rebuild, zero
+    reshuffle of the existing corpus, and the serve path keeps its
+    partition-pruned reads. Pair with :func:`compact_ivfpq_index` on
+    a long-running stream so per-cell file counts stay bounded."""
+    import numpy as np
+    import pandas as pd
+
+    spark = batch.sparkSession
+    meta, centers, books = _load_ivfpq_trainer(spark, path)
+    m = meta["m"]
+    codebook = meta["codebook"]
+    dims = meta["dims"]
+    sub_d = dims // m
+    c2 = (centers ** 2).sum(axis=1)
+    b2 = (books * books).sum(2)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _unit(mat):
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    def _enc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cell": [], "codes": []})
+                continue
+            mat = _unit(np.stack(pdf["v"].to_numpy()))
+            d2c = (mat ** 2).sum(1, keepdims=True) \
+                - 2.0 * (mat @ centers.T) + c2[None]
+            cell = d2c.argmin(1).astype("int32")
+            sub = (mat - centers[cell]).reshape(len(mat), m, sub_d)
+            cross = np.einsum("bjd,jkd->bjk", sub, books)
+            codes = (b2[None] - 2.0 * cross).argmin(2).astype("int32")
+            yield pd.DataFrame({
+                "id": pdf["i"].to_numpy(),
+                "cell": cell,
+                "codes": list(codes),
+            })
+
+    (
+        _width_ok(batch, vec_col, dims)
+        .select(F.col(id_col).alias("i"), dbl.alias("v"))
+        .mapInPandas(_enc, "id long, cell int, codes array<int>")
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/{meta.get('codes_dir', 'codes')}")
+    )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_cell: int = 16,
+) -> bool:
+    """Fold a streamed-into IVF+PQ index back to one file per cell —
+    the cell-partition twin of :func:`compact_lsh_index`, sharing the
+    SAME hardened generation-swap machinery
+    (:func:`_compact_index_store`: atomic codes_dir pointer swap,
+    orphan reap, corrupt-meta and dangling-pointer aborts). Returns
+    True when a compaction ran."""
+    return _compact_index_store(
+        spark, path,
+        pointer_key="codes_dir", default_dir="codes",
+        part_prefix="cell=", part_col="cell",
+        max_files_per_part=max_files_per_cell,
     )
 
 
@@ -1225,25 +1353,12 @@ def ivfpq_query_index(
 
     from pyspark.sql.window import Window
 
-    meta = _require_index_meta(path)
-    if meta.get("encoding") != "residual":
-        raise ValueError(
-            "ivfpq_query_index: index at %r uses pre-residual raw PQ "
-            "codes (meta lacks encoding=residual) — rebuild with "
-            "build_ivfpq_index; serving it with residual ADC tables "
-            "would silently mis-rank" % path
-        )
+    meta, centers, books = _load_ivfpq_trainer(spark, path)
     m = meta["m"]
     codebook = meta["codebook"]
     dims = meta.get("dims")
     sub_d = dims // m
-    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    centers = np.array([r.center for r in cent], dtype=np.float64)
     c2 = (centers ** 2).sum(axis=1)
-    brows = spark.read.parquet(f"{path}/books").orderBy("sub", "code").collect()
-    books = np.array([r.center for r in brows], dtype=np.float64).reshape(
-        m, codebook, sub_d
-    )
 
     def _unit(mat):
         n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1308,9 +1423,9 @@ def ivfpq_query_index(
         "return": pd.Series,
     }
     adc = F.pandas_udf(_adc, "double")
-    cand = spark.read.parquet(f"{path}/codes").filter(
-        F.col("cell").isin(wanted)
-    )
+    cand = spark.read.parquet(
+        f"{path}/{meta.get('codes_dir', 'codes')}"
+    ).filter(F.col("cell").isin(wanted))
     scored = (
         F.broadcast(probe_df)
         .join(cand, "cell")
@@ -1688,31 +1803,32 @@ def append_lsh_vectors(
     )
 
 
-def compact_lsh_index(
+def _compact_index_store(
     spark: SparkSession,
     path: str,
     *,
-    max_files_per_bucket: int = 16,
+    pointer_key: str,
+    default_dir: str,
+    part_prefix: str,
+    part_col: str,
+    max_files_per_part: int,
 ) -> bool:
-    """Fold a streamed-into LSH index back to one file per bucket once
-    any bucket accumulates ``max_files_per_bucket`` data files (round
-    10, VERDICT r9 task 5 — the bucket-partition twin of the keyed
-    stores' generation-swap compaction in ``streaming/ingest.py``).
-    Without this, a long-running maintenance stream adds one file per
-    (bucket, micro-batch) forever and serve-side footer reads grow
-    O(batches).
-
-    Crash safety is the same generation-swap discipline: the rewritten
-    corpus materializes fully under ``vectors_gen<k+1>``, then ONE
-    atomic meta.json replace moves the ``vectors_dir`` pointer; a crash
-    leaves either the old generation live or the new one live, never a
-    mix. Orphaned non-live generations (crash before swap) and
-    superseded ones (crash before cleanup) are reaped best-effort on
-    the next call. Returns True when a compaction ran."""
+    """Generation-swap compaction shared by every partitioned index
+    store (LSH bucket partitions, IVF+PQ cell partitions — round 12
+    generalization of the round-10 LSH compactor; same discipline as
+    the keyed stores in ``streaming/ingest.py``): once any partition
+    accumulates ``max_files_per_part`` data files, the store rewrites
+    fully under ``<default_dir>_gen<k+1>`` and ONE atomic meta.json
+    replace moves the ``pointer_key`` pointer — a crash leaves the old
+    or the new generation live, never a mix. Orphaned and superseded
+    generations reap best-effort on the next call; a
+    present-but-unreadable meta or a dangling pointer aborts with NO
+    reap (the live dir can't be validated — ADVICE r10)."""
     import os as _os
     import re as _re
     import shutil as _shutil
 
+    gen_prefix = f"{default_dir}_gen"
     meta = _read_index_meta(path)
     if meta is None:
         # present-but-unreadable meta: the live pointer is unknown, so
@@ -1720,7 +1836,7 @@ def compact_lsh_index(
         # Do nothing; the caller's stream keeps appending to whatever
         # dir it resolved before the corruption.
         return False
-    live = meta.get("vectors_dir", "vectors")
+    live = meta.get(pointer_key, default_dir)
     live_dir = f"{path}/{live}"
     if not _os.path.isdir(live_dir):
         # a meta that points at a missing live dir is equally suspect —
@@ -1731,17 +1847,17 @@ def compact_lsh_index(
     # intact); reap only AGED strands so a concurrent publisher's
     # in-flight tmp is never deleted (round-12 ADVICE)
     _reap_stale_tmps(path, "meta.json.tmp")
-    # reap every non-live vectors generation, orphan or superseded
+    # reap every non-live generation of THIS store, orphan or superseded
     try:
         for p in _os.listdir(path):
-            if (p == "vectors" or p.startswith("vectors_gen")) and p != live:
+            if (p == default_dir or p.startswith(gen_prefix)) and p != live:
                 _shutil.rmtree(f"{path}/{p}", ignore_errors=True)
     except OSError:
         pass
     worst = 0
     try:
         for b in _os.listdir(live_dir):
-            if b.startswith("bucket="):
+            if b.startswith(part_prefix):
                 n = sum(
                     1
                     for f in _os.listdir(f"{live_dir}/{b}")
@@ -1750,20 +1866,38 @@ def compact_lsh_index(
                 worst = max(worst, n)
     except OSError:
         return False
-    if worst < max_files_per_bucket:
+    if worst < max_files_per_part:
         return False
-    m = _re.fullmatch(r"vectors_gen(\d+)", live)
-    nxt = f"vectors_gen{int(m.group(1)) + 1 if m else 1}"
+    m = _re.fullmatch(gen_prefix.replace("_gen", r"_gen(\d+)"), live)
+    nxt = f"{gen_prefix}{int(m.group(1)) + 1 if m else 1}"
     (
         spark.read.parquet(live_dir)
-        .repartition("bucket")
+        .repartition(part_col)
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy(part_col)
         .parquet(f"{path}/{nxt}")
     )
-    _write_index_meta(path, {**meta, "vectors_dir": nxt})  # the swap
+    _write_index_meta(path, {**meta, pointer_key: nxt})  # the swap
     _shutil.rmtree(live_dir, ignore_errors=True)
     return True
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_bucket: int = 16,
+) -> bool:
+    """Fold a streamed-into LSH index back to one file per bucket once
+    any bucket accumulates ``max_files_per_bucket`` data files (round
+    10, VERDICT r9 task 5). Crash safety and reap rules:
+    :func:`_compact_index_store`. Returns True when a compaction ran."""
+    return _compact_index_store(
+        spark, path,
+        pointer_key="vectors_dir", default_dir="vectors",
+        part_prefix="bucket=", part_col="bucket",
+        max_files_per_part=max_files_per_bucket,
+    )
 
 
 def lsh_query_index(

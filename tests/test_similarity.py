@@ -836,3 +836,90 @@ def test_ivfpq_residual_rerank_contracts(spark, tmp_path):
     json.dump(meta, open(os.path.join(idx, "meta.json"), "w"))
     with pytest.raises(ValueError, match="pre-residual"):
         S.ivfpq_query_index(spark, idx, qs, k=5)
+
+
+def test_ivfpq_compaction_kill_points(spark, tmp_path):
+    """Round-12: the IVF+PQ codes store rides the same generation-swap
+    machinery as the LSH store (_compact_index_store) — fuzz its two
+    crash windows directly: (B) killed between the new-generation
+    write and the meta pointer swap -> old generation stays live and
+    serving is unchanged, next compaction recovers; (A) killed between
+    the pointer swap and the old-generation rmtree -> new generation
+    live, orphan reaped on the next call. Served answers must be
+    identical through every state."""
+    import os
+    import shutil
+
+    import pytest
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id % 97 = 0")
+    idx = str(tmp_path / "ivfpq_kill")
+    S.build_ivfpq_index(emb, idx, cells=16, m=32, codebook=64)
+
+    def served():
+        return sorted(map(tuple, S.ivfpq_query_index(
+            spark, idx, qs, k=5, nprobe=16
+        ).collect()))
+
+    arr = emb.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    S.append_ivfpq_vectors(arr, idx)
+    S.append_ivfpq_vectors(arr.filter("vec_id % 2 = 0"), idx)
+    want = served()
+    assert any(r[1] >= 100000 for r in want), "arrivals must serve"
+
+    # -- window B: crash between generation write and pointer swap ---
+    real_write = S._write_index_meta
+
+    def killed_write(path, meta):
+        raise RuntimeError("killed before pointer swap")
+
+    S._write_index_meta = killed_write
+    try:
+        with pytest.raises(RuntimeError, match="killed"):
+            S.compact_ivfpq_index(spark, idx, max_files_per_cell=2)
+    finally:
+        S._write_index_meta = real_write
+    assert S._require_index_meta(idx).get("codes_dir", "codes") == "codes"
+    assert os.path.isdir(os.path.join(idx, "codes_gen1"))  # orphan
+    assert served() == want
+    # recovery: next compaction reaps the orphan and publishes
+    assert S.compact_ivfpq_index(spark, idx, max_files_per_cell=2)
+    assert S._require_index_meta(idx)["codes_dir"] == "codes_gen1"
+    assert served() == want
+
+    # -- window A: crash between pointer swap and old-gen rmtree -----
+    S.append_ivfpq_vectors(arr.filter("vec_id % 3 = 0"), idx)
+    want2 = served()
+    old_live = os.path.join(idx, "codes_gen1")
+    real_rmtree = shutil.rmtree
+
+    def killed_rmtree(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(old_live):
+            raise RuntimeError("killed before old-gen reap")
+        return real_rmtree(path, *a, **kw)
+
+    shutil.rmtree = killed_rmtree
+    try:
+        with pytest.raises(RuntimeError, match="killed"):
+            S.compact_ivfpq_index(spark, idx, max_files_per_cell=2)
+    finally:
+        shutil.rmtree = real_rmtree
+    assert S._require_index_meta(idx)["codes_dir"] == "codes_gen2"
+    assert os.path.isdir(old_live)  # superseded strand
+    assert served() == want2
+    # next call reaps the superseded generation (below threshold ->
+    # returns False, but the reap still runs)
+    S.compact_ivfpq_index(spark, idx, max_files_per_cell=99)
+    assert not os.path.isdir(old_live)
+    assert served() == want2
+
+    # corrupt meta: compaction refuses to touch anything
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        fh.write("{truncated")
+    assert S.compact_ivfpq_index(spark, idx, max_files_per_cell=1) is False
+    assert os.path.isdir(os.path.join(idx, "codes_gen2"))
