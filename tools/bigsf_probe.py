@@ -142,6 +142,17 @@ WIDE9_PROBES = [
     ("embedding_pq_topk", "embeddings x9"),
     ("stream_ann_index_update", "embeddings x9"),
     ("embedding_ivfpq_topk", "embeddings x9"),  # r11 composed IVF+PQ
+    # round 12 (VERDICT r11 task 3): the stored-index serve paths and
+    # the streaming IVF+PQ maintenance gate — the shapes whose scaling
+    # had been inferred from the inline twin, now measured
+    ("embedding_ivfpq_index_serve", "embeddings x9"),
+    ("stream_ann_serve_ivf", "embeddings x9"),
+    ("stream_ivfpq_index_update", "embeddings x9"),
+    # quantile-audit saturation claim: the r11 skew-safe audit rework's
+    # exchange is bounded by the distinct (flag, cent) DOMAIN, which a
+    # x9 row-count copy leaves unchanged — total shuffle should read
+    # well below x9 (sketch part linear, audit part ~flat)
+    ("lineitem_quantile_sketch", "lineitem x9"),
 ]
 
 
@@ -176,11 +187,30 @@ FROM x ORDER BY 1
 """)
 
 
+def synthesize_lineitem9(out_dir: str, base: str = BASE,
+                         copies: int = 9) -> None:
+    """lineitem x9 for the quantile-audit saturation probe: copies
+    offset l_orderkey only — every value column (prices, quantities,
+    flags) repeats verbatim, so the distinct (flag, cent) domain the
+    audit exchange is bounded by stays EXACTLY the sf0.1 domain."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    duckdb.sql(f"""
+COPY (
+WITH l AS (SELECT * FROM read_parquet('{base}/lineitem.parquet'))
+SELECT l.* REPLACE (l_orderkey + 100000000 * k.k AS l_orderkey)
+FROM l CROSS JOIN (SELECT unnest(range({copies})) AS k) k
+ORDER BY l_orderkey
+) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+
 def main_wide9() -> None:
     """`python tools/bigsf_probe.py --wide9`: x9 probe for the top
     expensive NON-graph families (VERDICT r10 task 1). Reuses the
     graph9 documents x9 corpus; adds embeddings x9 (distinct-stride
-    permutations) the first time."""
+    permutations) and lineitem x9 the first time."""
     import duckdb
 
     big9 = os.environ.get("BIGSF9_DIR", "/tmp/sfbig9")
@@ -203,12 +233,30 @@ def main_wide9() -> None:
         print(f"# synthesizing {big9}/embeddings.parquet (x9, "
               f"was {n_big} rows)", file=sys.stderr)
         synthesize_embeddings9(big9, BASE, copies=9)
+    n_lbase = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{BASE}/lineitem.parquet')"
+    ).fetchone()[0]
+    n_lbig = 0
+    if os.path.exists(f"{big9}/lineitem.parquet"):
+        n_lbig = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{big9}/lineitem.parquet')"
+        ).fetchone()[0]
+    if n_lbig != 9 * n_lbase:
+        print(f"# synthesizing {big9}/lineitem.parquet (x9, "
+              f"was {n_lbig} rows)", file=sys.stderr)
+        synthesize_lineitem9(big9, BASE, copies=9)
     spark = get_spark("bigsf9-wide-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # optional name filters: `--wide9 substr...` probes only matches
+    pats = [a for a in sys.argv[1:] if not a.startswith("--")]
+    probes = [
+        (n, s) for n, s in WIDE9_PROBES
+        if not pats or any(p in n for p in pats)
+    ]
     print("| query | step | t(s) sf0.1 -> x9 | t ratio | shuffle B "
           "sf0.1 -> x9 | sh ratio |")
     print("|---|---|---|---|---|---|")
-    for name, step in WIDE9_PROBES:
+    for name, step in probes:
         spec = QUERIES[name]
         vals = []
         for sf in (BASE, big9):
@@ -227,6 +275,77 @@ def main_wide9() -> None:
         print(f"| {name} | {step} | {t1:.2f} -> {t2:.2f} | {tr} "
               f"| {s1} -> {s2} | {sr} |", flush=True)
     spark.stop()
+
+
+def main_serve9() -> None:
+    """`python tools/bigsf_probe.py --serve9` (round 12, VERDICT r11
+    task 3): does stored-index SERVE cost scale with the CORPUS or
+    with the QUERY BATCH? Builds the IVF+PQ index over sf0.1 and over
+    the x9 embeddings corpus, then measures serve-only shuffle for
+    (a) the SAME base query batch on both indexes — the corpus-growth
+    axis, expected ~FLAT: auto_cells keeps expected cell size
+    constant, so per-query candidate volume is corpus-size-invariant
+    — and (b) the x9 query batch on the x9 index — the query-count
+    axis, expected ~linear. The index BUILD is outside the timed
+    window (build once, serve many is the lifecycle's whole point)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    big9 = os.environ.get("BIGSF9_DIR", "/tmp/sfbig9")
+    if not os.path.exists(f"{big9}/embeddings.parquet"):
+        synthesize_embeddings9(big9, BASE, copies=9)
+    spark = get_spark("bigsf9-serve-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    idx_dirs = {}
+    try:
+        for tag, sf in (("sf0.1", BASE), ("x9", big9)):
+            corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
+            d = tempfile.mkdtemp(prefix=f"serve9_{tag}_")
+            idx_dirs[tag] = d
+            S.build_ivfpq_index(corpus, d, m=32, codebook=64)
+        base_q = spark.read.parquet(f"{BASE}/embeddings.parquet").filter(
+            F.col("vec_id") % 97 == 0
+        )
+        big_q = spark.read.parquet(f"{big9}/embeddings.parquet").filter(
+            F.col("vec_id") % 97 == 0
+        )
+        cases = [
+            ("base queries on sf0.1 index", idx_dirs["sf0.1"], base_q, BASE),
+            ("base queries on x9 index", idx_dirs["x9"], base_q, big9),
+            ("x9 queries on x9 index", idx_dirs["x9"], big_q, big9),
+        ]
+        for label, idx, qdf, sf in cases:
+            corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+            def serve():
+                return S.ivfpq_query_index(
+                    spark, idx, qdf, k=5, nprobe=8,
+                    rerank=20, rerank_corpus=corpus,
+                )
+
+            force(serve())  # warm
+            caching.release_all()
+            mark = _exec_count(spark)
+            t0 = time.perf_counter()
+            force(serve())
+            dt = time.perf_counter() - t0
+            sb = _shuffle_bytes_since(spark, mark)
+            caching.release_all()
+            nq = qdf.count()
+            rows.append((label, nq, dt, sb))
+        print("| serve case | n queries | t(s) | shuffle B |")
+        print("|---|---|---|---|")
+        for label, nq, dt, sb in rows:
+            print(f"| {label} | {nq} | {dt:.2f} | {sb} |", flush=True)
+    finally:
+        for d in idx_dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
 
 
 GRAPH9_PROBES = [
@@ -279,6 +398,8 @@ def main() -> None:
         return main_graph9()
     if "--wide9" in sys.argv:
         return main_wide9()
+    if "--serve9" in sys.argv:
+        return main_serve9()
     if not (os.path.exists(f"{BIG}/documents.parquet")
             and os.path.exists(f"{BIG}/embeddings.parquet")):
         print(f"# synthesizing {BIG} from {BASE}", file=sys.stderr)
