@@ -454,7 +454,9 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("cluster", id_type)]
     )
-    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
+    from advanced_strapi_import_spark.operators.similarity import _local_df
+
+    return _local_df(spark, [(n, find(n)) for n in parent], schema)
 
 
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:

@@ -744,7 +744,8 @@ def pq_topk(
             F.col("col").alias("approx_d2"),
         )
     )
-    qmap = corpus.sparkSession.createDataFrame(
+    qmap = _local_df(
+        corpus.sparkSession,
         [(i, qid) for i, qid in enumerate(q_ids)], "pos int, query_id long"
     )
     pairs = (
@@ -758,6 +759,22 @@ def pq_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Arrow-path local DataFrame (round 12): ``createDataFrame(list)``
+    serializes through defaultParallelism Python-RDD tasks — measured
+    ~5 s even warm for a 16-row frame on local[32], because every
+    action re-pays the Python-worker round trip. Routing the rows
+    through pandas takes the Arrow local-relation path instead
+    (~0.3 s, single JVM op). Schema maps by POSITION (DDL string
+    supplies the names), so call sites keep their tuple shapes.
+    Empty input keeps the classic path — there is nothing to pay."""
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
 def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
@@ -995,8 +1012,8 @@ def ivfpq_topk(
     for qi, qid in enumerate(q_ids):
         for c in np.argsort(qd2[qi], kind="stable")[:nprobe]:
             probes.append((int(qid), int(qi), int(c)))
-    probe_df = queries.sparkSession.createDataFrame(
-        probes, "query_id long, __qi int, cell int"
+    probe_df = _local_df(
+        queries.sparkSession, probes, "query_id long, __qi int, cell int"
     )
     # RESIDUAL ADC (round 12 — classical IVFADC): candidates are coded
     # as q(v - c_cell), so the true table is per (query, cell):
@@ -1148,11 +1165,13 @@ def build_ivfpq_index(
     c2 = (centers ** 2).sum(axis=1)
     b2 = (books * books).sum(2)
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    _local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    _local_df(
+        spark,
         [
             (j, c, [float(x) for x in books[j, c]])
             for j in range(m)
@@ -1389,8 +1408,8 @@ def ivfpq_query_index(
     for qi, qid in enumerate(q_ids):
         for c in np.argsort(qd2[qi], kind="stable")[:nprobe]:
             probes.append((int(qid), int(qi), int(c)))
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, __qi int, cell int"
+    probe_df = _local_df(
+        spark, probes, "query_id long, __qi int, cell int"
     )
     wanted = sorted({p[2] for p in probes})
     # residual ADC decomposition — same three terms as ivfpq_topk:
@@ -1545,7 +1564,8 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
-    spark.createDataFrame(
+    _local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1598,8 +1618,8 @@ def ivf_query_index(
         d2 = (v @ v) - 2.0 * (centers @ v) + centers_sq
         for c in np.argsort(d2, kind="stable")[:nprobe]:
             probes.append((r.query_id, list(map(float, v)), int(c)))
-    probe_df = spark.createDataFrame(
-        probes, f"query_id long, __qv array<double>, cell int"
+    probe_df = _local_df(
+        spark, probes, "query_id long, __qv array<double>, cell int"
     )
     wanted = sorted({p[2] for p in probes})
     cand = spark.read.parquet(f"{path}/cells").filter(

@@ -1207,7 +1207,10 @@ FROM hits GROUP BY term, category
         "already partitioned by it.",
 )
 def doc_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gaz = spark.createDataFrame(
+    from advanced_strapi_import_spark.operators.similarity import _local_df
+
+    gaz = _local_df(
+        spark,
         [
             ("spark", "engine"), ("table", "storage"),
             ("merge", "operation"), ("hash", "operation"),

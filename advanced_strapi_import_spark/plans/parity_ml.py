@@ -1609,10 +1609,12 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivfpq",
         lambda p: S.build_ivfpq_index(emb, p, m=32, codebook=64),
     )
+    # served feeds BOTH the bit-equality diff and the recall hits —
+    # persist so the index scan + ADC + rerank subtree runs once
     served = S.ivfpq_query_index(
         spark, idx, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=fan_out(emb),
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     inline = S.ivfpq_topk(
         queries, fan_out(emb), k=5, nprobe=8, m=32, codebook=64, rerank=20
     ).select("query_id", "neighbor_id")

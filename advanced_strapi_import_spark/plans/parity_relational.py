@@ -188,8 +188,12 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    exp = spark.createDataFrame(
-        [(str(d), v) for d, v in _BENFORD.items()], "digit string, exp_share double"
+    from advanced_strapi_import_spark.operators.similarity import _local_df
+
+    exp = _local_df(
+        spark,
+        [(str(d), v) for d, v in _BENFORD.items()],
+        "digit string, exp_share double",
     )
     total = obs.agg(F.sum("n").alias("total"))
     n = F.coalesce("n", F.lit(0))

@@ -1379,10 +1379,12 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
+    # served_a feeds the diff AND the freshness check — persist so the
+    # index scan + ADC + rerank subtree runs once
     served_a = S.ivfpq_query_index(
         spark, idx_a, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,
-    )
+    ).persist()
     served_b = S.ivfpq_query_index(
         spark, idx_b, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,
