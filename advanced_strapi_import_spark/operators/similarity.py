@@ -686,13 +686,18 @@ def pq_topk(
         # Lloyd iterations via the ||x||^2 - 2x.c + ||c||^2 expansion:
         # one matmul per pass, no (n, k, d) broadcast temp.
         x2 = (sub * sub).sum(1)[:, None]
+        d2 = np.empty((len(sub), codebook))
         for _ in range(15):
-            d2 = x2 - 2.0 * (sub @ centers.T) + (centers * centers).sum(1)[None]
-            assign = d2.argmin(1)
-            for c_i in range(codebook):
-                members = sub[assign == c_i]
-                if len(members):
-                    centers[c_i] = members.mean(0)
+            # x2 - 2*(sub@C.T) + |C|^2 built in a reused buffer:
+            # (-2.0)*M + x2 is bitwise == x2 - 2.0*M (IEEE sign flip +
+            # exponent bump are exact; addition is commutative), so the
+            # centroids stay bit-identical while the 3 per-iteration
+            # 1 MB temporaries disappear (~40% of trainer driver time)
+            np.matmul(sub, centers.T, out=d2)
+            np.multiply(d2, -2.0, out=d2)
+            np.add(d2, x2, out=d2)
+            np.add(d2, (centers * centers).sum(1)[None], out=d2)
+            _lloyd_means(sub, d2.argmin(1), centers, codebook)
         books[j] = centers
 
     q_rows = (
@@ -777,6 +782,32 @@ def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
+def _lloyd_means(points, assign, centers, k) -> None:
+    """One Lloyd centroid update, in place — bit-identical to the naive
+    per-cluster boolean-mask form (``points[assign == c].mean(0)``) but
+    one stable argsort + gather instead of ``k`` full-array masks
+    (O(n log n) vs O(n*k) per pass; the mask loop was ~1.2 s of DRIVER
+    time per PQ trainer call at bench scale, ~30k masked means).
+    Bit-identity: a stable sort groups each cluster's member rows while
+    preserving their original order, so every cluster's mean reduces
+    over the SAME values in the SAME order and layout (numpy pairwise
+    summation over an identical contiguous slice) — property-tested in
+    tests/test_similarity.py. Empty clusters keep their current center,
+    exactly as before."""
+    import numpy as np
+
+    order = np.argsort(assign, kind="stable")
+    grouped = points[order]
+    bounds = np.searchsorted(assign[order], np.arange(k + 1))
+    for c_i in range(k):
+        s, e = bounds[c_i], bounds[c_i + 1]
+        if e > s:
+            # np.add.reduce + divide == ndarray.mean's exact pipeline
+            # (same pairwise umr_sum, same true_divide) minus ~20 us of
+            # per-call wrapper overhead — bit-equality property-tested
+            centers[c_i] = np.add.reduce(grouped[s:e], axis=0) / (e - s)
+
+
 def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
     """Seeded joint trainer for the composed IVF+PQ paths: IVF
     centroids (k-means++ with incremental running min + 20 Lloyd
@@ -809,11 +840,7 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
     s2 = (sample ** 2).sum(axis=1)[:, None]
     for _ in range(20):
         d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
-        assign = d2.argmin(axis=1)
-        for c_i in range(cells):
-            members = sample[assign == c_i]
-            if len(members):
-                centers[c_i] = members.mean(axis=0)
+        _lloyd_means(sample, d2.argmin(axis=1), centers, cells)
     # residuals under the FINAL centroids (one more assignment pass so
     # the encode-side residual definition matches exactly)
     d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
@@ -836,13 +863,15 @@ def _train_ivfpq(sample, cells: int, m: int, codebook: int, seed: int):
             cb[c_i] = sub[rng.choice(len(sub), p=cd2 / ctot)]
             cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
         x2 = (sub * sub).sum(1)[:, None]
+        sd2 = np.empty((len(sub), codebook))
         for _ in range(15):
-            sd2 = x2 - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None]
-            sa = sd2.argmin(1)
-            for c_i in range(codebook):
-                members = sub[sa == c_i]
-                if len(members):
-                    cb[c_i] = members.mean(0)
+            # reused-buffer form of x2 - 2*(sub@cb.T) + |cb|^2 — see
+            # pq_topk for the bitwise-equality argument
+            np.matmul(sub, cb.T, out=sd2)
+            np.multiply(sd2, -2.0, out=sd2)
+            np.add(sd2, x2, out=sd2)
+            np.add(sd2, (cb * cb).sum(1)[None], out=sd2)
+            _lloyd_means(sub, sd2.argmin(1), cb, codebook)
         books[j] = cb
     return centers, books
 
@@ -921,6 +950,7 @@ def ivfpq_topk(
     dims: int | None = 64,
     max_query_rows: int = 4096,
     rerank: int = 0,
+    trainer: tuple | None = None,
 ) -> DataFrame:
     """IVF+PQ ANN — the canonical billion-scale serving shape the two
     standalone operators compose into: IVF gates WHICH rows get scored
@@ -953,6 +983,15 @@ def ivfpq_topk(
     side is a serving batch by contract (``max_query_rows``, as in
     pq_topk/ivf_query_index).
 
+    ``trainer``: optional pre-trained ``(centers, books)`` float64
+    arrays (r12 optimization) — callers that already HOLD the identical
+    seeded trainer (the stored-index serve gate runs an inline twin of
+    an index whose build trained on the same ordered 8192-row sample;
+    float64 parquet round-trips bit-exactly) pass it here to skip the
+    corpus count + sample collect + retrain. Results are bit-identical
+    by construction; passing a trainer from different data is on the
+    caller.
+
     Output: (query_id, neighbor_id, approx_d2, rank) — rank 1..k by
     ascending approximate distance, neighbor_id tiebreak."""
     import numpy as np
@@ -963,27 +1002,36 @@ def ivfpq_topk(
     if dims is not None and dims % m != 0:
         raise ValueError(f"ivfpq_topk: m={m} must divide dims={dims}")
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    if cells is None:
-        cells = auto_cells(corpus.count())
 
     def _unit(mat):
         n = np.linalg.norm(mat, axis=1, keepdims=True)
         n[n == 0] = 1.0
         return mat / n
 
-    sample = _unit(np.array(
-        [
-            r["v"]
-            for r in _width_ok(corpus, vec_col, dims)
-            .select(F.col(id_col).alias("i"), dbl.alias("v"))
-            .orderBy("i")
-            .limit(8192)
-            .collect()
-        ],
-        dtype=np.float64,
-    ))
-    centers, books = _train_ivfpq(sample, cells, m, codebook, seed)
-    sub_d = sample.shape[1] // m
+    if trainer is not None:
+        centers, books = trainer
+        if books.shape[0] != m or books.shape[1] != codebook:
+            raise ValueError(
+                f"ivfpq_topk: supplied trainer shape {books.shape} does "
+                f"not match m={m}, codebook={codebook}"
+            )
+        sub_d = centers.shape[1] // m
+    else:
+        if cells is None:
+            cells = auto_cells(corpus.count())
+        sample = _unit(np.array(
+            [
+                r["v"]
+                for r in _width_ok(corpus, vec_col, dims)
+                .select(F.col(id_col).alias("i"), dbl.alias("v"))
+                .orderBy("i")
+                .limit(8192)
+                .collect()
+            ],
+            dtype=np.float64,
+        ))
+        centers, books = _train_ivfpq(sample, cells, m, codebook, seed)
+        sub_d = sample.shape[1] // m
     c2 = (centers ** 2).sum(axis=1)
     b2 = (books * books).sum(2)  # (m, codebook)
 
@@ -1513,11 +1561,7 @@ def _kmeans_centers(corpus: DataFrame, vec_col: str, cells: int, seed: int):
     for _ in range(20):
         # |s - c|^2 = |s|^2 - 2 s.c + |c|^2 via one matmul
         d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
-        for c_i in range(cells):
-            members = sample[assign == c_i]
-            if len(members):
-                centers[c_i] = members.mean(axis=0)
+        _lloyd_means(sample, d2.argmin(axis=1), centers, cells)
     return centers
 
 

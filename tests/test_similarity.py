@@ -923,3 +923,103 @@ def test_ivfpq_compaction_kill_points(spark, tmp_path):
         fh.write("{truncated")
     assert S.compact_ivfpq_index(spark, idx, max_files_per_cell=1) is False
     assert os.path.isdir(os.path.join(idx, "codes_gen2"))
+
+
+def test_lloyd_means_bit_identical_to_mask_mean_form():
+    """r12 optimization guard: the argsort-grouped Lloyd update
+    (_lloyd_means) must be BITWISE equal to the naive per-cluster
+    boolean-mask form it replaced — same member rows in the same order
+    feed the same pairwise-summation mean, so trained
+    centroids/codebooks (and every downstream code/recall hash) are
+    unchanged. Covers empty clusters, duplicate-heavy assignments, and
+    non-contiguous subspace views."""
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    for n, k, d, dup in [(1, 4, 2, False), (57, 8, 3, False),
+                         (2000, 64, 2, False), (512, 64, 2, True)]:
+        pts = rng.randn(n, 8)
+        if dup:
+            pts = np.repeat(pts[: max(1, n // 16)], 16, axis=0)[:n]
+        view = pts[:, 1:1 + d]  # non-contiguous view, like resid slices
+        assign = rng.randint(0, k, size=n)
+        base = rng.randn(k, d)
+        want = base.copy()
+        for c_i in range(k):  # the pre-r12 form, verbatim
+            members = view[assign == c_i]
+            if len(members):
+                want[c_i] = members.mean(axis=0)
+        got = base.copy()
+        S._lloyd_means(view, assign, got, k)
+        assert got.tobytes() == want.tobytes()
+
+
+def test_train_ivfpq_bit_identical_to_naive_loops():
+    """End-to-end trainer guard: _train_ivfpq with the reused-buffer
+    distance computation and _lloyd_means must reproduce the pre-r12
+    naive trainer bit-for-bit (same rng stream, same float ops order)."""
+    import numpy as np
+
+    from advanced_strapi_import_spark.operators.similarity import (
+        _train_ivfpq,
+    )
+
+    def naive(sample, cells, m, codebook, seed):
+        sub_d = sample.shape[1] // m
+        rng = np.random.RandomState(seed)
+        centers = sample[[rng.randint(len(sample))]]
+        d2min = ((sample - centers[0]) ** 2).sum(axis=1)
+        for _ in range(cells - 1):
+            tot = d2min.sum()
+            if tot <= 0.0:
+                break
+            new = sample[rng.choice(len(sample), p=d2min / tot)]
+            centers = np.vstack([new, *centers])
+            d2min = np.minimum(d2min, ((sample - new) ** 2).sum(axis=1))
+        cells = len(centers)
+        s2 = (sample ** 2).sum(axis=1)[:, None]
+        for _ in range(20):
+            d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
+            assign = d2.argmin(axis=1)
+            for c_i in range(cells):
+                members = sample[assign == c_i]
+                if len(members):
+                    centers[c_i] = members.mean(axis=0)
+        d2 = s2 - 2.0 * (sample @ centers.T) + (centers ** 2).sum(1)[None]
+        resid = sample - centers[d2.argmin(axis=1)]
+        books = np.empty((m, codebook, sub_d))
+        for j in range(m):
+            sub = resid[:, j * sub_d:(j + 1) * sub_d]
+            cb = np.empty((codebook, sub_d))
+            cb[0] = sub[rng.randint(len(sub))]
+            cd2 = ((sub - cb[0]) ** 2).sum(1)
+            for c_i in range(1, codebook):
+                ctot = cd2.sum()
+                if ctot <= 0.0:
+                    cb[c_i:] = cb[0]
+                    break
+                cb[c_i] = sub[rng.choice(len(sub), p=cd2 / ctot)]
+                cd2 = np.minimum(cd2, ((sub - cb[c_i]) ** 2).sum(1))
+            x2 = (sub * sub).sum(1)[:, None]
+            for _ in range(15):
+                sd2 = x2 - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None]
+                sa = sd2.argmin(1)
+                for c_i in range(codebook):
+                    members = sub[sa == c_i]
+                    if len(members):
+                        cb[c_i] = members.mean(0)
+            books[j] = cb
+        return centers, books
+
+    for trial, (n, dup) in enumerate([(800, False), (256, True)]):
+        rng = np.random.RandomState(trial)
+        sample = rng.randn(n, 64)
+        if dup:
+            sample = np.repeat(sample[: n // 8], 8, axis=0)[:n]
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        c1, b1 = naive(sample.copy(), 16, 32, 64, 42)
+        c2, b2 = _train_ivfpq(sample.copy(), 16, 32, 64, 42)
+        assert c1.tobytes() == c2.tobytes()
+        assert b1.tobytes() == b2.tobytes()
