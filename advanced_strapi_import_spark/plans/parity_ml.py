@@ -5535,112 +5535,89 @@ SELECT 2, dim, v FROM v2fin
         "scales linearly.",
 )
 def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.4/§1.2: remove shuffles, then jobs).
+    # The previous form kept the 64-row iterate DISTRIBUTED: per round
+    # a broadcast(v) build, a vec_id-keyed dot shuffle, a dim-keyed
+    # reduce and an eager localCheckpoint — 54 jobs / 12 exchanges for
+    # six matvecs, with execution <0.2 s (profiled: the wall time was
+    # all job round trips). The iterate is dims-sized (64 values — a
+    # CONSTANT, like the k-means centroids), so it lives on the driver
+    # as exact Python integers: per round the dot product is MAP-SIDE
+    # against a 64-literal array (no broadcast build, no vec_id
+    # exchange — at scale this also stops shuffling n dot rows), and
+    # the single remaining exchange is the 64-group dim reduce with
+    # map-side partial aggregation; its 64-row result is collected
+    # (bounded by dims, not data). Rescale/deflation are integer ops
+    # on 64-element lists — Python ints are exact like DECIMAL(38,0),
+    # and `div` truncation-toward-zero is spelled out (Python's //
+    # floors). No lineage truncation needed: every round's plan is
+    # flat (literals in, 64 rows out). Values are bit-identical to the
+    # previous form: both compute the same integer sums (exact,
+    # order-free) and the same truncated quotients, oracle-pinned.
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    expl = persist_tracked(
+    arr = persist_tracked(
         emb.select(
             "vec_id",
-            F.posexplode(
-                F.transform(
-                    "embedding",
-                    lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
-                        "long"
-                    ),
-                )
-            ).alias("dim", "x"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                    "long"
+                ),
+            ).alias("xs"),
         )
     )
-    expl.count()  # eager: six matvecs share this chain
-    dims = expl.select("dim").distinct()
+    arr.count()  # eager: six matvecs share this chain
+    width = len(arr.select("xs").first()[0])
 
-    def matvec(v: DataFrame) -> DataFrame:
-        dots = (
-            expl.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,0)") * F.col("v")).alias(
-                    "dot"
-                )
-            )
+    def tdiv(a: int, b: int) -> int:
+        # Spark `div` == DuckDB `//` == truncation toward zero on the
+        # engines (verified -7 div 2 = -3 on both); Python // floors
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def matvec(v: list) -> list:
+        # w = X^T (X v), one job: map-side dot (v as literal array,
+        # DECIMAL(38,0) exact — same values as the old vec_id-shuffle
+        # sum), then the 64-group dim reduce
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        dot = F.aggregate(
+            F.zip_with(
+                "xs", vlit, lambda x, vv: x.cast("decimal(38,0)") * vv
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, y: acc + y,
         )
-        w = (
-            expl.join(dots, "vec_id")
+        rows = (
+            arr.select(F.posexplode("xs").alias("dim", "x"),
+                       dot.alias("dot"))
             .groupBy("dim")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,0)") * F.col("dot")).alias(
-                    "w"
-                )
-            )
+            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("dot"))
+                 .alias("w"))
+            .collect()
         )
-        # localCheckpoint EVERY round's 64-row result. Measured hang
-        # without it: with broadcast-scalar rescale each round embedded
-        # its predecessor TWICE (matvec + max-abs subtree), so analysis
-        # went exponential in rounds — persist+count could not help
-        # because cache substitution happens only after analysis. The
-        # rescale/deflate scalars are windows now (no second
-        # embedding), but truncation stays: it keeps plan depth
-        # constant across rounds and stops every broadcast(v) build
-        # from re-running the whole previous-round chain (the dedup
-        # connected-components loop discipline).
-        return w.localCheckpoint(eager=True)
+        w = [0] * width
+        for r in rows:
+            w[r["dim"]] = int(r["w"])
+        return w
 
-    from pyspark.sql.window import Window
+    def rescale(w: list) -> list:
+        mx = max(max(abs(x) for x in w), 1)
+        return [tdiv(x * 1000000, mx) for x in w]
 
-    def rescale(w: DataFrame) -> DataFrame:
-        # max-abs as a window over the 64-row checkpointed frame — a
-        # broadcast-scalar formulation costs one extra job per round
-        # (the kcore `converged` lesson applied to job count)
-        mx = F.greatest(
-            F.max(F.abs(F.col("w"))).over(Window.partitionBy()),
-            F.lit(1).cast("decimal(38,0)"),
-        )
-        return w.withColumn("mx", mx).select(
-            "dim", F.expr("CAST(w * 1000000 div mx AS BIGINT)").alias("v")
-        )
-
-    v = dims.select("dim", F.lit(1000000).cast("long").alias("v"))
+    v1 = [1000000] * width
     for _ in range(3):
-        v = rescale(matvec(v))
-    # deflation re-reads v1 in every round (twice per round: projection
-    # numerator and subtraction) — truncate its lineage too
-    v1 = v.localCheckpoint(eager=True)
+        v1 = rescale(matvec(v1))
 
-    def deflate(w: DataFrame) -> DataFrame:
-        # projection coefficient via windows over the 64-row joined
-        # frame — no broadcast-scalar subplans, no extra jobs
-        j = w.join(v1.withColumnRenamed("v", "a"), "dim", "left").select(
-            "dim", "w", F.coalesce(F.col("a"), F.lit(0)).alias("a")
-        )
-        glob = Window.partitionBy()
-        p = F.sum(F.col("a").cast("decimal(38,0)") * F.col("w")).over(glob)
-        den = F.greatest(
-            F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).over(glob),
-            F.lit(1).cast("decimal(38,0)"),
-        )
-        return (
-            j.withColumn("p", p)
-            .withColumn("den", den)
-            .select(
-                "dim",
-                # widen the quotient before the multiply: c*a reaches
-                # ~1e19-1e22 on the first deflation round — past BIGINT
-                F.expr(
-                    "w - CAST(p div den AS DECIMAL(38,0)) * a"
-                ).alias("w"),
-            )
-        )
-
-    u = dims.select(
-        "dim",
-        F.expr("CAST((dim % 2 * 2 - 1) * 1000000 AS BIGINT)").alias("v"),
-    )
+    u = [(d % 2 * 2 - 1) * 1000000 for d in range(width)]
+    den = max(sum(a * a for a in v1), 1)
     for _ in range(3):
-        u = rescale(deflate(matvec(u)))
-    out1 = v1.select(
-        F.lit(1).cast("int").alias("component"), "dim",
-        F.col("v").alias("v_micro"),
+        w = matvec(u)
+        c = tdiv(sum(a * x for a, x in zip(v1, w)), den)
+        u = rescale([x - c * a for x, a in zip(w, v1)])
+
+    return S._local_df(
+        spark,
+        [(1, d, v1[d]) for d in range(width)]
+        + [(2, d, u[d]) for d in range(width)],
+        "component int, dim int, v_micro bigint",
     )
-    out2 = u.select(
-        F.lit(2).cast("int").alias("component"), "dim",
-        F.col("v").alias("v_micro"),
-    )
-    return out1.unionByName(out2)
