@@ -13,6 +13,8 @@ double first so results are portable across engines.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F  # noqa: F401 (SparkSession used in annotations)
 from pyspark.sql.window import Window
 
@@ -34,6 +36,30 @@ def _norm(a: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+
+
+@_functools.lru_cache(maxsize=None)
+def _cosine_sql(a: str, b: str, dims: int) -> str:
+    """SQL text of the unrolled cosine over two *named* array columns.
+
+    Parsed JVM-side with ONE py4j call (F.expr) instead of the ~9*dims
+    round trips the Column-by-Column build costs (measured 1.2 s per
+    call at dims=64 — pure driver plan-construction time). The parse
+    yields the SAME analyzed tree as _dot_unrolled/_norm_unrolled:
+    left-associative `0.0D + t1 + t2 ...` chains, per-element DOUBLE
+    casts, norms as dot(x, x) — so values are bit-identical."""
+
+    def dot(x: str, y: str) -> str:
+        terms = " + ".join(
+            f"(CAST(element_at(`{x}`, {i}) AS DOUBLE) * "
+            f"CAST(element_at(`{y}`, {i}) AS DOUBLE))"
+            for i in range(1, dims + 1)
+        )
+        return f"0.0D + {terms}"
+
+    return (
+        f"({dot(a, b)}) / (SQRT({dot(a, a)}) * SQRT({dot(b, b)}))"
     )
 
 
@@ -60,10 +86,15 @@ def _norm_unrolled(a: Column, dims: int) -> Column:
     return F.sqrt(out)
 
 
-def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+def cosine(
+    a: Column | str, b: Column | str, dims: int | None = None
+) -> Column:
     """Cosine similarity; pass ``dims`` (known, fixed embedding width)
     to use the codegen'd unrolled form — identical values, much faster.
-    Without dims the portable HOF fold handles any width.
+    Without dims the portable HOF fold handles any width. Pass plain
+    column NAMES (strings) with ``dims`` to build the unrolled tree
+    via one JVM-side SQL parse instead of per-term py4j calls (same
+    analyzed tree, ~1.2 s less driver time per call at 64 dims).
 
     CONTRACT: with ``dims`` set, inputs must be exactly that wide —
     a longer vector would silently score only its prefix and a shorter
@@ -74,6 +105,12 @@ def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
     ~192-term unrolled sum in a conditional pushes the generated
     method past janino's 64 KB limit and drops the stage to
     interpreted eval."""
+    if dims is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b, dims))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     if dims is not None:
         return _dot_unrolled(a, b, dims) / (
             _norm_unrolled(a, dims) * _norm_unrolled(b, dims)
@@ -125,7 +162,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
+        F.round(cosine("__qv", "__cv", dims), 6).alias("cos"),
         *extra,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -267,7 +304,7 @@ def cosine_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
+        F.round(cosine("__qv", "__cv", dims), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -388,7 +425,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv"), dims), 6).alias("cos"),
+            F.round(cosine("__qv", "__cv", dims), 6).alias("cos"),
             *extra,
         )
         # a corpus vector lives in exactly ONE cell, so (query, neighbor)
@@ -1677,11 +1714,10 @@ def ivf_query_index(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine(
-                    F.col("__qv"),
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    dims,
-                ),
+                # the raw column, not transform(cast): cosine's unrolled
+                # form casts each extracted element to double already,
+                # so the per-row array materialization was pure cost
+                cosine("__qv", vec_col, dims),
                 6,
             ).alias("cos"),
         )
@@ -2035,11 +2071,10 @@ def lsh_query_index(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine(
-                    F.col("__qv"),
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    dims,
-                ),
+                # the raw column, not transform(cast): cosine's unrolled
+                # form casts each extracted element to double already,
+                # so the per-row array materialization was pure cost
+                cosine("__qv", vec_col, dims),
                 6,
             ).alias("cos"),
         )

@@ -2786,7 +2786,7 @@ def embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nv, "neg_id")
         .select(
             "anchor_id", "pos_id", "pos_cos", "neg_id",
-            F.round(S.cosine(F.col("__av"), F.col("__nv"), 64), 6).alias("neg_cos"),
+            F.round(S.cosine("__av", "__nv", 64), 6).alias("neg_cos"),
         )
     )
 
@@ -4077,7 +4077,7 @@ def embedding_binary_quantize_recall(
         (
             F.expr("bit_count(__qlo ^ __clo) + bit_count(__qhi ^ __chi)")
         ).alias("hamming"),
-        F.round(S.cosine(F.col("__qv"), F.col("__cv"), EMB_DIMS), 6).alias(
+        F.round(S.cosine("__qv", "__cv", EMB_DIMS), 6).alias(
             "cos"
         ),
     )

@@ -1023,3 +1023,30 @@ def test_train_ivfpq_bit_identical_to_naive_loops():
         c2, b2 = _train_ivfpq(sample.copy(), 16, 32, 64, 42)
         assert c1.tobytes() == c2.tobytes()
         assert b1.tobytes() == b2.tobytes()
+
+
+def test_cosine_sql_fast_path_bit_identical_to_column_form(spark):
+    """cosine('a', 'b', dims) builds the unrolled tree via one JVM-side
+    SQL parse; it must stay value-identical (string-exact doubles) to
+    the Column-by-Column _dot_unrolled/_norm_unrolled form it replaced,
+    including the 0.0 seed and left-assoc summation order."""
+    from advanced_strapi_import_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [
+            (list(float((i * 37 + d * 13) % 101 - 50) / 7.0 for d in range(8)),
+             list(float((i * 11 + d * 29) % 97 - 48) / 5.0 for d in range(8)))
+            for i in range(64)
+        ],
+        # no zero vectors: ANSI div-by-zero raises identically in both
+        # forms; production callers filter zero norms before cosine
+        "a array<double>, b array<double>",
+    )
+    old = S._dot_unrolled(F.col("a"), F.col("b"), 8) / (
+        S._norm_unrolled(F.col("a"), 8) * S._norm_unrolled(F.col("b"), 8)
+    )
+    new = S.cosine("a", "b", 8)
+    rows = df.select(
+        old.cast("string").alias("o"), new.cast("string").alias("n")
+    ).collect()
+    assert all(r.o == r.n for r in rows)
