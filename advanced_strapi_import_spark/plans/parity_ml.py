@@ -1610,11 +1610,18 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: S.build_ivfpq_index(emb, p, m=32, codebook=64),
     )
     # served feeds BOTH the bit-equality diff and the recall hits —
-    # persist so the index scan + ADC + rerank subtree runs once
-    served = S.ivfpq_query_index(
-        spark, idx, queries, k=5, nprobe=8,
-        rerank=20, rerank_corpus=fan_out(emb),
-    ).select("query_id", "neighbor_id").persist()
+    # persist so the index scan + ADC + rerank subtree runs once.
+    # persist_tracked (a raw persist leaked past release_all and
+    # squatted in storage memory for the rest of the suite) + eager
+    # fill (two consumers racing an unmaterialized cache duplicate the
+    # serve scan — the kcore race class)
+    served = persist_tracked(
+        S.ivfpq_query_index(
+            spark, idx, queries, k=5, nprobe=8,
+            rerank=20, rerank_corpus=fan_out(emb),
+        ).select("query_id", "neighbor_id")
+    )
+    served.count()
     # r12 optimization: the inline twin reuses the STORED index's
     # frozen trainer — it is the identical seeded trainer (same
     # ordered 8192-row sample, float64 parquet round-trips bit-exact),

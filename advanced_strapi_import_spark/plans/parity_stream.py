@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from advanced_strapi_import_spark.caching import persist_tracked
 from advanced_strapi_import_spark.operators.multimodal import byte_histogram
 from advanced_strapi_import_spark.plans import parity_ml as ML
 from advanced_strapi_import_spark.plans.registry import load, load_events, query
@@ -1380,11 +1381,17 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # served_a feeds the diff AND the freshness check — persist so the
-    # index scan + ADC + rerank subtree runs once
-    served_a = S.ivfpq_query_index(
-        spark, idx_a, queries, k=5, nprobe=8,
-        rerank=20, rerank_corpus=union_corpus,
-    ).persist()
+    # index scan + ADC + rerank subtree runs once. persist_tracked (a
+    # raw persist leaked past release_all) + eager fill (the diff and
+    # freshness consumers racing an unmaterialized cache duplicate the
+    # serve scan — the kcore race class)
+    served_a = persist_tracked(
+        S.ivfpq_query_index(
+            spark, idx_a, queries, k=5, nprobe=8,
+            rerank=20, rerank_corpus=union_corpus,
+        )
+    )
+    served_a.count()
     served_b = S.ivfpq_query_index(
         spark, idx_b, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,

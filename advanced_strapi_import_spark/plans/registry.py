@@ -59,10 +59,40 @@ def query(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Lazy-scan memo: spark.read.parquet costs ~100-140 ms per call on the
+# driver (file listing + footer schema probe + py4j), and the suite
+# makes hundreds of load() calls. The memo holds the UNEXECUTED scan
+# DataFrame only — no data, no results; every execution still reads
+# the parquet — so it is plan-object reuse, not caching. Keyed on
+# (applicationId, path, mtime_ns, size): a stopped session or a
+# rewritten file can never serve a stale plan/schema.
+_SCAN_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet table scan (SURVEY §2.1 S3). Column pruning + predicate
     pushdown are delegated to Catalyst — callers filter/select lazily."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    import stat as _stat
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        st = None
+    if st is None or not _stat.S_ISREG(st.st_mode):
+        # globs / directory tables / races: no memo — a directory's
+        # mtime misses nested rewrites, so only single-file tables
+        # (all the driver testdata) take the fast path
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    hit = _SCAN_MEMO.get(key)
+    if hit is None:
+        if len(_SCAN_MEMO) >= 256:
+            _SCAN_MEMO.clear()
+        hit = _SCAN_MEMO[key] = spark.read.parquet(path)
+    return hit
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -136,5 +166,8 @@ def sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan with ts normalization (see :func:`normalize_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the conf above is set before the first scan-plan creation, so the
+    # memoized plan (load) is always built under nanosAsLong; no plan
+    # path reads the events table except through here
+    df = load(spark, sf_dir, "events")
     return normalize_ts(df, df.schema["ts"].dataType)

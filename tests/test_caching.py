@@ -42,3 +42,46 @@ def test_release_all_clears_shared_band_cache(spark):
     caching.release_all()
     assert not ML._SHARED
     assert not bands.storageLevel.useMemory
+
+
+def test_load_memoizes_scan_plan_per_file_state(spark, tmp_path):
+    """registry.load memoizes the UNEXECUTED scan DataFrame per
+    (session, path, mtime, size) — plan-object reuse, never data: a
+    rewritten file (new mtime/size) must produce a fresh plan with the
+    new schema, and repeated loads of an unchanged file return the
+    identical object (the ~100 ms listing+footer probe paid once)."""
+    import os
+    import time
+
+    from advanced_strapi_import_spark.plans.registry import load
+    from tests.conftest import SF_TEST
+
+    a = load(spark, SF_TEST, "lineitem")
+    b = load(spark, SF_TEST, "lineitem")
+    assert a is b
+
+    p = tmp_path / "t.parquet"
+    spark.range(3).toDF("x").coalesce(1).write.mode("overwrite").parquet(str(p) + ".d")
+    # single-FILE table: move one part file to the memoizable layout
+    part = next(
+        f for f in os.listdir(str(p) + ".d") if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(p) + ".d", part), p)
+    first = load(spark, str(tmp_path), "t")
+    assert first.columns == ["x"]
+    assert load(spark, str(tmp_path), "t") is first
+
+    time.sleep(0.05)  # distinct mtime_ns even on coarse filesystems
+    spark.range(3).selectExpr("id AS y").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(
+        str(p) + ".d2"
+    )
+    part2 = next(
+        f for f in os.listdir(str(p) + ".d2") if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(p) + ".d2", part2), p)
+    fresh = load(spark, str(tmp_path), "t")
+    assert fresh is not first
+    assert fresh.columns == ["y"]
+    assert [r.y for r in fresh.orderBy("y").collect()] == [0, 1, 2]
