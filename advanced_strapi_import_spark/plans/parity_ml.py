@@ -2054,17 +2054,24 @@ def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("landmark", F.col("nbr").alias("node"),
                     F.lit(r).cast("int").alias("d"))
         )
-        dist = persist_tracked(
+        # each round reads the PREVIOUS dist twice (frontier filter +
+        # union), so the frame must be materialized per round or the
+        # chain duplicates partition computation through the whole peel
+        # history (the kcore race class — measured 7.5s -> ~3s when the
+        # rounds were first made eager). r12: eager localCheckpoint
+        # instead of persist+count — same one materialization job per
+        # round, but it also TRUNCATES the logical plan, whose
+        # unioned-lineage growth (1343 Exchange nodes in the round-3
+        # static plan) made every later round's analysis+optimization
+        # pay for the whole peel history on the driver. The dist table
+        # is tiny (landmarks x reached nodes), so checkpoint storage is
+        # negligible at any corpus size.
+        dist = (
             dist.unionByName(nd)
             .groupBy("landmark", "node")
             .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=True)
         )
-        # each round reads the PREVIOUS dist twice (frontier filter +
-        # union); an unmaterialized persisted chain under two consumers
-        # duplicates partition computation through the whole peel
-        # history (the kcore race class) — measured 7.5s -> ~3s with
-        # the eager fill
-        dist.count()
     return dist.select("landmark", "node", F.col("d").alias("dist"))
 
 
@@ -2166,16 +2173,20 @@ def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = persist_tracked(edges)
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("tw"))
-    src_w = persist_tracked(
-        edges.join(wdeg, "src").select("src", "dst", "w", "tw")
-    )
     # edges has two consumers (wdeg + the join) and src_w/nodes feed
-    # every iteration — fill the persists before the loop fans out over
-    # them (unmaterialized multi-consumer chains duplicate partitions,
-    # the kcore race class)
-    src_w.count()
-    nodes = persist_tracked(_corpus(spark, sf_dir).select("id"))
-    nodes.count()
+    # every iteration — materialize before the loop fans out over them
+    # (unmaterialized multi-consumer chains duplicate partitions, the
+    # kcore race class). r12: eager localCheckpoint instead of
+    # persist+count — the same one materialization job each, but it
+    # also TRUNCATES the logical plan: src_w's lineage is the whole
+    # shingle/band/Jaccard build (the round-3 static plan carried 399
+    # Exchange nodes), and every iteration + the final action was
+    # re-paying its analysis/optimization on the driver. Both frames
+    # are edge-/node-sized — tiny next to the corpus at any scale.
+    src_w = edges.join(wdeg, "src").select(
+        "src", "dst", "w", "tw"
+    ).localCheckpoint(eager=True)
+    nodes = _corpus(spark, sf_dir).select("id").localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     n_iters, ckpt_every = 3, 8
     for i in range(n_iters):

@@ -222,6 +222,18 @@ CASES = [
     # windows + persisted-subtree reprints = the exchange count);
     # sp=0 is the binding assertion: NO single-partition exchange
     ("customer_rfm_migration", 13, {"smj": 1, "bnlj": 0, "sp": 0}),
+    # r12 lineage truncation: the per-round BFS materialization is an
+    # eager localCheckpoint, so the RETURNED frame is a projection over
+    # the checkpointed RDD — zero exchanges. Re-growing the 27k-line
+    # unioned peel history (2664 printed exchanges before the fix)
+    # fails here loudly.
+    ("dedup_landmark_distances", 0, {"smj": 0, "bnlj": 0}),
+    # r12 lineage truncation: src_w/nodes are eager checkpoints, so the
+    # final plan holds only the 3 rank rounds (8 exchanges), not the
+    # whole shingle/band/Jaccard lineage (12k lines before the fix).
+    # The loop joins plan as SMJ pre-AQE (LogicalRDD has no stats); AQE
+    # converts from runtime sizes — the scale-adaptive choice.
+    ("dedup_weighted_pagerank", 10, {"bnlj": 0}),
 ]
 
 
