@@ -344,10 +344,18 @@ def label_propagation(
         )
         .distinct()
     )
-    edges = persist_tracked(
+    # r12: eager localCheckpoint instead of a lazy run-scoped persist —
+    # the edge list has three consumers (initial labels + one join per
+    # round), and an unmaterialized persisted frame under concurrent
+    # consumers recomputes raced partitions through the whole upstream
+    # pair build (the kcore race class); the checkpoint also truncates
+    # every round's analyzed plan to a LogicalRDD leaf. Edge lists are
+    # dup-graph-sized at any corpus scale.
+    edges = (
         base.union(
             base.select(F.col("id_b"), F.col("id_a"))
         ).toDF("node", "nbr")
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select("node").distinct().withColumn("label", F.col("node"))
@@ -791,10 +799,11 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         )
         .distinct()
     )
-    edges = persist_tracked(
+    edges = (
         base.union(base.select(F.col("id_b"), F.col("id_a"))).toDF(
             "node", "nbr"
         )
+        .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
         keep = (
@@ -803,10 +812,11 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             .filter(F.col("__deg") >= k)
             .select("node")
         )
-        edges = persist_tracked(
+        edges = (
             edges.join(keep, "node").join(
                 keep.withColumnRenamed("node", "nbr"), "nbr"
             ).select("node", "nbr")
+            .localCheckpoint(eager=True)
         )
     # convergence flag as a WINDOW over the final degree frame — ONE
     # linear pipeline. Every scalar-aggregate formulation (crossJoin of

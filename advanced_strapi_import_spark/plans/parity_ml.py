@@ -1953,10 +1953,16 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = persist_tracked(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    src_deg = persist_tracked(
-        edges.join(deg, "src").select("src", "dst", "deg")
-    )
-    nodes = persist_tracked(_corpus(spark, sf_dir).select("id"))
+    # r12 (same change as dedup_weighted_pagerank): the loop's two base
+    # frames are eager localCheckpoints, so every iteration analyzes a
+    # LogicalRDD leaf instead of the whole shingle/band lineage (57
+    # printed exchanges in the old static plan, re-optimized per
+    # action). Both are dup-graph-sized; floor 6.97 -> 5.31 s, shuffle
+    # bytes -4%, oracle MATCH at all three SFs.
+    src_deg = edges.join(deg, "src").select(
+        "src", "dst", "deg"
+    ).localCheckpoint(eager=True)
+    nodes = _corpus(spark, sf_dir).select("id").localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     n_iters, ckpt_every = 3, 8
     for i in range(n_iters):
@@ -2034,13 +2040,16 @@ SELECT landmark, node, d AS dist FROM d3
 )
 def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
-    edges = persist_tracked(
+    # 4 consumers (landmark pick + 3 rounds) — materialize first; the
+    # eager checkpoint (r12, was persist+count) also keeps each round's
+    # frontier join from re-analyzing the whole band lineage
+    edges = (
         cand.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
         .unionByName(
             cand.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
         )
+        .localCheckpoint(eager=True)
     )
-    edges.count()  # 3 rounds consume this — fill the persist first
     lm = edges.select("node").distinct().orderBy("node").limit(3)
     dist = lm.select(
         F.col("node").alias("landmark"),
@@ -2432,26 +2441,25 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each family frame feeds BOTH the truth-candidate union and the
     # per-family audit rows; unpersisted, the LSH distinct and the
     # prefix-rank window would each run twice (the old 7.5s tail)
-    lsh = persist_tracked(D.lsh_candidate_pairs(_shared_bands(spark, sf_dir)))
+    # r12: the three shared frames are eager localCheckpoints (were
+    # lazy persists filled by one truth count). Each family table has
+    # two consumers (truth union + its audit arm) and truth itself two
+    # (left join + the n_truth broadcast scalar) — eager checkpoints
+    # remove the unmaterialized-chain race (the round-5 kcore lesson)
+    # the old fill worked around AND truncate the 122-exchange static
+    # lineage the final audit re-analyzed per action. All three are
+    # candidate-pair-sized at any corpus scale.
+    lsh = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir)) \
+           .localCheckpoint(eager=True)
     toks = _shared_bigrams(spark, sf_dir)
-    pf = persist_tracked(
-        D.prefix_filter_candidates(toks, prefix_k=3).select("id_a", "id_b")
-    )
+    pf = D.prefix_filter_candidates(toks, prefix_k=3) \
+          .select("id_a", "id_b").localCheckpoint(eager=True)
     cand = lsh.select("id_a", "id_b").union(pf).distinct()
-    truth = persist_tracked(
-        D.jaccard_on_pairs(
-            corpus, cand, "text", "id",
-            shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
-        ).select("id_a", "id_b", F.lit(True).alias("__is_true"))
-    )
-    # Eager-materialize BEFORE composing: n_truth below is a broadcast
-    # scalar whose subtree would otherwise share the unmaterialized
-    # persisted truth/lsh/pf chains with the main plan — the broadcast
-    # build thread then races the main job through the whole lineage
-    # (the round-5 kcore lesson, ~2x duplicate partitions). One count()
-    # fills all three persists in a single linear job; every consumer
-    # after this reads cache.
-    truth.count()
+    truth = D.jaccard_on_pairs(
+        corpus, cand, "text", "id",
+        shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
+    ).select("id_a", "id_b", F.lit(True).alias("__is_true")) \
+     .localCheckpoint(eager=True)
     fam = lsh.select(F.lit("lsh").alias("family"), "id_a", "id_b").unionByName(
         pf.select(F.lit("prefix").alias("family"), "id_a", "id_b")
     )
@@ -5297,12 +5305,15 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
     )
     sig.count()  # eager: three band tables fan out of this frame
+    # r12: each config's candidate table is an eager localCheckpoint
+    # (was a lazy persist) — every table has two consumers (the truth
+    # union + its tagged audit arm), and the truncated lineage keeps
+    # the truth fill and the final audit from re-analyzing three
+    # band-build trees per action. Candidate lists are dup-graph-sized.
     cands = {
-        b: persist_tracked(
-            D.lsh_candidate_pairs(
-                D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=b)
-            )
-        )
+        b: D.lsh_candidate_pairs(
+            D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=b)
+        ).localCheckpoint(eager=True)
         for b in _SWEEP_BANDS
     }
     union = None

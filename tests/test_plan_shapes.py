@@ -86,12 +86,10 @@ CASES = [
     # both windows + final agg reuse the same source partitioning
     ("source_top_p_docs", 2, {}),
     ("source_jackknife_influence", 3, {"smj": 0}),
-    # iterative LPA: band build + 2 (join, count, rank) rounds. The
-    # run-scoped edge persist makes the printed plan repeat the cached
-    # band-build subtree at every reference (string-count inflation,
-    # not real shuffles), so the bound is loose; the binding assertion
-    # is no SortMergeJoin in the rounds
-    ("dedup_label_propagation", 36, {"smj": 0}),
+    # iterative LPA: the edge list is an eager localCheckpoint (r12),
+    # so the plan holds only the 2 (join, count, rank) rounds over a
+    # LogicalRDD leaf — tight bound, and still no SortMergeJoin
+    ("dedup_label_propagation", 8, {"smj": 0}),
     # recursive CTE: the UnionLoop body must not add per-level shuffles
     ("customer_hierarchy_depth", 3, {"smj": 0}),
     # RANGE frame: one customer-hash exchange feeds the frame sort
@@ -113,11 +111,12 @@ CASES = [
     ("doc_tfidf_cosine_pairs", 28, {"smj": 0, "bhj_min": 1}),
     # SRP: fan_out RR + signature agg + bucket agg, all row-local math
     ("embedding_srp_buckets", 3, {"smj": 0}),
-    # 3 peel rounds, each persisted — printed plan repeats the whole
-    # peel history per reference (string inflation; the converged-flag
-    # scalar re-references the penultimate round's subtree, +~45
-    # printed exchanges, runtime exchange-reuse); binding: no SMJ
-    ("dedup_kcore", 330, {"smj": 0}),
+    # r12 lineage truncation: each peel round is an eager
+    # localCheckpoint, so the final plan is just the degree agg + the
+    # converged window over the checkpointed survivor edges (the old
+    # lazy-persist form printed the whole 330-exchange peel history and
+    # re-computed raced partitions through it)
+    ("dedup_kcore", 3, {"smj": 0, "bnlj": 0}),
     # skyline: per-price agg shuffle + price-domain-only single
     # partition window + broadcast of the front back onto the scan —
     # the fact table itself never single-partitions
@@ -169,10 +168,10 @@ CASES = [
     ("doc_dsir_importance", 6, {"smj": 0, "bhj_min": 3}),
     # digest groupBy + digest join-back + source rollup
     ("corpus_dedup_rate_by_source", 3, {"smj": 0, "bhj_min": 1}),
-    # LPA/band persisted-subtree reprints inflate exch; binding: the
-    # only SMJ is a pairs-sized label join (correct shuffle join at
-    # scale), everything label/degree-domain broadcasts
-    ("dedup_modularity", 110, {"smj": 1, "bhj_min": 5}),
+    # LPA edges checkpoint eagerly (r12), shrinking the reprinted
+    # subtrees; binding: the only SMJ is a pairs-sized label join
+    # (correct shuffle join at scale), label/degree-domain broadcasts
+    ("dedup_modularity", 60, {"smj": 1, "bhj_min": 5}),
     # two brute-force arms (exactness baseline BNLJs) + broadcast
     # overlap join of two queries*5 frames
     ("embedding_matryoshka_recall", 3, {"smj": 0, "bnlj": 2, "bhj_min": 1}),
