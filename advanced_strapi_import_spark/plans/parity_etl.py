@@ -358,8 +358,7 @@ def _pipeline_batch(spark: SparkSession, sf_dir: str):
     # consumers otherwise race an unmaterialized cache through the
     # whole validate->resolve->media subtree (the kcore race class —
     # measured exec 11.1 s -> 1.8 s, shuffle 9.9 -> 1.7 MB).
-    df = persist_tracked(df)
-    df.count()
+    df = df.localCheckpoint(eager=True)
     return df, res
 
 

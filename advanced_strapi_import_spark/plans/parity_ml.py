@@ -1615,13 +1615,10 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # squatted in storage memory for the rest of the suite) + eager
     # fill (two consumers racing an unmaterialized cache duplicate the
     # serve scan — the kcore race class)
-    served = persist_tracked(
-        S.ivfpq_query_index(
-            spark, idx, queries, k=5, nprobe=8,
-            rerank=20, rerank_corpus=fan_out(emb),
-        ).select("query_id", "neighbor_id")
-    )
-    served.count()
+    served = S.ivfpq_query_index(
+        spark, idx, queries, k=5, nprobe=8,
+        rerank=20, rerank_corpus=fan_out(emb),
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
     # r12 optimization: the inline twin reuses the STORED index's
     # frozen trainer — it is the identical seeded trainer (same
     # ordered 8192-row sample, float64 parquet round-trips bit-exact),

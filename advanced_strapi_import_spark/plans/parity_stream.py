@@ -1385,13 +1385,10 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw persist leaked past release_all) + eager fill (the diff and
     # freshness consumers racing an unmaterialized cache duplicate the
     # serve scan — the kcore race class)
-    served_a = persist_tracked(
-        S.ivfpq_query_index(
-            spark, idx_a, queries, k=5, nprobe=8,
-            rerank=20, rerank_corpus=union_corpus,
-        )
-    )
-    served_a.count()
+    served_a = S.ivfpq_query_index(
+        spark, idx_a, queries, k=5, nprobe=8,
+        rerank=20, rerank_corpus=union_corpus,
+    ).localCheckpoint(eager=True)
     served_b = S.ivfpq_query_index(
         spark, idx_b, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,
