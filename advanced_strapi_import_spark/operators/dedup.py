@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from advanced_strapi_import_spark.caching import persist_tracked
+from advanced_strapi_import_spark.caching import checkpoint_tracked, persist_tracked
 
 # ---------------------------------------------------------------------------
 # shared text primitives (portable across Spark/DuckDB)
@@ -330,10 +330,17 @@ def label_propagation(
     Self-loops (id_a == id_b) are dropped before canonicalization —
     a surviving (a, a) row would symmetrize into two identical edge
     rows and double-count the self-vote.
-    The symmetrized edge list is persisted run-scoped — it is read once
-    for the initial labels and once per round, and without the persist
-    the whole upstream pair-generation pipeline would re-execute each
-    time."""
+    The symmetrized edge list is MATERIALIZED EAGERLY at call time (an
+    eager checkpoint — it is read once for the initial labels and once
+    per round, and without it the whole upstream pair-generation
+    pipeline would re-execute each time). Two caveats callers must
+    know: (1) calling this function executes Spark jobs immediately —
+    it does not build an inspectable lazy plan; (2) by default the
+    checkpoint is executor-local (unreplicated), so on a real cluster
+    an executor loss or dynamic-allocation scale-down mid-query is
+    unrecoverable — set caching.RELIABLE_CHECKPOINT_CONF=true plus a
+    checkpoint dir for a fault-tolerant run (same contract as
+    :func:`connected_components`)."""
     from pyspark.sql import Window
 
     base = (
@@ -355,7 +362,7 @@ def label_propagation(
         base.union(
             base.select(F.col("id_b"), F.col("id_a"))
         ).toDF("node", "nbr")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_tracked)
     )
     labels = (
         edges.select("node").distinct().withColumn("label", F.col("node"))
@@ -409,7 +416,7 @@ def connected_components(
         .distinct()
         # materialize once: every iteration joins edges, and without this
         # the whole upstream pair-generation pipeline would re-run per round
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_tracked)
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = edges.count()  # cheap: counts the checkpointed partitions
@@ -499,7 +506,7 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
                     F.col("cluster"), F.coalesce("__jc", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_tracked)
         )
         label_sum = new_labels.agg(
             F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
@@ -787,9 +794,14 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     degree and can wrongly keep a fringe node). Each round is one
     degree aggregation plus two semi-joins, all hash-partitioned on
     the node id — O(E) shuffle per round, no driver state; each
-    round's survivor edge set is persisted run-scoped so the next
-    round (and the final degree count) reads it once instead of
-    re-deriving the whole peel history."""
+    round's survivor edge set is MATERIALIZED EAGERLY (an eager
+    checkpoint) so the next round — and the final degree count — reads
+    it once instead of re-deriving the whole peel history. Caveats,
+    same as :func:`label_propagation`: calling this executes Spark
+    jobs immediately (one per peel round — no inspectable lazy plan),
+    and the default executor-local checkpoint is unrecoverable on
+    executor loss; set caching.RELIABLE_CHECKPOINT_CONF=true plus a
+    checkpoint dir on a real cluster."""
 
     base = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
@@ -803,7 +815,7 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         base.union(base.select(F.col("id_b"), F.col("id_a"))).toDF(
             "node", "nbr"
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_tracked)
     )
     for _ in range(rounds):
         keep = (
@@ -816,7 +828,7 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             edges.join(keep, "node").join(
                 keep.withColumnRenamed("node", "nbr"), "nbr"
             ).select("node", "nbr")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_tracked)
         )
     # convergence flag as a WINDOW over the final degree frame — ONE
     # linear pipeline. Every scalar-aggregate formulation (crossJoin of

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from advanced_strapi_import_spark.caching import persist_tracked
+from advanced_strapi_import_spark.caching import checkpoint_tracked
 from advanced_strapi_import_spark.operators import resolve as R
 from advanced_strapi_import_spark.operators import validate as V
 from advanced_strapi_import_spark.plans.registry import load, query
@@ -349,16 +349,17 @@ def _pipeline_batch(spark: SparkSession, sf_dir: str):
     )
     # the merge consumes the batch twice (matched-coalesce join + the
     # create anti-join) — same reason Engine.import_csv persists the
-    # scan+validate subtree (api.py:233). persist_tracked, not a raw
-    # persist: the raw form leaked past caching.release_all(), so the
-    # SECOND pipeline query in a session silently reused the first
-    # one's materialized batch (violating the bench's standalone-cost
-    # policy) and the block squatted in storage memory for the rest of
-    # the suite. Eager fill before returning: the merge's two
-    # consumers otherwise race an unmaterialized cache through the
-    # whole validate->resolve->media subtree (the kcore race class —
-    # measured exec 11.1 s -> 1.8 s, shuffle 9.9 -> 1.7 MB).
-    df = df.localCheckpoint(eager=True)
+    # scan+validate subtree (api.py:233). Eager checkpoint_tracked
+    # (r12 history: a raw persist leaked past caching.release_all(),
+    # letting the SECOND pipeline query in a session silently reuse the
+    # first one's materialized batch; and without an eager fill the
+    # merge's two consumers raced an unmaterialized cache through the
+    # whole validate->resolve->media subtree — the kcore race class,
+    # measured exec 11.1 s -> 1.8 s, shuffle 9.9 -> 1.7 MB). The
+    # checkpoint also truncates the batch lineage the merge arms would
+    # otherwise re-analyze per action (counters plan 2,756 -> 397
+    # lines).
+    df = df.transform(checkpoint_tracked)
     return df, res
 
 

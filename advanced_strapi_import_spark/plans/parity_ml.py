@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from advanced_strapi_import_spark.caching import persist_tracked, register_shared_releaser
+from advanced_strapi_import_spark.caching import (
+    checkpoint_tracked,
+    persist_tracked,
+    register_shared_releaser,
+)
 from advanced_strapi_import_spark.operators import dedup as D
 from advanced_strapi_import_spark.operators import similarity as S
 from advanced_strapi_import_spark.operators import text as TX
@@ -1610,15 +1614,14 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: S.build_ivfpq_index(emb, p, m=32, codebook=64),
     )
     # served feeds BOTH the bit-equality diff and the recall hits —
-    # persist so the index scan + ADC + rerank subtree runs once.
-    # persist_tracked (a raw persist leaked past release_all and
-    # squatted in storage memory for the rest of the suite) + eager
-    # fill (two consumers racing an unmaterialized cache duplicate the
-    # serve scan — the kcore race class)
+    # eager checkpoint_tracked so the index scan + ADC + rerank subtree
+    # runs once (two consumers racing an unmaterialized cache duplicate
+    # the serve scan — the kcore race class) and the serve lineage is
+    # truncated before the diff re-analyzes it.
     served = S.ivfpq_query_index(
         spark, idx, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=fan_out(emb),
-    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    ).select("query_id", "neighbor_id").transform(checkpoint_tracked)
     # r12 optimization: the inline twin reuses the STORED index's
     # frozen trainer — it is the identical seeded trainer (same
     # ordered 8192-row sample, float64 parquet round-trips bit-exact),
@@ -1949,6 +1952,12 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     edges = persist_tracked(edges)
+    # r13 (ADVICE r12): eager fill BEFORE the src_deg checkpoint job
+    # consumes edges on two sides at once (the deg broadcast-build
+    # thread + the probe scan) — an unmaterialized persisted frame
+    # under concurrent consumers recomputes raced partitions through
+    # the whole shingle/band lineage (the kcore race class).
+    edges.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # r12 (same change as dedup_weighted_pagerank): the loop's two base
     # frames are eager localCheckpoints, so every iteration analyzes a
@@ -1958,8 +1967,8 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes -4%, oracle MATCH at all three SFs.
     src_deg = edges.join(deg, "src").select(
         "src", "dst", "deg"
-    ).localCheckpoint(eager=True)
-    nodes = _corpus(spark, sf_dir).select("id").localCheckpoint(eager=True)
+    ).transform(checkpoint_tracked)
+    nodes = _corpus(spark, sf_dir).select("id").transform(checkpoint_tracked)
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     n_iters, ckpt_every = 3, 8
     for i in range(n_iters):
@@ -1982,7 +1991,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale, while long loops (where plan size/scheduler pressure
         # actually accumulates) still get bounded lineage.
         if (i + 1) % ckpt_every == 0 and (i + 1) < n_iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(checkpoint_tracked, eager=False)
     return ranks.select("id", F.col("r").alias("rank_ppm"))
 
 
@@ -2045,7 +2054,7 @@ def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             cand.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_tracked)
     )
     lm = edges.select("node").distinct().orderBy("node").limit(3)
     dist = lm.select(
@@ -2076,7 +2085,7 @@ def dedup_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(nd)
             .groupBy("landmark", "node")
             .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_tracked)
         )
     return dist.select("landmark", "node", F.col("d").alias("dist"))
 
@@ -2178,6 +2187,10 @@ def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "w")
     )
     edges = persist_tracked(edges)
+    # r13 (ADVICE r12): eager fill BEFORE the src_w checkpoint job
+    # consumes edges on two sides (wdeg build + probe) — the kcore
+    # race class, same as dedup_pagerank above.
+    edges.count()
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     # edges has two consumers (wdeg + the join) and src_w/nodes feed
     # every iteration — materialize before the loop fans out over them
@@ -2191,8 +2204,8 @@ def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are edge-/node-sized — tiny next to the corpus at any scale.
     src_w = edges.join(wdeg, "src").select(
         "src", "dst", "w", "tw"
-    ).localCheckpoint(eager=True)
-    nodes = _corpus(spark, sf_dir).select("id").localCheckpoint(eager=True)
+    ).transform(checkpoint_tracked)
+    nodes = _corpus(spark, sf_dir).select("id").transform(checkpoint_tracked)
     ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
     n_iters, ckpt_every = 3, 8
     for i in range(n_iters):
@@ -2210,7 +2223,7 @@ def dedup_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same lineage policy as dedup_pagerank: linear chain, short
         # unroll, checkpoint only on long loops
         if (i + 1) % ckpt_every == 0 and (i + 1) < n_iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(checkpoint_tracked, eager=False)
     return ranks.select("id", F.col("r").alias("rank_ppm"))
 
 
@@ -2447,16 +2460,16 @@ def dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage the final audit re-analyzed per action. All three are
     # candidate-pair-sized at any corpus scale.
     lsh = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir)) \
-           .localCheckpoint(eager=True)
+           .transform(checkpoint_tracked)
     toks = _shared_bigrams(spark, sf_dir)
     pf = D.prefix_filter_candidates(toks, prefix_k=3) \
-          .select("id_a", "id_b").localCheckpoint(eager=True)
+          .select("id_a", "id_b").transform(checkpoint_tracked)
     cand = lsh.select("id_a", "id_b").union(pf).distinct()
     truth = D.jaccard_on_pairs(
         corpus, cand, "text", "id",
         shingle_df=_shared_shingles(spark, sf_dir), threshold=0.5,
     ).select("id_a", "id_b", F.lit(True).alias("__is_true")) \
-     .localCheckpoint(eager=True)
+     .transform(checkpoint_tracked)
     fam = lsh.select(F.lit("lsh").alias("family"), "id_a", "id_b").unionByName(
         pf.select(F.lit("prefix").alias("family"), "id_a", "id_b")
     )
@@ -5310,7 +5323,7 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = {
         b: D.lsh_candidate_pairs(
             D.lsh_bands(sig, num_hashes=NUM_HASHES, bands=b)
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_tracked)
         for b in _SWEEP_BANDS
     }
     union = None

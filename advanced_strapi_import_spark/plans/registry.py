@@ -87,6 +87,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # (all the driver testdata) take the fast path
         return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    if table == "events":
+        # the events scan plan depends on a session conf (nanosAsLong
+        # changes how a TIMESTAMP(NANOS) column reads) — fold the live
+        # conf value into the key so a load() issued before load_events
+        # sets the conf can never poison the memo with a plan built
+        # under the wrong setting (r12 VERDICT hardening)
+        try:
+            key += (spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", None
+            ),)
+        except Exception:
+            key += (None,)
     hit = _SCAN_MEMO.get(key)
     if hit is None:
         if len(_SCAN_MEMO) >= 256:

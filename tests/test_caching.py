@@ -44,6 +44,73 @@ def test_release_all_clears_shared_band_cache(spark):
     assert not bands.storageLevel.useMemory
 
 
+def test_checkpoint_tracked_local_default_and_release(spark):
+    """Default path: checkpoint_tracked = eager localCheckpoint, and
+    release_tracked drops this module's references (blocks themselves
+    are ContextCleaner-reclaimed — documented contract)."""
+    df = caching.checkpoint_tracked(spark.range(7).selectExpr("id * 2 AS x"))
+    # lineage truncated: the plan is a scan of checkpointed RDD rows
+    assert "ExistingRDD" in df._jdf.queryExecution().analyzed().toString() \
+        or "LogicalRDD" in df._jdf.queryExecution().analyzed().toString()
+    assert [r.x for r in df.orderBy("x").collect()] == [0, 2, 4, 6, 8, 10, 12]
+    assert caching._CHECKPOINTED
+    caching.release_tracked()
+    assert not caching._CHECKPOINTED
+    # the frame stays readable after the sweep (references dropped,
+    # blocks not destroyed)
+    assert df.count() == 7
+
+
+def test_checkpoint_tracked_reliable_switch(spark, tmp_path):
+    """RELIABLE_CHECKPOINT_CONF=true routes through Dataset.checkpoint:
+    requires a checkpoint dir (raises without one), writes into it, and
+    returns the same rows."""
+    import pytest
+
+    spark.conf.set(caching.RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        had_dir = spark.sparkContext.getCheckpointDir()
+        if had_dir is None:
+            with pytest.raises(ValueError, match="checkpoint"):
+                caching.checkpoint_tracked(spark.range(3))
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        df = caching.checkpoint_tracked(
+            spark.range(5).selectExpr("id + 1 AS x")
+        )
+        assert sorted(r.x for r in df.collect()) == [1, 2, 3, 4, 5]
+        import os
+
+        found = any(
+            files
+            for _, _, files in os.walk(str(tmp_path / "ckpt"))
+        )
+        assert found, "reliable checkpoint wrote nothing to the dir"
+    finally:
+        spark.conf.set(caching.RELIABLE_CHECKPOINT_CONF, "false")
+        caching.release_tracked()
+
+
+def test_load_events_memo_is_conf_aware(spark):
+    """The events scan memo folds nanosAsLong into its key: a load()
+    issued under a different conf value cannot be served a plan built
+    under the other setting (r12 VERDICT hardening)."""
+    from advanced_strapi_import_spark.plans.registry import load
+    from tests.conftest import SF_TEST
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        a = load(spark, SF_TEST, "events")
+        b = load(spark, SF_TEST, "events")
+        assert a is b
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        c = load(spark, SF_TEST, "events")
+        assert c is not a
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
 def test_load_memoizes_scan_plan_per_file_state(spark, tmp_path):
     """registry.load memoizes the UNEXECUTED scan DataFrame per
     (session, path, mtime, size) — plan-object reuse, never data: a
