@@ -463,26 +463,6 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p", "est"),
     )
-    # true rank of each estimate: conditional counts over the fact,
-    # one broadcast join + one partial-aggregated Exchange
-    ranks = (
-        li.join(F.broadcast(est), "l_returnflag")
-        .groupBy("l_returnflag", "p", "est", "n")
-        .agg(
-            F.sum((F.col("c") <= F.col("est")).cast("long")).alias("le"),
-            F.sum((F.col("c") < F.col("est")).cast("long")).alias("lt"),
-        )
-    )
-    eps = 1.0 / ACC
-    ok = ranks.select(
-        "l_returnflag",
-        (
-            (F.col("le") >= (F.col("p") - eps) * F.col("n") - 1)
-            & (F.col("lt") <= (F.col("p") + eps) * F.col("n") + 1)
-        ).alias("ok"),
-    ).groupBy("l_returnflag").agg(
-        F.min("ok").alias("within_bound")
-    )
     # exact discrete quantiles: smallest value whose INCLUSIVE per-flag
     # rank reaches ceil(p*n) — same element the old row_number form
     # picked, but skew-safe (VERDICT r10 task 6): instead of sorting
@@ -502,16 +482,52 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = distributed_cumsum(
         cnts, ["l_returnflag", "c"], "cnt", out_col="cum_all"
     )
-    nn = cnts.groupBy("l_returnflag").agg(
-        F.sum("cnt").cast("long").alias("n")
+    # r13 (guide §2.3/§2.4 — fewer full-fact passes): per-flag totals
+    # and offsets now come from the cumsum frame itself (its per-flag
+    # MAX is the global row count through that flag under the total
+    # order), not from a third scan-aggregation of the fact. 3 rows.
+    ends = cum.groupBy("l_returnflag").agg(
+        F.max("cum_all").cast("long").alias("__end")
     )
-    # per-flag global offset = rows of all preceding flags; the window
-    # runs over |flags| rows (3), not the fact — bounded by group count
-    woff = Window.orderBy("l_returnflag").rowsBetween(
-        Window.unboundedPreceding, -1
+    woff = Window.orderBy("l_returnflag")
+    offs = ends.select(
+        "l_returnflag",
+        F.coalesce(F.lag("__end").over(woff), F.lit(0)).cast("long")
+        .alias("off"),
+        "__end",
+    ).select(
+        "l_returnflag", "off",
+        (F.col("__end") - F.col("off")).cast("long").alias("n"),
     )
-    offs = nn.withColumn(
-        "off", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
+    # true rank of each estimate, from the SAME cumsum frame (r13 —
+    # was a second full scan of the fact joined to est + a full-fact
+    # partial aggregation): percentile_approx estimates are actual
+    # input elements (GK summaries sample inserted values), so each
+    # (flag, est) matches exactly one (flag, c) row of cnts/cum, whose
+    # per-flag inclusive rank gives le = cum_all - off and
+    # lt = le - cnt — the identical integers the conditional counts
+    # produced. The oracle gate at three SFs pins the equivalence.
+    eps = 1.0 / ACC
+    le = F.col("cum_all") - F.col("off")
+    ok = (
+        F.broadcast(est)
+        .join(
+            cum.select(
+                "l_returnflag", F.col("c").alias("est"), "cnt", "cum_all"
+            ),
+            ["l_returnflag", "est"],
+        )
+        .join(F.broadcast(offs.select("l_returnflag", "off")),
+              "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                (le >= (F.col("p") - eps) * F.col("n") - 1)
+                & (le - F.col("cnt") <= (F.col("p") + eps) * F.col("n") + 1)
+            ).alias("ok"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min("ok").alias("within_bound"))
     )
     exact = (
         cum.join(F.broadcast(offs), "l_returnflag")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from advanced_strapi_import_spark.caching import persist_tracked
+from advanced_strapi_import_spark.caching import checkpoint_tracked
 from advanced_strapi_import_spark.operators.multimodal import byte_histogram
 from advanced_strapi_import_spark.plans import parity_ml as ML
 from advanced_strapi_import_spark.plans.registry import load, load_events, query
@@ -1283,13 +1283,18 @@ def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.append_lsh_vectors(batch_df, idx)
         S.compact_lsh_index(spark, idx, max_files_per_bucket=16)
 
-    q = (
-        arriving.writeStream.foreachBatch(update)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # drain-scoped shuffle cap (ST.drain_conf): the per-batch encode+
+    # append jobs are ordinary batch jobs over KB-sized arrival slices;
+    # session-width exchanges are pure fixed cost here (results
+    # unchanged; a production maintenance stream sizes to throughput)
+    with ST.drain_conf(spark, state_partitions=4):
+        q = (
+            arriving.writeStream.foreachBatch(update)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     return S.lsh_query_index(spark, idx, queries, k=5, planes=_ANN_PLANES)
 
@@ -1360,13 +1365,18 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.append_ivfpq_vectors(sl, idx_b)
         S.compact_ivfpq_index(spark, idx_a, max_files_per_cell=2)
 
-    q = (
-        arriving.writeStream.foreachBatch(update)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # drain-scoped shuffle cap (ST.drain_conf): the per-batch encode+
+    # append jobs are ordinary batch jobs over KB-sized arrival slices;
+    # session-width exchanges are pure fixed cost here (results
+    # unchanged; a production maintenance stream sizes to throughput)
+    with ST.drain_conf(spark, state_partitions=4):
+        q = (
+            arriving.writeStream.foreachBatch(update)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     live_a = S._require_index_meta(idx_a).get("codes_dir", "codes")
     if live_a == "codes":
         raise RuntimeError(
@@ -1380,15 +1390,15 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    # served_a feeds the diff AND the freshness check — persist so the
-    # index scan + ADC + rerank subtree runs once. persist_tracked (a
-    # raw persist leaked past release_all) + eager fill (the diff and
-    # freshness consumers racing an unmaterialized cache duplicate the
-    # serve scan — the kcore race class)
+    # served_a feeds the diff AND the freshness check — eager
+    # checkpoint_tracked so the index scan + ADC + rerank subtree runs
+    # once (two consumers racing an unmaterialized cache duplicate the
+    # serve scan — the kcore race class) and the serve lineage is
+    # truncated before the full_outer diff re-analyzes it.
     served_a = S.ivfpq_query_index(
         spark, idx_a, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_tracked)
     served_b = S.ivfpq_query_index(
         spark, idx_b, queries, k=5, nprobe=8,
         rerank=20, rerank_corpus=union_corpus,
@@ -2354,16 +2364,36 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     t1, t2 = b["t1"], b["t2"]
     us = F.unix_micros(F.col("ts"))
-    slices = [us <= t1, (us > t1) & (us <= t2), us > t2]
     d = tempfile.mkdtemp(prefix="trans_slices_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    for i, cond in enumerate(slices):
-        w = f"{d}/w{i}"
-        e.filter(cond).coalesce(1).write.mode("overwrite").parquet(w)
-        part = globmod.glob(f"{w}/part-*.parquet")[0]
-        # flat file name: pathGlobFilter matches file names, and the
-        # name/mtime order (000..002) fixes the trigger order
-        shutil.copy(part, f"{d}/events_{i:03d}.parquet")
+    # ONE pass over events writes all three time slices via a
+    # directory-partitioned write (r13, guide §2.4 — the per-slice
+    # filter+write loop scanned the table three times for the same
+    # bytes). coalesce(1) guarantees exactly one part file per slice
+    # dir (the flat-copy below requires it); the partition column is
+    # directory-encoded, so each part file carries the original
+    # events schema. The partitioned tree lives OUTSIDE the stream
+    # source dir — partition discovery over `d` must see flat files
+    # only.
+    w = tempfile.mkdtemp(prefix="trans_sliced_")
+    atexit.register(shutil.rmtree, w, ignore_errors=True)
+    e.withColumn(
+        "__w", F.when(us <= t1, 0).when(us <= t2, 1).otherwise(2)
+    ).coalesce(1).write.partitionBy("__w").mode("overwrite").parquet(w)
+    import os as _os
+    import time as _time
+
+    base = _time.time()
+    for i in range(3):
+        part = globmod.glob(f"{w}/__w={i}/part-*.parquet")[0]
+        # flat file name: the file source orders triggers by mtime, so
+        # PIN strictly increasing mtimes (000..002) — the one-pass
+        # write copies all three back-to-back, and same-millisecond
+        # copies would leave the cross-batch arrival order (which the
+        # carry logic requires) to listing luck
+        dst = f"{d}/events_{i:03d}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (base + i, base + i))
     stream = ST.read_events_stream(
         spark, d, glob="events_*.parquet", max_files_per_trigger=1
     )

@@ -106,9 +106,22 @@ def cluster_conf(executors: int = 1000, cores_per_executor: int = 4) -> dict[str
     }
 
 
+# sessions already tuned, by applicationId: the driver contract binds
+# tune() into EVERY query invocation (__spark_entry__.queries), so a
+# 327-query run would otherwise pay 8 py4j conf.set round trips per
+# query for values that were set on the first call and that nothing in
+# the engine changes without restoring (r12 VERDICT task 2 — per-query
+# constant cost). A new session (new applicationId) re-tunes.
+_TUNED: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable knobs to an externally provided session
-    (the driver hands us its own SparkSession in ``entry``)."""
+    (the driver hands us its own SparkSession in ``entry``); no-op on
+    a session this process already tuned."""
+    app = spark.sparkContext.applicationId
+    if app in _TUNED:
+        return spark
     for k, v in [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
@@ -126,4 +139,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf may be fixed at session start; all are safe to skip
+    if len(_TUNED) >= 64:
+        _TUNED.clear()
+    _TUNED.add(app)
     return spark

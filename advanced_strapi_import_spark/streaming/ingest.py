@@ -31,6 +31,36 @@ _TS_TYPE_CACHE: dict[tuple[str, str, float], T.DataType] = {}
 
 
 # ---------------------------------------------------------------------------
+# drain-scoped shuffle sizing (shared by every foreachBatch drain)
+# ---------------------------------------------------------------------------
+from contextlib import contextmanager
+
+
+@contextmanager
+def drain_conf(spark: SparkSession, *, state_partitions: int | None = None):
+    """Cap ``spark.sql.shuffle.partitions`` for the lifetime of an
+    availableNow drain, restoring the session value afterwards — the
+    foreachBatch twin of run_available_now's ``state_partitions`` knob
+    (r01: per-partition store/task fixed cost dominates short drains).
+    Each micro-batch's inner jobs are ordinary batch jobs planned under
+    the session conf, so without this every per-batch partial
+    aggregation schedules a full-width exchange over rows that fit in
+    kilobytes. Changes ONLY fixed cost, never results. A long-lived
+    production stream should size this to its per-batch volume instead
+    (``None`` keeps the session setting untouched)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    try:
+        yield
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
 # batch_id-keyed parquet state (the scale-safe keyed-state store)
 # ---------------------------------------------------------------------------
 def _state_dir(prefix: str) -> str:
@@ -121,7 +151,14 @@ def _commit_batch_state(df: DataFrame, table_dir: str, batch_id: int) -> bool:
     tmp = os.path.join(gd, f"_tmp_{batch_id}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
+    # one file per committed batch: every caller commits KB-sized
+    # partials (rollup/sketch/histogram rows), and the store is re-read
+    # per serving pass — shuffle-partition-many near-empty files per
+    # batch multiply both the commit and every later listing/open for
+    # zero benefit at any scale (guide §6 small-files). A store whose
+    # per-batch partials are NOT driver-small should write uncoalesced
+    # via its own sink instead of this helper.
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(tmp, final)
     return True
 
@@ -755,6 +792,7 @@ def incremental_dedup_stream(
     import shutil
     import tempfile
 
+    from advanced_strapi_import_spark.caching import checkpoint_tracked
     from advanced_strapi_import_spark.operators import dedup as D
 
     spark = corpus_bands.sparkSession
@@ -770,7 +808,7 @@ def incremental_dedup_stream(
             return
         bb = D.lsh_bands(
             D.minhash_signature(batch_df, text_col, id_col)
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_tracked)
         pairs = D.incremental_band_candidates(state["bands"], bb)
         pairs.write.mode("append").parquet(pairs_path)
         state["wrote"] = True

@@ -111,6 +111,31 @@ def test_load_events_memo_is_conf_aware(spark):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
+def test_tune_is_memoized_per_session(spark):
+    """tune() pays its 8 conf.set py4j round trips once per
+    applicationId — the driver binds it into every query invocation
+    (r13, VERDICT r12 task 2). Semantics pinned here: a repeat call on
+    a tuned session is a no-op (it must NOT fight a harness that
+    adjusted a conf mid-suite); a fresh memo re-applies."""
+    from advanced_strapi_import_spark import session as S
+
+    S._TUNED.clear()
+    S.tune(spark)
+    assert spark.sparkContext.applicationId in S._TUNED
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        S.tune(spark)  # memo hit: leaves the harness's value alone
+        assert spark.conf.get("spark.sql.session.timeZone") == (
+            "America/New_York"
+        )
+        S._TUNED.clear()
+        S.tune(spark)  # fresh memo: re-applies UTC
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_load_memoizes_scan_plan_per_file_state(spark, tmp_path):
     """registry.load memoizes the UNEXECUTED scan DataFrame per
     (session, path, mtime, size) — plan-object reuse, never data: a
