@@ -1774,6 +1774,11 @@ JOIN sizes sb ON sb.id = e.id_b
 def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shared_shingles(spark, sf_dir)
     cand = D.lsh_candidate_pairs(_shared_bands(spark, sf_dir))
+    # r13 A/B note: materializing sigs (persist+count, deduping the
+    # sa/sb double evaluation of the 16-min-agg) measured EXACTLY
+    # neutral same-window (floors 4.01 vs 4.09, means equal) — the
+    # duplicate agg over the persisted shingle frame costs what the
+    # extra fill job costs. Left as the simpler lazy form.
     sigs = D.minhash_signature_from_hashes(sh, num_hashes=NUM_HASHES)
     sa = sigs.select(
         F.col("id").alias("id_a"),

@@ -479,9 +479,16 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = li.groupBy("l_returnflag", "c").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    cum = distributed_cumsum(
+    # cum now has THREE consumers (ends/ok/exact) — materialize it, or
+    # each one re-pays the per-__pid running-sum window plus its
+    # hash(__pid) exchange over the counts frame (r13; before the
+    # restructure it had one consumer and stayed lazy)
+    from advanced_strapi_import_spark.caching import persist_tracked
+
+    cum = persist_tracked(distributed_cumsum(
         cnts, ["l_returnflag", "c"], "cnt", out_col="cum_all"
-    )
+    ))
+    cum.count()
     # r13 (guide §2.3/§2.4 — fewer full-fact passes): per-flag totals
     # and offsets now come from the cumsum frame itself (its per-flag
     # MAX is the global row count through that flag under the total

@@ -1356,13 +1356,20 @@ def stream_ivfpq_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(batch_df, batch_id) -> None:
         if not batch_df.head(1):
             return
+        # r13: the arrival batch is ENCODED ONCE — idx_a/idx_b are
+        # byte-identical clones of one build, so their frozen trainers
+        # produce the same codes; the old form paid the mapInPandas
+        # encode 4x per batch (2 slices x 2 indexes). The eager
+        # checkpoint materializes the codes so each of the four writes
+        # below reads KB-sized rows instead of re-running the encode.
+        enc = checkpoint_tracked(S.encode_ivfpq_batch(batch_df, idx_a))
         # two sub-appends per batch, then the compaction check — the
         # per-cell file count (1 build + 2 appends) crosses the
         # threshold so the generation swap runs inside the drain
         for s in range(2):
-            sl = batch_df.filter(F.col("vec_id") % 2 == s)
-            S.append_ivfpq_vectors(sl, idx_a)
-            S.append_ivfpq_vectors(sl, idx_b)
+            sl = enc.filter(F.col("id") % 2 == s)
+            S.append_encoded_ivfpq(sl, idx_a)
+            S.append_encoded_ivfpq(sl, idx_b)
         S.compact_ivfpq_index(spark, idx_a, max_files_per_cell=2)
 
     # drain-scoped shuffle cap (ST.drain_conf): the per-batch encode+

@@ -221,6 +221,21 @@ CASES = [
     # windows + persisted-subtree reprints = the exchange count);
     # sp=0 is the binding assertion: NO single-partition exchange
     ("customer_rfm_migration", 13, {"smj": 1, "bnlj": 0, "sp": 0}),
+    # r13 BNLJ audit pins (VERDICT r12 task 5): every
+    # BroadcastNestedLoopJoin in the stats family must stay a
+    # crossJoin(broadcast(X)) whose build side is a no-grouping
+    # aggregate (1 row by construction) — theil's tot/total/btw/wth
+    # scalars (printed counts inflate via persisted-subtree reprints)
+    ("lineitem_theil_decomposition", 51, {"smj": 0, "bnlj": 8}),
+    # brier: the maxc scalar + the bins-total scalar, reprinted
+    ("events_brier_decomposition", 10, {"smj": 0, "bnlj": 5}),
+    # heaps: one 1-row maxd scalar + two theta joins against the
+    # 10-row checkpoint domain (constant-bounded build side; the 10x
+    # row fan-out collapses map-side in the partial aggregation, so
+    # nothing wider than 10 rows per task ever reaches an exchange);
+    # the one SMJ is the 10-row nv/vv join (stat-less pre-AQE, AQE
+    # converts at runtime)
+    ("vocab_heaps_law", 7, {"smj": 1, "bnlj": 4}),
     # r12 lineage truncation: the per-round BFS materialization is an
     # eager localCheckpoint, so the RETURNED frame is a projection over
     # the checkpointed RDD — zero exchanges. Re-growing the 27k-line
